@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.Tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
   *
@@ -14,16 +15,68 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.impactAgg(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    Relational.impactAgg(lineitem(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_impact_agg" -> ((s, d) => Relational.impactAgg(Tables.lineitem(s, d)))
+    // §2.C flagship: CASE + scalar arithmetic + multi-agg + post-agg + sort
+    "q01_impact_agg" -> ((s, d) => Relational.impactAgg(lineitem(s, d))),
+    // §2.B wordcount, declarative
+    "q02_wordcount" -> ((s, d) => TextOps.wordcount(documents(s, d))),
+    // §2.A engine kernel: same wordcount through the MapReduce layer
+    "q03_mr_wordcount" -> ((s, d) => TextOps.mrWordcount(s, documents(s, d))),
+    // joins
+    "q04_join_broadcast" -> ((s, d) => Joins.revenueByBrand(lineitem(s, d), part(s, d))),
+    "q05_join_star" -> ((s, d) => Joins.revenueByNation(
+      lineitem(s, d), orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "q06_semi_join" -> ((s, d) => Joins.customersWithBigOrders(customer(s, d), orders(s, d))),
+    "q07_anti_join" -> ((s, d) => Joins.customersWithoutOrders(customer(s, d), orders(s, d))),
+    "q08_cross_pairs" -> ((s, d) => Joins.labelPairs(embeddings(s, d))),
+    // windows
+    "q09_window_topk" -> ((s, d) => Windows.topPartsPerBrand(part(s, d))),
+    "q10_running_total" -> ((s, d) => Windows.runningOrderTotal(orders(s, d))),
+    "q11_sessionize" -> ((s, d) => Windows.sessionsPerUser(events(s, d))),
+    "q12_mode" -> ((s, d) => Windows.modeSegmentPerNation(customer(s, d), nation(s, d))),
+    // set ops / aggregates / sort
+    "q13_union_agg" -> ((s, d) => SetAggOps.accountUnion(customer(s, d), supplier(s, d))),
+    "q14_intersect" -> ((s, d) => SetAggOps.nationsWithBoth(customer(s, d), supplier(s, d))),
+    "q15_except" -> ((s, d) => SetAggOps.nationsCustomersOnly(customer(s, d), orders(s, d))),
+    "q16_distinct_sort" -> ((s, d) => SetAggOps.distinctLabels(embeddings(s, d))),
+    "q17_topk" -> ((s, d) => SetAggOps.topOrders(orders(s, d))),
+    "q18_rollup" -> ((s, d) => SetAggOps.rollupFlagStatus(lineitem(s, d))),
+    "q19_distinct_agg" -> ((s, d) => SetAggOps.distinctCounts(lineitem(s, d))),
+    "q20_value_counts" -> ((s, d) => SetAggOps.langHistogram(documents(s, d))),
+    // events / timestamps / defensive casts
+    "q21_hourly_events" -> ((s, d) => EventOps.hourlyEventStats(events(s, d))),
+    "q22_props_cast" -> ((s, d) => EventOps.propsKeyStats(events(s, d))),
+    "q23_ship_delay" -> ((s, d) => EventOps.shipDelayByPriority(lineitem(s, d), orders(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
-    "q01_impact_agg" -> Relational.impactAggOracle
+    "q01_impact_agg" -> Relational.impactAggOracle,
+    "q02_wordcount" -> TextOps.wordcountOracle,
+    "q03_mr_wordcount" -> TextOps.wordcountOracle,
+    "q04_join_broadcast" -> Joins.revenueByBrandOracle,
+    "q05_join_star" -> Joins.revenueByNationOracle,
+    "q06_semi_join" -> Joins.customersWithBigOrdersOracle,
+    "q07_anti_join" -> Joins.customersWithoutOrdersOracle,
+    "q08_cross_pairs" -> Joins.labelPairsOracle,
+    "q09_window_topk" -> Windows.topPartsPerBrandOracle,
+    "q10_running_total" -> Windows.runningOrderTotalOracle,
+    "q11_sessionize" -> Windows.sessionsPerUserOracle,
+    "q12_mode" -> Windows.modeSegmentPerNationOracle,
+    "q13_union_agg" -> SetAggOps.accountUnionOracle,
+    "q14_intersect" -> SetAggOps.nationsWithBothOracle,
+    "q15_except" -> SetAggOps.nationsCustomersOnlyOracle,
+    "q16_distinct_sort" -> SetAggOps.distinctLabelsOracle,
+    "q17_topk" -> SetAggOps.topOrdersOracle,
+    "q18_rollup" -> SetAggOps.rollupFlagStatusOracle,
+    "q19_distinct_agg" -> SetAggOps.distinctCountsOracle,
+    "q20_value_counts" -> SetAggOps.langHistogramOracle,
+    "q21_hourly_events" -> EventOps.hourlyEventStatsOracle,
+    "q22_props_cast" -> EventOps.propsKeyStatsOracle,
+    "q23_ship_delay" -> EventOps.shipDelayByPriorityOracle
   )
 }

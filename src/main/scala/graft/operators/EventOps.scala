@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Relational.exactSum
+
+/** Event-table operators: tumbling-window aggregation (batch form of the
+  * Structured Streaming demo in graft.streaming), defensive casts and
+  * timestamp arithmetic (SURVEY.md §2.C rows C4/C6/C7).
+  */
+object EventOps {
+
+  /** Tumbling 1-hour window counts + exact value sums per event type —
+    * the batch twin of the streaming query (same plan shape Catalyst
+    * produces for a watermarked streaming agg). */
+  def hourlyEventStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(exactSum(col("value")), 2).as("total_value"))
+
+  val hourlyEventStatsOracle: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Defensive numeric extraction with default (SURVEY C4/C6, reference
+    * accident_analysis.py:30–37): pull "k" out of the JSON-ish props via
+    * regex, try-cast, default 0 — exactly the reference's
+    * float(...)-except-default semantics, expressed null-safely. */
+  def propsKeyStats(events: DataFrame): DataFrame = {
+    val k = coalesce(
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"),
+      lit(0L))
+    events
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+  }
+
+  val propsKeyStatsOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type,
+      |             COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  /** Timestamp diff + interval arithmetic (SURVEY C7, reference
+    * accident_analysis.py:78–87): ship delay in days per order priority. */
+  def shipDelayByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("delay_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(col("delay_days")).cast("double") / count(lit(1)))
+          .as("avg_delay_days"),
+        min(col("delay_days")).as("min_delay"),
+        max(col("delay_days")).as("max_delay"))
+
+  val shipDelayByPriorityOracle: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       CAST(SUM(delay) AS DOUBLE) / COUNT(*) AS avg_delay_days,
+      |       CAST(MIN(delay) AS INT) AS min_delay, CAST(MAX(delay) AS INT) AS max_delay
+      |FROM (SELECT o_orderpriority,
+      |             CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS delay
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority""".stripMargin
+}

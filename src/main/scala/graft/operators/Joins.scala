@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Relational.exactSum
+
+/** Join operators (SURVEY.md §2.E "Joins"; the reference's only join is the
+  * hand-rolled multicast-shuffle lookup of plants_classifier.py:206–231 —
+  * here every variant is a declarative Spark join so Catalyst/AQE pick
+  * broadcast vs shuffle strategies).
+  *
+  * Scale notes: dimension tables (part, customer, nation, region, supplier)
+  * are broadcast explicitly — at 100 TB the fact tables (lineitem, orders)
+  * shuffle only when joining each other, and AQE handles skew.
+  */
+object Joins {
+
+  /** Fact⋈dim broadcast join: revenue per brand. One shuffle (the final
+    * agg); part is broadcast so lineitem never moves. */
+  def revenueByBrand(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+
+  val revenueByBrandOracle: String =
+    """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  /** TPC-H Q5-shaped 5-way star join: revenue per nation for one region
+    * and an order-date range. customer/nation/region broadcast; the only
+    * real shuffle is lineitem⋈orders (both hash on orderkey) + final agg. */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE", "AMERICA"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+
+  val revenueByNationOracle: String =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND r_name IN ('ASIA', 'EUROPE', 'AMERICA')
+      |GROUP BY n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): customers that placed at least one big order. */
+  def customersWithBigOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > 150000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  val customersWithBigOrdersOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers that never placed a
+    * high-value order (the filter runs before the join so the anti side
+    * is small; the fixture has orders for every customer, so anti-joining
+    * unfiltered orders would be the trivial empty set). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val customersWithoutOrdersOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin
+
+  /** Theta self cross-join (SURVEY D3, plants_classifier.py:58–63): all
+    * unordered label pairs i<j with member counts — the OvO pair table.
+    * Label cardinality is tiny (n(n−1)/2 pairs) so this is a broadcast
+    * nested-loop over an already-aggregated input, never over raw rows. */
+  def labelPairs(embeddings: DataFrame): DataFrame = {
+    val counts = embeddings.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val a = counts.select(col("label").as("label_a"), col("n").as("n_a"))
+    val b = counts.select(col("label").as("label_b"), col("n").as("n_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("label_a") < col("label_b"))
+      .withColumn("pair", concat_ws("_", col("label_a"), col("label_b")))
+      .withColumn("total", col("n_a") + col("n_b"))
+      .select("pair", "label_a", "label_b", "n_a", "n_b", "total")
+  }
+
+  val labelPairsOracle: String =
+    """WITH counts AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label)
+      |SELECT CAST(a.label AS VARCHAR) || '_' || CAST(b.label AS VARCHAR) AS pair,
+      |       a.label AS label_a, b.label AS label_b,
+      |       a.n AS n_a, b.n AS n_b, a.n + b.n AS total
+      |FROM counts a JOIN counts b ON a.label < b.label""".stripMargin
+}
