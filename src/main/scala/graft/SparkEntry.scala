@@ -49,7 +49,12 @@ object SparkEntry {
     // events / timestamps / defensive casts
     "q21_hourly_events" -> ((s, d) => EventOps.hourlyEventStats(events(s, d))),
     "q22_props_cast" -> ((s, d) => EventOps.propsKeyStats(events(s, d))),
-    "q23_ship_delay" -> ((s, d) => EventOps.shipDelayByPriority(lineitem(s, d), orders(s, d)))
+    "q23_ship_delay" -> ((s, d) => EventOps.shipDelayByPriority(lineitem(s, d), orders(s, d))),
+    // dedup family (north-star training-data ops)
+    "q24_dedup_exact" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
+    "q25_dedup_minhash" -> ((s, d) => Dedup.minhashDedup(documents(s, d))),
+    "q26_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(documents(s, d))),
+    "q27_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,6 +82,10 @@ object SparkEntry {
     "q20_value_counts" -> SetAggOps.langHistogramOracle,
     "q21_hourly_events" -> EventOps.hourlyEventStatsOracle,
     "q22_props_cast" -> EventOps.propsKeyStatsOracle,
-    "q23_ship_delay" -> EventOps.shipDelayByPriorityOracle
+    "q23_ship_delay" -> EventOps.shipDelayByPriorityOracle,
+    "q24_dedup_exact" -> Dedup.exactDedupOracle,
+    "q25_dedup_minhash" -> Dedup.minhashDedupOracle,
+    "q26_dedup_simhash" -> Dedup.simhashDedupOracle,
+    "q27_ngram_jaccard" -> Dedup.ngramJaccardOracle
   )
 }
