@@ -54,7 +54,11 @@ object SparkEntry {
     "q24_dedup_exact" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
     "q25_dedup_minhash" -> ((s, d) => Dedup.minhashDedup(documents(s, d))),
     "q26_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(documents(s, d))),
-    "q27_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d)))
+    "q27_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
+    // similarity search (north-star)
+    "q28_emb_neardup" -> ((s, d) => Similarity.cosineNearDup(embeddings(s, d))),
+    "q29_ann_brute" -> ((s, d) => Similarity.annBruteTopK(embeddings(s, d))),
+    "q30_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,6 +90,9 @@ object SparkEntry {
     "q24_dedup_exact" -> Dedup.exactDedupOracle,
     "q25_dedup_minhash" -> Dedup.minhashDedupOracle,
     "q26_dedup_simhash" -> Dedup.simhashDedupOracle,
-    "q27_ngram_jaccard" -> Dedup.ngramJaccardOracle
+    "q27_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "q28_emb_neardup" -> Similarity.cosineNearDupOracle,
+    "q29_ann_brute" -> Similarity.annBruteTopKOracle,
+    "q30_ann_lsh" -> Similarity.annLshTopKOracle
   )
 }

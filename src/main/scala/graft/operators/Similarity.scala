@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star extension;
+  * generalizes the reference's embedding-shuffle patterns,
+  * plants_classifier.py:190–231).
+  *
+  * Determinism design: embeddings are quantized to integers
+  * (`round(x·10⁴)` per dimension) so dot products and squared norms are
+  * EXACT integer arithmetic — order-independent, bit-identical across
+  * engines, partition counts and AQE re-plans. The only floating-point
+  * ops are a final divide/sqrt on exactly-representable integers (all
+  * < 2⁵³), which IEEE 754 defines exactly. Quantization error on the
+  * cosine is ≤ ~1e-4 — standard practice for large-scale vector search
+  * (int8/int16 quantized indexes), not a test-only hack.
+  *
+  * Scale design: [[cosineNearDup]] and [[annBruteTopK]] are the exact
+  * baselines (quadratic candidate generation — fine for a broadcast-able
+  * side, not for 100 TB×100 TB); [[annLshTopK]] is the scale path:
+  * random-hyperplane LSH buckets vectors in one narrow shuffle, and the
+  * quadratic step runs only within buckets (expected bucket size n/2^planes).
+  */
+object Similarity {
+
+  /** (vec_id, qv: array<bigint> quantized, n2: bigint squared norm). */
+  private[operators] def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+      .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x*x)"))
+      .filter(col("n2") > 0)
+
+  private val oracleQuantized: String =
+    """q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |qn AS (
+      |  SELECT vec_id, qv,
+      |         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
+      |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) > 0)""".stripMargin
+
+  /** Exact quantized cosine between two (qv, n2) pairs as a SQL snippet. */
+  private val cosExpr =
+    """CAST(aggregate(zip_with(x.qv, y.qv, (p, q) -> p*q), 0L, (a, v) -> a + v) AS DOUBLE)
+      |  / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))""".stripMargin
+
+  private val oracleCosExpr =
+    """CAST(list_sum(list_transform(range(1, len(x.qv)+1), i -> x.qv[i]*y.qv[i])) AS DOUBLE)
+      |  / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Exact near-duplicate pairs by cosine ≥ threshold (brute-force
+  // baseline; the LSH path below is the 100 TB variant).
+  // --------------------------------------------------------------------
+  def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val q = quantized(embeddings)
+    q.as("x").join(q.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        expr(cosExpr).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val cosineNearDupOracle: String =
+    s"""WITH $oracleQuantized
+      |SELECT x.vec_id AS a, y.vec_id AS b,
+      |       ROUND($oracleCosExpr, 6) AS cosine
+      |FROM qn x JOIN qn y ON x.vec_id < y.vec_id
+      |WHERE $oracleCosExpr >= 0.5
+      |ORDER BY a, b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Brute-force cosine top-k for a query set (vec_id < 10): the exact
+  // baseline every ANN variant is measured against.
+  // --------------------------------------------------------------------
+  def annBruteTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val q = quantized(embeddings)
+    val queries = q.filter(col("vec_id") < nQueries)
+    queries.as("x").join(q.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
+        expr(cosExpr).as("cos"))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annBruteTopKOracle: String =
+    s"""WITH $oracleQuantized,
+      |scored AS (
+      |  SELECT x.vec_id AS qid, y.vec_id AS nid,
+      |         $oracleCosExpr AS cos
+      |  FROM qn x JOIN qn y ON x.vec_id <> y.vec_id
+      |  WHERE x.vec_id < 10),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, ROUND(cos, 6) AS cosine
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Random-hyperplane LSH ANN: 4 md5-derived integer hyperplanes bucket
+  // every vector (one narrow shuffle on the 4-bit bucket); top-k runs only
+  // within each query's bucket. Integer weights w(p,d) = h32("p:d") - 2³¹
+  // keep the sign computation exact — no float accumulation anywhere.
+  // --------------------------------------------------------------------
+  def annLshTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
+                 planes: Int = 4): DataFrame = {
+    val q = quantized(embeddings)
+    val bucketed = q.withColumn("bucket", expr(
+      s"""aggregate(sequence(0, ${planes - 1}), 0, (acc, p) ->
+         |  acc + CASE WHEN aggregate(sequence(0, size(qv)-1), 0L, (a, d) ->
+         |          a + (CAST(conv(substr(md5(concat(CAST(p AS STRING), ':', CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT)
+         |               - 2147483648L) * qv[d]) > 0
+         |        THEN shiftleft(1, p) ELSE 0 END)""".stripMargin))
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+    queries.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
+        expr(cosExpr).as("cos"))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annLshTopKOracle: String =
+    s"""WITH $oracleQuantized,
+      |bucketed AS (
+      |  SELECT vec_id, qv, n2,
+      |         CAST(list_sum(list_transform(range(0, 4), p ->
+      |           CASE WHEN list_sum(list_transform(range(1, len(qv)+1), d ->
+      |                  (CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), ':', CAST(d-1 AS VARCHAR))), 1, 8)) AS BIGINT)
+      |                   - 2147483648) * qv[d])) > 0
+      |                THEN 1 << p ELSE 0 END)) AS INT) AS bucket
+      |  FROM qn),
+      |scored AS (
+      |  SELECT x.vec_id AS qid, y.vec_id AS nid,
+      |         $oracleCosExpr AS cos
+      |  FROM bucketed x JOIN bucketed y
+      |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+      |  WHERE x.vec_id < 10),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, ROUND(cos, 6) AS cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+}
