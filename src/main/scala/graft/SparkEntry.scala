@@ -58,7 +58,12 @@ object SparkEntry {
     // similarity search (north-star)
     "q28_emb_neardup" -> ((s, d) => Similarity.cosineNearDup(embeddings(s, d))),
     "q29_ann_brute" -> ((s, d) => Similarity.annBruteTopK(embeddings(s, d))),
-    "q30_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d)))
+    "q30_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d))),
+    // text analysis (north-star)
+    "q31_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
+    "q32_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
+    "q33_tokens" -> ((s, d) => TextAnalysis.tokenCounts(documents(s, d))),
+    "q34_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,6 +98,10 @@ object SparkEntry {
     "q27_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "q28_emb_neardup" -> Similarity.cosineNearDupOracle,
     "q29_ann_brute" -> Similarity.annBruteTopKOracle,
-    "q30_ann_lsh" -> Similarity.annLshTopKOracle
+    "q30_ann_lsh" -> Similarity.annLshTopKOracle,
+    "q31_langid" -> TextAnalysis.langIdOracle,
+    "q32_quality" -> TextAnalysis.qualityScoreOracle,
+    "q33_tokens" -> TextAnalysis.tokenCountsOracle,
+    "q34_fingerprint" -> TextAnalysis.fingerprintOracle
   )
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, fingerprinting (north-star training-data
+  * pipeline ops; the reference's nearest analog is the tokenize/count
+  * pattern of example_wordcount.py:14–17).
+  *
+  * Determinism: every cross-row aggregation of a floating-point quantity
+  * is quantized to integer micro-units first (ln·10⁶, score·10⁶), so sums
+  * are exact integer arithmetic — independent of partition order and
+  * bit-identical in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  // --------------------------------------------------------------------
+  // Language ID: corpus-trained naive-Bayes unigram classifier.
+  // Train: P(w|L) with add-one smoothing from (lang, word) counts —
+  // one shuffle over (lang, word), profile size |V|·|L| (tiny; broadcast
+  // side at scale). Score: docs join profiles on word, integer-quantized
+  // log-likelihood sum, argmax per doc. Output: confusion matrix.
+  // --------------------------------------------------------------------
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"),
+      explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocabSize = toks.select(countDistinct(col("w")).as("v"))
+    val langTotals = toks.groupBy(col("lang").as("l")).agg(count(lit(1)).as("tot"))
+    val profile = toks.groupBy(col("lang").as("l"), col("w"))
+      .agg(count(lit(1)).as("cw"))
+      .join(langTotals, "l")
+      .crossJoin(vocabSize)
+      // integer micro-log-prob: deterministic to sum in any order
+      .select(col("l"), col("w"),
+        expr("CAST(round(ln((cw + 1.0) / (tot + v)) * 1000000) AS BIGINT)").as("lp"))
+    val docWords = toks.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val scored = docWords.join(profile, "w")
+      .groupBy(col("doc_id"), col("lang"), col("l"))
+      .agg(sum(col("n") * col("lp")).as("score"))
+    val best = scored.withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l ASC)"))
+      .filter(col("rn") === 1)
+    best.groupBy(col("lang"), col("l").as("predicted"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val langIdOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, t.w FROM documents,
+      |       unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+      |  WHERE len(t.w) > 0),
+      |v AS (SELECT count(DISTINCT w) AS v FROM toks),
+      |totals AS (SELECT lang AS l, count(*) AS tot FROM toks GROUP BY 1),
+      |profile AS (
+      |  SELECT t.lang AS l, t.w,
+      |         CAST(round(ln((count(*) + 1.0) / (tot + v.v)) * 1000000) AS BIGINT) AS lp
+      |  FROM toks t JOIN totals ON totals.l = t.lang, v
+      |  GROUP BY t.lang, t.w, tot, v.v),
+      |docwords AS (
+      |  SELECT doc_id, lang, w, count(*) AS n FROM toks GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT d.doc_id, d.lang, p.l, CAST(SUM(d.n * p.lp) AS BIGINT) AS score
+      |  FROM docwords d JOIN profile p ON p.w = d.w
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT doc_id, lang, l,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l ASC) AS rn
+      |  FROM scored)
+      |SELECT lang, l AS predicted, CAST(count(*) AS BIGINT) AS cnt
+      |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Quality scoring: per-doc length/diversity/shape metrics combined
+  // into a score, aggregated per source. Doc-level score is computed
+  // row-local in double (deterministic), quantized, then integer-summed.
+  // --------------------------------------------------------------------
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(col("toks")).as("n_toks"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("tok_chars"))
+      .filter(col("n_toks") > 0)
+      .select(col("source"), col("n_toks"), col("n_uniq"),
+        expr(
+          """CAST(round((
+            |  0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
+            |  0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
+            |  0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
+            |) * 1000000) AS BIGINT)""".stripMargin).as("q6"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        round(sum(col("q6")) / (count(lit(1)) * lit(1000000.0)), 4).as("avg_quality"),
+        round(min(col("q6")) / lit(1000000.0), 4).as("min_quality"),
+        round(max(col("q6")) / lit(1000000.0), 4).as("max_quality"))
+      .orderBy(col("source"))
+  }
+
+  val qualityScoreOracle: String =
+    """WITH perdoc AS (
+      |  SELECT source,
+      |         len(ts) AS n_toks, len(list_distinct(ts)) AS n_uniq,
+      |         CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS tok_chars
+      |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS ts FROM documents)
+      |  WHERE len(ts) > 0),
+      |scored AS (
+      |  SELECT source, n_toks,
+      |         CAST(round((
+      |           0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
+      |           0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
+      |           0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
+      |         ) * 1000000) AS BIGINT) AS q6
+      |  FROM perdoc)
+      |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      |       ROUND(CAST(SUM(q6) AS DOUBLE) / (count(*) * 1000000.0), 4) AS avg_quality,
+      |       ROUND(MIN(q6) / 1000000.0, 4) AS min_quality,
+      |       ROUND(MAX(q6) / 1000000.0, 4) AS max_quality
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Token counting: whitespace tokens vs a BPE-ish regex segmentation
+  // ([a-z]+ | digit | other-symbol), per-lang totals.
+  // --------------------------------------------------------------------
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("ws_toks"),
+        expr("CAST(regexp_count(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]') AS BIGINT)").as("bpe_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("ws_toks")).cast("long").as("ws_tokens"),
+        sum(col("bpe_toks")).as("bpe_tokens"),
+        round(sum(col("ws_toks")) / count(lit(1)).cast("double"), 4).as("avg_ws_tokens"))
+      .orderBy(col("lang"))
+
+  val tokenCountsOracle: String =
+    """WITH perdoc AS (
+      |  SELECT lang,
+      |         len(string_split_regex(trim(lower(text)), '\s+')) AS ws_toks,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_toks
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+      |       CAST(SUM(ws_toks) AS BIGINT) AS ws_tokens,
+      |       CAST(SUM(bpe_toks) AS BIGINT) AS bpe_tokens,
+      |       ROUND(CAST(SUM(ws_toks) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS avg_ws_tokens
+      |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Document fingerprinting (winnowing-lite): hash 32-char windows at
+  // stride 8 over the normalized text, fingerprint = (min, second-min)
+  // window hashes — robust to small edits, one row per doc, no shuffle
+  // beyond the final sort.
+  // --------------------------------------------------------------------
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .filter(length(col("norm")) >= 32)
+      .select(col("doc_id"), expr(
+        """array_sort(transform(
+          |  sequence(0, CAST(floor((length(norm) - 32) / 8) AS INT)),
+          |  i -> CAST(conv(substr(md5(substr(norm, i*8 + 1, 32)), 1, 8), 16, 10) AS BIGINT)))"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), expr("hs[0]").as("fp_min"),
+        expr("CASE WHEN size(hs) > 1 THEN hs[1] ELSE hs[0] END").as("fp_min2"),
+        size(col("hs")).as("n_windows"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintOracle: String =
+    """WITH norm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_sort(list_transform(
+      |           range(0, CAST(floor((length(norm) - 32) / 8) AS INT) + 1),
+      |           i -> CAST(concat('0x', substr(md5(substr(norm, i*8 + 1, 32)), 1, 8)) AS BIGINT))) AS hs
+      |  FROM norm WHERE length(norm) >= 32)
+      |SELECT doc_id, hs[1] AS fp_min,
+      |       CASE WHEN len(hs) > 1 THEN hs[2] ELSE hs[1] END AS fp_min2,
+      |       CAST(len(hs) AS INT) AS n_windows
+      |FROM hs ORDER BY doc_id""".stripMargin
+}
