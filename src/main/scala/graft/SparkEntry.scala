@@ -63,7 +63,10 @@ object SparkEntry {
     "q31_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q32_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
     "q33_tokens" -> ((s, d) => TextAnalysis.tokenCounts(documents(s, d))),
-    "q34_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d)))
+    "q34_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d))),
+    // multimodal plumbing (north-star): typed Dataset + per-partition codec
+    "q35_media_features" -> ((s, d) => Multimodal.extractFeatures(s, documents(s, d))),
+    "q36_frame_sample" -> ((s, d) => Multimodal.frameSample(s, documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,6 +105,8 @@ object SparkEntry {
     "q31_langid" -> TextAnalysis.langIdOracle,
     "q32_quality" -> TextAnalysis.qualityScoreOracle,
     "q33_tokens" -> TextAnalysis.tokenCountsOracle,
-    "q34_fingerprint" -> TextAnalysis.fingerprintOracle
+    "q34_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "q35_media_features" -> Multimodal.extractFeaturesOracle,
+    "q36_frame_sample" -> Multimodal.frameSampleOracle
   )
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One opaque media blob with typed metadata (image/audio/video column
+  * pattern). Payload is an opaque `binary`; metadata is typed columns. */
+final case class MediaRow(doc_id: Long, payload: Array[Byte], fmt: String,
+                          declared_w: Int, declared_h: Int)
+
+/** Decoded/extracted features — the output schema of the codec stage. */
+final case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+                               checksum: Long, width: Int, height: Int,
+                               n_frames: Int, digest: String)
+
+/** One sampled frame (1 → N expansion of a media row). */
+final case class FrameRow(doc_id: Long, fmt: String, frame_idx: Int,
+                          frame_hash: Long)
+
+/** Multimodal-column plumbing (north-star; generalizes the reference's
+  * image pipeline, plants_classifier.py:116–163): media as opaque
+  * `BinaryType` payloads + typed metadata, decoded via per-partition
+  * codec init inside `mapPartitions` — the canonical Spark pattern for
+  * batched native/model inference (one codec instance per partition, not
+  * per row; at 1000 executors this is what amortizes model/codec load).
+  *
+  * The codec itself is a STUB (no image/audio libs in this container):
+  * "decode" computes deterministic byte statistics, "resize" clamps the
+  * declared dims, "frame-sample" derives md5-chained frame hashes. The
+  * Spark-side plumbing — schema, encoders, partition batching, 1→N frame
+  * expansion — is real, and every output is arithmetic the DuckDB oracle
+  * reproduces (the fixture payloads are ASCII, so byte sums equal
+  * codepoint sums).
+  */
+object Multimodal {
+
+  /** Synthesize the media table from `documents`: payload = utf-8 bytes
+    * of the text, metadata derived deterministically from doc_id. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END").as("fmt"),
+      expr("CAST(64 + (doc_id % 8) * 32 AS INT)").as("declared_w"),
+      expr("CAST(64 + (doc_id % 5) * 32 AS INT)").as("declared_h"))
+
+  /** Stub codec: stands in for a native decoder (libjpeg/ffmpeg/…).
+    * `open()` is the expensive per-partition init a real codec would do. */
+  private final class StubCodec {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    /** "Decode": byte count + unsigned-byte checksum. A real codec would
+      * return pixel buffers; the signature and batch shape are the same. */
+    def decode(payload: Array[Byte]): (Long, Long) = {
+      var sum = 0L; var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+      (payload.length.toLong, sum)
+    }
+    def md5Hex(b: Array[Byte]): String = {
+      md.reset()
+      md.digest(b).map(x => f"$x%02x").mkString
+    }
+    /** First 8 md5 hex chars as unsigned int — same as the SQL-side
+      * `conv(substr(md5(s),1,8),16,10)` used across the engine. */
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).substring(0, 8), 16)
+  }
+
+  /** Decode + feature-extract + resize, one codec per partition. */
+  def extractFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    mediaTable(documents).as[MediaRow].mapPartitions { rows =>
+      val codec = new StubCodec // per-partition init (amortized, like model load)
+      rows.map { m =>
+        val (n, sum) = codec.decode(m.payload)
+        MediaFeatures(m.doc_id, m.fmt, n, sum,
+          math.min(m.declared_w, 224), math.min(m.declared_h, 224),
+          (n / 1024 + 1).toInt, codec.md5Hex(m.payload))
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val extractFeaturesOracle: String =
+    """SELECT doc_id,
+      |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt,
+      |       CAST(length(text) AS BIGINT) AS n_bytes,
+      |       CAST(list_sum(list_transform(range(1, length(text)+1),
+      |              i -> unicode(substr(text, i, 1)))) AS BIGINT) AS checksum,
+      |       CAST(least(64 + (doc_id % 8) * 32, 224) AS INT) AS width,
+      |       CAST(least(64 + (doc_id % 5) * 32, 224) AS INT) AS height,
+      |       CAST(floor(length(text) / 1024) + 1 AS INT) AS n_frames,
+      |       md5(text) AS digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling: 1 media row → n_frames rows (flatMap expansion),
+    * then per-format roll-up. The expansion happens distributed, after
+    * the narrow decode — no shuffle until the final small aggregation. */
+  def frameSample(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val frames = mediaTable(documents).as[MediaRow].mapPartitions { rows =>
+      val codec = new StubCodec
+      rows.flatMap { m =>
+        val digest = codec.md5Hex(m.payload)
+        val nFrames = (m.payload.length / 1024 + 1).toInt
+        (0 until nFrames).iterator.map(f =>
+          FrameRow(m.doc_id, m.fmt, f, codec.h32(s"$digest:$f")))
+      }
+    }
+    frames.toDF()
+      .groupBy(col("fmt"))
+      .agg(countDistinct(col("doc_id")).as("n_media"),
+        count(lit(1)).as("total_frames"),
+        sum(col("frame_hash")).as("hash_sum"))
+      .orderBy(col("fmt"))
+  }
+
+  val frameSampleOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt,
+      |         md5(text) AS digest,
+      |         CAST(floor(length(text) / 1024) + 1 AS INT) AS n_frames
+      |  FROM documents),
+      |frames AS (
+      |  SELECT doc_id, fmt,
+      |         CAST(concat('0x', substr(md5(concat(digest, ':', CAST(f AS VARCHAR))), 1, 8)) AS BIGINT) AS fh
+      |  FROM (SELECT doc_id, fmt, digest, unnest(range(0, n_frames)) AS f FROM m))
+      |SELECT fmt, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_media,
+      |       CAST(count(*) AS BIGINT) AS total_frames,
+      |       CAST(SUM(fh) AS BIGINT) AS hash_sum
+      |FROM frames GROUP BY fmt ORDER BY fmt""".stripMargin
+}
