@@ -66,7 +66,12 @@ object SparkEntry {
     "q34_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d))),
     // multimodal plumbing (north-star): typed Dataset + per-partition codec
     "q35_media_features" -> ((s, d) => Multimodal.extractFeatures(s, documents(s, d))),
-    "q36_frame_sample" -> ((s, d) => Multimodal.frameSample(s, documents(s, d)))
+    "q36_frame_sample" -> ((s, d) => Multimodal.frameSample(s, documents(s, d))),
+    // streaming transforms, batch twins (same DataFrame => DataFrame fn
+    // runs under readStream with watermarked incremental state)
+    "q37_stream_tumbling" -> ((s, d) => streaming.EventStream.tumblingStats(events(s, d))),
+    "q38_stream_sliding" -> ((s, d) => streaming.EventStream.slidingStats(events(s, d))),
+    "q39_session_window" -> ((s, d) => streaming.EventStream.sessionStats(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,6 +112,9 @@ object SparkEntry {
     "q33_tokens" -> TextAnalysis.tokenCountsOracle,
     "q34_fingerprint" -> TextAnalysis.fingerprintOracle,
     "q35_media_features" -> Multimodal.extractFeaturesOracle,
-    "q36_frame_sample" -> Multimodal.frameSampleOracle
+    "q36_frame_sample" -> Multimodal.frameSampleOracle,
+    "q37_stream_tumbling" -> streaming.EventStream.tumblingStatsOracle,
+    "q38_stream_sliding" -> streaming.EventStream.slidingStatsOracle,
+    "q39_session_window" -> streaming.EventStream.sessionStatsOracle
   )
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational.exactSum
+
+/** Structured Streaming transforms over the `events` table.
+  *
+  * Each transform is a pure `DataFrame => DataFrame` that works in BOTH
+  * modes: applied to `spark.readStream` it is an incremental watermarked
+  * streaming query; applied to a batch read it is the exact batch twin
+  * the DuckDB oracle checks (`withWatermark` is a no-op in batch). This
+  * is the Spark-native answer to the reference's lack of any streaming
+  * (SURVEY.md §2.E "Streaming"): same declarative plan, two runtimes.
+  *
+  * Scale: watermark bounds state (late events beyond 1h are dropped);
+  * the windowed aggregation is a standard partial/final HashAggregate
+  * pair keyed on (window, event_type) — state store size is
+  * O(open windows × types), independent of input volume.
+  */
+object EventStream {
+
+  /** Tumbling 10-minute windows: count + exact value sum per type. */
+  def tumblingStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(exactSum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  val tumblingStatsOracle: String =
+    """SELECT CAST(time_bucket(INTERVAL 10 MINUTE, ts) AS TIMESTAMP) AS win_start,
+      |       event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding windows (10 min length, 5 min slide): each event lands in
+    * two windows; Spark's `window()` does the expansion natively. */
+  def slidingStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+
+  val slidingStatsOracle: String =
+    """WITH expanded AS (
+      |  SELECT event_type,
+      |         unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+      |                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS win_start
+      |  FROM events)
+      |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM expanded GROUP BY 1, 2""".stripMargin
+
+  /** Session windows (5-minute gap) per user: Spark's native
+    * `session_window` merges adjacent events server-side — in streaming
+    * mode this is incremental state-merging; the batch twin is checked
+    * against a lag/island-detection oracle. */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+
+  val sessionStatsOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 5 MINUTE OR
+      |                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+      |FROM per_session GROUP BY user_id""".stripMargin
+}
