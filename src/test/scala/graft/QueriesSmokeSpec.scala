@@ -1,0 +1,30 @@
+package graft
+
+/** Driver-contract smoke: every SparkEntry query runs end-to-end on the
+  * smallest fixture and each oracle key has a matching query key. The
+  * value-level correctness gate is the DuckDB compare (scripts/check.py /
+  * driver CORRECTNESS); this spec catches plan-time regressions fast. */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracleSql without a query: $extra")
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  if (new java.io.File(sfDir).isDirectory) {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      test(s"$name runs on sf0.001 and its schema has no NullType") {
+        val df = fn(spark, sfDir)
+        assert(!df.schema.exists(_.dataType.typeName == "null"),
+          s"unresolved NullType column in $name: ${df.schema.simpleString}")
+        assert(df.count() >= 0) // forces full execution
+      }
+    }
+  }
+}

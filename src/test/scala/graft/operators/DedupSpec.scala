@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("doc_id", "text", "n_chars")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source", "n_chars")
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+  private val nearDup = base.replace("delta", "DELTA-EDIT")
+
+  test("exactDedup groups whitespace-normalized identical texts") {
+    val d = docs((1L, "a  b\tc", 5L), (2L, "a b c", 5L), (3L, "x y", 3L))
+    val out = Dedup.exactDedup(d).collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getAs[Long]("cnt") == 2).get
+    assert(dupGroup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("minhashDedup finds the planted near-dup pair and nothing else") {
+    val d = docs((1L, base, base.length.toLong),
+      (2L, nearDup, nearDup.length.toLong),
+      (3L, "totally different words nothing shared here at all whatsoever " * 6, 100L))
+    val out = Dedup.minhashDedup(d).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val j = out.head.getAs[Double]("jaccard")
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("minhashDedup on identical docs reports jaccard 1.0") {
+    val d = docs((1L, base, base.length.toLong), (2L, base, base.length.toLong))
+    val out = Dedup.minhashDedup(d).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhashDedup: identical docs at hamming 0; unrelated docs absent") {
+    val d = docs((1L, base, base.length.toLong), (2L, base, base.length.toLong),
+      (3L, "completely unrelated content over many distinct tokens " * 8, 100L))
+    val out = Dedup.simhashDedup(d).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Number]("hamming").intValue)).toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("ngramJaccard staggered buckets catch length-close near-dups") {
+    val d = docs((1L, base, base.length.toLong),
+      (2L, nearDup, nearDup.length.toLong))
+    val out = Dedup.ngramJaccard(d).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("dedup plans are deterministic across executions") {
+    val d = docs((1L, base, base.length.toLong),
+      (2L, nearDup, nearDup.length.toLong))
+    assertDeterministic(Dedup.minhashDedup(d))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+
+  test("langId learns separable unigram profiles and classifies correctly") {
+    // two 'languages' with disjoint vocabulary → perfect confusion diagonal
+    val en = (1L to 5L).map(i => (i, "the quick brown fox jumps " * 3, "en", "s"))
+    val de = (6L to 10L).map(i => (i, "der schnelle braune fuchs springt " * 3, "de", "s"))
+    val out = TextAnalysis.langId(docs(en ++ de: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("en", "en", 5L), ("de", "de", 5L)))
+  }
+
+  test("qualityScore is bounded in [0,1] and rewards longer diverse docs") {
+    val d = docs(
+      (1L, (1 to 120).map(i => s"w$i").mkString(" "), "en", "rich"),
+      (2L, "a a a a", "en", "poor"))
+    val out = TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("avg_quality")).toMap
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out("rich") > out("poor"))
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish segmentation counts") {
+    val d = docs((1L, "hello world42 foo-bar", "en", "s"))
+    val r = TextAnalysis.tokenCounts(d).collect().head
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    // [a-z]+ runs: hello,world,foo,bar; digits: 4,2; symbol: -  → 7
+    assert(r.getAs[Long]("bpe_tokens") == 7L)
+  }
+
+  test("fingerprint is identical for identical docs, differs for different") {
+    val t1 = "abcdefghij " * 10
+    val d = docs((1L, t1, "en", "s"), (2L, t1, "en", "s"),
+      (3L, "zyxwvutsrq " * 10, "en", "s"))
+    val out = TextAnalysis.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+}
