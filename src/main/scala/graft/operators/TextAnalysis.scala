@@ -26,6 +26,10 @@ object TextAnalysis {
     val toks = documents.select(col("doc_id"), col("lang"),
       explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
+      // exchange barrier: the exploded token stream feeds four consumers
+      // (vocab size, lang totals, profiles, doc-word counts) — one
+      // materialized shuffle they all reuse beats four re-explosions
+      .repartition(col("w"))
     val vocabSize = toks.select(countDistinct(col("w")).as("v"))
     val langTotals = toks.groupBy(col("lang").as("l")).agg(count(lit(1)).as("tot"))
     val profile = toks.groupBy(col("lang").as("l"), col("w"))
