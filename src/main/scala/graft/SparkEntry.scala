@@ -71,7 +71,11 @@ object SparkEntry {
     // runs under readStream with watermarked incremental state)
     "q37_stream_tumbling" -> ((s, d) => streaming.EventStream.tumblingStats(events(s, d))),
     "q38_stream_sliding" -> ((s, d) => streaming.EventStream.slidingStats(events(s, d))),
-    "q39_session_window" -> ((s, d) => streaming.EventStream.sessionStats(events(s, d)))
+    "q39_session_window" -> ((s, d) => streaming.EventStream.sessionStats(events(s, d))),
+    // ML-pipeline ops (plants analog + deterministic sampling) and cube
+    "q40_stratified_sample" -> ((s, d) => MLOps.stratifiedSample(customer(s, d))),
+    "q41_pair_separation" -> ((s, d) => MLOps.pairSeparation(embeddings(s, d))),
+    "q42_cube" -> ((s, d) => SetAggOps.cubePriorityStatus(orders(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,6 +119,9 @@ object SparkEntry {
     "q36_frame_sample" -> Multimodal.frameSampleOracle,
     "q37_stream_tumbling" -> streaming.EventStream.tumblingStatsOracle,
     "q38_stream_sliding" -> streaming.EventStream.slidingStatsOracle,
-    "q39_session_window" -> streaming.EventStream.sessionStatsOracle
+    "q39_session_window" -> streaming.EventStream.sessionStatsOracle,
+    "q40_stratified_sample" -> MLOps.stratifiedSampleOracle,
+    "q41_pair_separation" -> MLOps.pairSeparationOracle,
+    "q42_cube" -> SetAggOps.cubePriorityStatusOracle
   )
 }

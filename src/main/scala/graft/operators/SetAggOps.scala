@@ -103,6 +103,27 @@ object SetAggOps {
       |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE over (priority, shipmode-ish flag): all 4 grouping-set levels
+    * in one pass; NULL keys coalesced to 'ALL' as in [[rollupFlagStatus]]. */
+  def cubePriorityStatus(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(exactSum(col("o_totalprice")), 2).as("total_price"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("cnt"), col("total_price"), col("gid"))
+
+  val cubePriorityStatusOracle: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_price,
+      |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
+
   /** Exact distinct-aggregates (Catalyst expands to a two-phase plan;
     * the reference has no distinct aggregation at all). */
   def distinctCounts(lineitem: DataFrame): DataFrame =
