@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the properties that matter at 100 TB —
+  * broadcast strategy, scan pruning, filter pushdown, map-side partial
+  * aggregation, top-k without a global sort, whole-stage codegen. These
+  * assert the OPTIMIZED plan, so a refactor that silently turns a
+  * broadcast join into a shuffle join or breaks pushdown fails CI. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q04: dimension join is a BroadcastHashJoin (fact side never shuffles)") {
+    val p = formatted(SparkEntry.queries("q04_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "fact-dim join must not sort-merge")
+  }
+
+  test("q05: star join broadcasts all three dimensions") {
+    val p = formatted(SparkEntry.queries("q05_join_star")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
+  }
+
+  test("q01: parquet scan prunes to exactly the referenced columns") {
+    val p = formatted(SparkEntry.queries("q01_impact_agg")(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_extendedprice"), read)
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("q06: the totalprice predicate pushes down to the parquet scan") {
+    val p = formatted(SparkEntry.queries("q06_semi_join")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q02: wordcount aggregates map-side before the shuffle (partial+final)") {
+    val p = formatted(SparkEntry.queries("q02_wordcount")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("q17: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = formatted(SparkEntry.queries("q17_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q01: hot path runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q01_impact_agg")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), p.take(400))
+  }
+
+  test("q26: banded self-join avoids a two-sided shuffle join (broadcast " +
+    "at small scale, exchange reuse at large)") {
+    val df = SparkEntry.queries("q26_dedup_simhash")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("ReusedExchange"),
+      "self-join must broadcast the banded side or reuse its exchange:\n" + p.take(1200))
+  }
+}
