@@ -75,7 +75,12 @@ object SparkEntry {
     // ML-pipeline ops (plants analog + deterministic sampling) and cube
     "q40_stratified_sample" -> ((s, d) => MLOps.stratifiedSample(customer(s, d))),
     "q41_pair_separation" -> ((s, d) => MLOps.pairSeparation(embeddings(s, d))),
-    "q42_cube" -> ((s, d) => SetAggOps.cubePriorityStatus(orders(s, d)))
+    "q42_cube" -> ((s, d) => SetAggOps.cubePriorityStatus(orders(s, d))),
+    // custom Catalyst expression (native codegen, SparkSessionExtensions)
+    "q43_adler_partition" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      TextOps.adlerPartition(documents(s, d))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,6 +127,7 @@ object SparkEntry {
     "q39_session_window" -> streaming.EventStream.sessionStatsOracle,
     "q40_stratified_sample" -> MLOps.stratifiedSampleOracle,
     "q41_pair_separation" -> MLOps.pairSeparationOracle,
-    "q42_cube" -> SetAggOps.cubePriorityStatusOracle
+    "q42_cube" -> SetAggOps.cubePriorityStatusOracle,
+    "q43_adler_partition" -> TextOps.adlerPartitionOracle
   )
 }

@@ -35,6 +35,37 @@ object TextOps {
       |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(tok))
       |WHERE word <> '' GROUP BY word""".stripMargin
 
+  /** Reference hash-partition parity (B6, example_wordcount.py:22–27):
+    * bucket wordcount keys by zlib adler32 % 4 via the native codegen'd
+    * [[graft.functions.Adler32Expression]] (registered as
+    * `graft_adler32`). The oracle recomputes adler32 arithmetically
+    * (A = 1+Σd mod 65521, B = n+Σ(n−i+1)·dᵢ mod 65521, B·65536+A). */
+  def adlerPartition(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(regexp_replace(col("tok"), "[^a-z0-9]", "").as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("word"), expr("pmod(graft_adler32(word), 4)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("word")).as("words"))
+      .orderBy(col("bucket"))
+
+  val adlerPartitionOracle: String =
+    """WITH toks AS (
+      |  SELECT regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(tok)),
+      |w AS (SELECT word FROM toks WHERE word <> ''),
+      |h AS (
+      |  SELECT word,
+      |         ((length(word) + CAST(list_sum(list_transform(range(1, length(word)+1),
+      |             i -> (length(word)-i+1) * unicode(substr(word, i, 1)))) AS BIGINT)) % 65521) * 65536
+      |         + ((1 + CAST(list_sum(list_transform(range(1, length(word)+1),
+      |             i -> unicode(substr(word, i, 1)))) AS BIGINT)) % 65521) AS adler
+      |  FROM w)
+      |SELECT adler % 4 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(count(DISTINCT word) AS BIGINT) AS words
+      |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Same wordcount through the MapReduce kernel: map = tokenize
     * (reference map_func), shuffle = hash (adler32 analog), reduce = sum
     * (reference reduce_func). Result must equal [[wordcount]] exactly —
