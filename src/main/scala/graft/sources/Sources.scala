@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source readers covering the reference's input formats (SURVEY §2.E
+  * "Sources/sinks"): line-oriented text (B1), headered CSV with
+  * defensive casts (C1/C6), `;`-separated CSV with an explicit declared
+  * schema (D1 / DTYPE_DICT plants_classifier.py:24–45), JSON, and
+  * directory-of-binary-files (D5) — each as a lazy DataFrame so Catalyst
+  * pushes projection/predicates into the scan.
+  */
+object Sources {
+
+  /** B1: whole-directory line scan (`*.txt` glob like
+    * example_wordcount.py:10–13) with the source file attached — the
+    * Spark-native replacement for per-worker directory ownership. */
+  def readTextLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("line")
+      .withColumn("source_file", input_file_name())
+
+  /** C1+C6: headered CSV, all-string like csv.DictReader, with the
+    * reference's defensive float(x)-except-default casts expressed
+    * null-safely. `casts` maps column -> (type, default). */
+  def readCsvDefensive(spark: SparkSession, path: String,
+                       casts: Map[String, (DataType, Any)]): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    casts.foldLeft(raw) { case (df, (name, (dt, default))) =>
+      // try_cast, not cast: ANSI mode makes cast THROW on malformed input,
+      // whereas the reference's try/except-default semantics want null→default
+      df.withColumn(name,
+        coalesce(col(name).try_cast(dt), lit(default).cast(dt)))
+    }
+  }
+
+  /** D1: `;`-separated CSV with a declared schema (the plants task's
+    * DTYPE_DICT analog) — column pruning then happens in the scan, the
+    * engine-side equivalent of `usecols=[...]`. */
+  def readCsvDeclared(spark: SparkSession, path: String,
+                      schema: StructType, sep: String = ";"): DataFrame =
+    spark.read.option("sep", sep).option("header", "true")
+      .schema(schema).csv(path)
+
+  /** JSON lines with schema inference capped to sane defaults. */
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** D5: directory-as-dataset binary scan (plants_classifier.py:141–163):
+    * each file one row (path, modificationTime, length, content), label
+    * derived from the parent directory name. */
+  def readBinaryDir(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .withColumn("label",
+        regexp_extract(col("path"), "([^/]+)/[^/]+$", 1))
+
+  /** Partitioned parquet sink (the engine's durable output path —
+    * replaces the reference's in-memory master result dict,
+    * master.py:19–20). Returns the written path for chaining. */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): String = {
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    path
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("readTextLines: line scan with source-file lineage (B1)") {
+    val dir = tmpDir("txt")
+    Files.writeString(java.nio.file.Path.of(dir, "a.txt"), "hello world\nmap reduce\n")
+    Files.writeString(java.nio.file.Path.of(dir, "b.txt"), "spark\n")
+    val df = Sources.readTextLines(spark, dir)
+    assert(df.count() == 3)
+    assert(df.filter(col("line") === "spark")
+      .select("source_file").head.getString(0).endsWith("b.txt"))
+  }
+
+  test("readCsvDefensive: float-with-default semantics of the accident task (C6)") {
+    val dir = tmpDir("csv")
+    Files.writeString(java.nio.file.Path.of(dir, "d.csv"),
+      "Severity,Distance\n3,1.5\nbogus,\n,2.25\n")
+    val df = Sources.readCsvDefensive(spark, dir, Map(
+      "Severity" -> (DoubleType, 1.0),   // reference default 1
+      "Distance" -> (DoubleType, 0.0)))  // reference default 0
+    val rows = df.select("Severity", "Distance").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1.0, 0.0), (1.0, 2.25), (3.0, 1.5)))
+  }
+
+  test("readCsvDeclared: explicit schema, ';' separator (D1 DTYPE_DICT analog)") {
+    val dir = tmpDir("csv2")
+    Files.writeString(java.nio.file.Path.of(dir, "p.csv"),
+      "species_id;img\n42;a.jpg\n7;b.jpg\n")
+    val schema = StructType(Seq(
+      StructField("species_id", LongType), StructField("img", StringType)))
+    val df = Sources.readCsvDeclared(spark, dir, schema).select("species_id")
+    assert(df.as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == Seq(7L, 42L))
+  }
+
+  test("readBinaryDir: directory-as-label binary scan (D5)") {
+    val dir = tmpDir("imgs")
+    val sub = java.nio.file.Path.of(dir, "species_a")
+    Files.createDirectories(sub)
+    Files.write(sub.resolve("x.jpg"), Array[Byte](1, 2, 3))
+    val df = Sources.readBinaryDir(spark, dir + "/*")
+    val row = df.select("label", "length").head
+    assert(row.getString(0) == "species_a" && row.getLong(1) == 3L)
+  }
+
+  test("writePartitionedParquet round-trips with partition pruning") {
+    val dir = tmpDir("sink") + "/out"
+    val df = spark.range(100).withColumn("part", expr("CAST(id % 4 AS INT)"))
+    Sources.writePartitionedParquet(df, dir, Seq("part"))
+    val back = spark.read.parquet(dir).filter(col("part") === 2)
+    assert(back.count() == 25)
+    val scan = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(scan.contains("PartitionFilters: [isnotnull(part"),
+      "partition pruning must reach the scan")
+  }
+}
