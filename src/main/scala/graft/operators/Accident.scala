@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship analytics task, exactly
+  * (tasks/accident_analysis.py) — for users switching from the reference
+  * who run THIS query, not the lineitem transplant (q01). Operates on any
+  * DataFrame with the US-Accidents-style string columns (FIXTURES.md A.2);
+  * all semantics, including the order-sensitive CASE cascades and the
+  * parse-failure defaults, are pinned by `AccidentSpec`.
+  */
+object Accident {
+
+  /** First-match-wins road feature (accident_analysis.py:47–55): the
+    * exact priority order matters — a row with Junction and Stop both
+    * 'True' must report Junction. */
+  val roadFeaturePriority: Seq[String] = Seq(
+    "Station", "Junction", "Crossing", "Traffic_Signal", "Stop", "Railway", "Roundabout")
+
+  def roadFeature(get: String => Column): Column =
+    coalesce(
+      roadFeaturePriority.foldLeft(lit(null).cast("string")) { (acc, name) =>
+        coalesce(acc, when(get(name) === "True", name))
+      },
+      lit("None"))
+
+  /** Order-sensitive weather categorization (accident_analysis.py:58–75):
+    * 'mostly cloudy' is tested in the Cloudy branch BEFORE the 'clear'/
+    * 'partly cloudy' substring branch ever sees it; bare 'clear' falls to
+    * PartlyClear (not Fair — Fair is equality-only); null/'' → BadWeather. */
+  def weatherCategory(weather: Column): Column = {
+    val w = lower(coalesce(weather, lit("")))
+    when(w === "fair" || w === "fair / windy", "Fair")
+      .when(w.contains("mostly cloudy") || w === "cloudy" || w === "cloudy / windy",
+        "Cloudy")
+      .when(w.contains("clear") || w.contains("partly cloudy") || w.contains("overcast"),
+        "PartlyClear")
+      .otherwise("BadWeather")
+  }
+
+  /** Duration in hours (accident_analysis.py:78–87): parse first 19 chars
+    * as '%Y-%m-%d %H:%M:%S'; ANY failure → 0; negative durations kept. */
+  def durationHours(start: Column, end: Column): Column =
+    coalesce(
+      (unix_timestamp(try_to_timestamp(substring(end, 1, 19),
+          lit("yyyy-MM-dd HH:mm:ss")))
+        - unix_timestamp(try_to_timestamp(substring(start, 1, 19),
+          lit("yyyy-MM-dd HH:mm:ss"))))
+        .cast("double") / 3600.0,
+      lit(0.0))
+
+  /** Defensive numeric (accident_analysis.py:30–37): float(x) except→default. */
+  def numericOr(c: Column, default: Double): Column =
+    coalesce(c.try_cast("double"), lit(default))
+
+  /** impact = severity · (1+distance) · (1+duration_h) (accident_analysis.py:40). */
+  def impact(severity: Column, distance: Column, durationH: Column): Column =
+    severity * (lit(1.0) + distance) * (lit(1.0) + durationH)
+
+  /** The full reference query (accident_analysis.py:25–129 + the latent
+    * master-side sort, master.py:117–118): group by (road, weather, tod),
+    * count/avg/min/max impact, log-scaled danger score, formula string. */
+  def dangerScores(accidents: DataFrame): DataFrame = {
+    // row.get(col, default) semantics: a column absent from the frame
+    // behaves as its reference default rather than failing analysis
+    def getOr(name: String, default: String): Column =
+      if (accidents.columns.contains(name)) coalesce(col(name), lit(default))
+      else lit(default)
+    val base = accidents.select(
+      roadFeature(name => getOr(name, "False")).as("road_feature"),
+      weatherCategory(getOr("Weather_Condition", "")).as("weather_cat"),
+      getOr("Sunrise_Sunset", "Day").as("time_of_day"),
+      impact(
+        numericOr(getOr("Severity", ""), 1.0),
+        numericOr(getOr("Distance(mi)", ""), 0.0),
+        durationHours(getOr("Start_Time", ""), getOr("End_Time", ""))).as("impact"))
+    base
+      .groupBy(col("road_feature"), col("weather_cat"), col("time_of_day"))
+      .agg(
+        count(lit(1)).as("count"),
+        round(log(count(lit(1)) + lit(1)), 2).as("log_count"),
+        round(Relational.exactAvg(col("impact")), 2).as("avg_impact"),
+        round(Relational.exactAvg(col("impact")) * log(count(lit(1)) + lit(1)), 2)
+          .as("danger_score"),
+        round(min(col("impact")), 2).as("min_impact"),
+        round(max(col("impact")), 2).as("max_impact"))
+      .withColumn("formula",
+        format_string("%.2f * %.2f = %.2f", col("avg_impact"),
+          col("log_count"), col("danger_score")))
+      .orderBy(desc("danger_score"), asc("road_feature"), asc("weather_cat"),
+        asc("time_of_day"))
+  }
+}
