@@ -47,8 +47,10 @@ case class Adler32Expression(child: Expression) extends UnaryExpression {
 /** Session-extension injection (`spark.sql.extensions=graft.functions.GraftExtensions`)
   * plus a programmatic registrar for already-built sessions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.adler32Descriptor)
+    ext.injectFunction(SortedIntersectSize.descriptor)
+  }
 }
 
 object GraftFunctions {
@@ -57,8 +59,10 @@ object GraftFunctions {
     new ExpressionInfo(classOf[Adler32Expression].getName, "graft_adler32"),
     (children: Seq[Expression]) => Adler32Expression(children.head))
 
-  /** Register on an existing session (used by Verify/Bench/tests). */
+  /** Register all graft functions on an existing session (idempotent;
+    * used by Verify/Bench/tests and the query lambdas that need them). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      adler32Descriptor._1, adler32Descriptor._2, adler32Descriptor._3)
+    Seq(adler32Descriptor, SortedIntersectSize.descriptor).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
 }

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Static helper shared by the interpreted path and generated code:
+  * merge-walk intersection size of two SORTED bigint arrays, reading
+  * Tungsten `ArrayData` in place — no per-row deserialization into Scala
+  * collections (a plain UDF copies both arrays per invocation, which
+  * dominates at ~10⁶ candidate pairs). */
+object ArrayOps {
+  def sortedIntersectSize(x: ArrayData, y: ArrayData): Int = {
+    var i = 0; var j = 0; var inter = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val a = x.getLong(i); val b = y.getLong(j)
+      if (a == b) { inter += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
+/** `graft_sorted_intersect_size(array<bigint>, array<bigint>) -> int`.
+  * Both inputs must be sorted ascending and distinct (the caller builds
+  * them with `sort_array(array_distinct(...))`). */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = ArrayType(LongType, containsNull = false)
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect_size requires ($ok, $ok), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ArrayOps.sortedIntersectSize(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ArrayOps.sortedIntersectSize($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sorted_intersect_size"
+}
+
+object SortedIntersectSize {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_intersect_size"),
+    new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+    (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
+}

@@ -224,6 +224,7 @@ object Dedup {
   // bucket² so halving the width quarters the verification work.
   // --------------------------------------------------------------------
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     // Shingles are 32-bit-hashed BEFORE the pairwise stage: intersecting
     // bigint arrays is far cheaper than string arrays, and at 100 TB the
     // hashed sets are also what you'd ship through the shuffle (8 bytes
@@ -232,23 +233,30 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("n_chars"), expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          |  i -> CAST(conv(substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 1, 8), 16, 10) AS BIGINT)))"""
+        """sort_array(array_distinct(transform(sequence(0, size(toks)-3),
+          |  i -> CAST(conv(substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 1, 8), 16, 10) AS BIGINT))))"""
           .stripMargin).as("hset"))
     val bucketed = sh.select(col("doc_id"), col("hset"),
       explode(expr(
         "array_distinct(array(CAST(floor(n_chars/16) AS BIGINT), CAST(floor((n_chars+8)/16) AS BIGINT) + 1000000))"))
         .as("bucket"))
       .repartition(col("bucket")) // materialize hashed sets once for both branches
+    // graft_sorted_intersect_size: codegen'd merge walk directly over the
+    // Tungsten arrays (a Scala UDF would copy both arrays per pair).
+    // The algebraic prefilter jac≥t ⟺ inter ≥ t/(1+t)·(|A|+|B|) evaluates
+    // the intersect ONCE per candidate; the exact jaccard is recomputed
+    // only for the surviving ~|true dup| rows.
+    val d = threshold / (1.0 + threshold)
     bucketed.as("x").join(bucketed.as("y"), "bucket")
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        expr(
-          """size(array_intersect(x.hset, y.hset)) /
-            |  CAST(size(x.hset) + size(y.hset) - size(array_intersect(x.hset, y.hset)) AS DOUBLE)"""
-            .stripMargin).as("jac"))
+        expr("graft_sorted_intersect_size(x.hset, y.hset)").as("inter"),
+        (size(col("x.hset")) + size(col("y.hset"))).as("stot"))
+      .filter(col("inter") >= lit(d) * col("stot"))
+      .select(col("a"), col("b"),
+        (col("inter") / (col("stot") - col("inter")).cast("double")).as("jac"))
       .distinct()
-      .filter(col("jac") >= threshold)
+      .filter(col("jac") >= threshold) // exact belt for arbitrary thresholds
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
   }

@@ -55,16 +55,34 @@ object MLOps {
     * per-label summary with itself — the O(n²) pair work runs on
     * |labels|², never on |vectors|². */
   def pairSeparation(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val q = embeddings.select(col("vec_id"), expr("CAST(label AS INT)").as("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
-    val byDim = q
-      .select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))
-      .groupBy(col("label"), col("d"))
-      .agg(sum(col("v")).as("s"))
-    val sums = byDim
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(d, s))), x -> x.s)").as("sv"))
-      .join(q.groupBy(col("label")).agg(count(lit(1)).as("n")), "label")
+    // Per-label component sums as a compiled map-side vector aggregation:
+    // each partition folds its vectors into one Array[Long] per label
+    // (the combiner the reference lacks), then only |labels| × dims longs
+    // cross the shuffle. Integer adds → order-independent, exact.
+    val sums = q.select(col("label"), col("qv")).as[(Int, Array[Long])]
+      .rdd
+      .aggregateByKey((null: Array[Long], 0L))(
+        seqOp = { case ((acc, n), v) =>
+          val a = if (acc == null) new Array[Long](v.length) else acc
+          var i = 0
+          while (i < v.length) { a(i) += v(i); i += 1 }
+          (a, n + 1)
+        },
+        combOp = { case ((a, na), (b, nb)) =>
+          if (a == null) (b, na + nb)
+          else if (b == null) (a, na + nb)
+          else {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            (a, na + nb)
+          }
+        })
+      .map { case (label, (sv, n)) => (label, sv.toSeq, n) }
+      .toDF("label", "sv", "n")
     sums.as("x").join(sums.as("y"), col("x.label") < col("y.label"))
       .select(col("x.label").as("la"), col("y.label").as("lb"),
         col("x.n").as("n_a"), col("y.n").as("n_b"),
