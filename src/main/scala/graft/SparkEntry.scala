@@ -80,7 +80,9 @@ object SparkEntry {
     "q43_adler_partition" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       TextOps.adlerPartition(documents(s, d))
-    })
+    }),
+    // D10/D11: one-vs-one ensemble voting + confusion matrix
+    "q44_ensemble_vote" -> ((s, d) => MLOps.ensembleClassify(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,6 +130,7 @@ object SparkEntry {
     "q40_stratified_sample" -> MLOps.stratifiedSampleOracle,
     "q41_pair_separation" -> MLOps.pairSeparationOracle,
     "q42_cube" -> SetAggOps.cubePriorityStatusOracle,
-    "q43_adler_partition" -> TextOps.adlerPartitionOracle
+    "q43_adler_partition" -> TextOps.adlerPartitionOracle,
+    "q44_ensemble_vote" -> MLOps.ensembleClassifyOracle
   )
 }

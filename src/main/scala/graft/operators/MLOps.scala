@@ -59,11 +59,120 @@ object MLOps {
     import spark.implicits._
     val q = embeddings.select(col("vec_id"), expr("CAST(label AS INT)").as("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
-    // Per-label component sums as a compiled map-side vector aggregation:
-    // each partition folds its vectors into one Array[Long] per label
-    // (the combiner the reference lacks), then only |labels| × dims longs
-    // cross the shuffle. Integer adds → order-independent, exact.
-    val sums = q.select(col("label"), col("qv")).as[(Int, Array[Long])]
+    // Per-label component sums as a compiled map-side vector aggregation
+    // (see labelSums): each partition folds its vectors into one
+    // Array[Long] per label — the combiner the reference lacks — then
+    // only |labels| × dims longs cross the shuffle. Integer adds →
+    // order-independent, exact.
+    val sums = labelSums(q)
+    sums.as("x").join(sums.as("y"), col("x.label") < col("y.label"))
+      .select(col("x.label").as("la"), col("y.label").as("lb"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"),
+        expr(
+          """round(sqrt(CAST(aggregate(zip_with(x.sv, y.sv, (a, b) -> a*y.n - b*x.n),
+            |                           0L, (acc, v) -> acc + v*v) AS DOUBLE))
+            |      / (x.n * y.n), 6)""".stripMargin).as("centroid_dist"))
+      .orderBy(col("la"), col("lb"))
+  }
+
+  /** Full plants-pipeline analog part 2 (SURVEY D10/D11,
+    * scripts/plants_classifier_tester.py:20–58): one-vs-one ensemble
+    * scoring. Every label pair acts as a trained "classifier" voting for
+    * whichever label's centroid is closer; argmax of votes predicts the
+    * label; output is the confusion matrix.
+    *
+    * The closer-centroid test is EXACT integer arithmetic — comparing
+    * ‖v−sa/na‖² vs ‖v−sb/nb‖² multiplied through by na²nb² (the ‖v‖²
+    * term cancels):  ‖sa‖²nb² − 2(v·sa)·na·nb²  vs  ‖sb‖²na² − 2(v·sb)·nb·na².
+    * All terms < 2⁶³ for quantized 64-dim embeddings; ties vote the
+    * smaller label; argmax ties resolve to the smaller label.
+    *
+    * Scale shape: the per-label summary (|labels|·dims longs) is
+    * broadcast; voting + argmax run compiled in one narrow mapPartitions
+    * pass — no |vectors|×|pairs| join materializes. */
+  def ensembleClassify(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.select(col("vec_id"), expr("CAST(label AS INT)").as("label"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+    val summary = labelSums(q).select(col("label"), col("sv"), col("n"))
+      .as[(Int, Seq[Long], Long)].collect()
+      .map { case (l, sv, n) => (l, sv.toArray, n) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(summary)
+    q.select(col("label"), col("qv")).as[(Int, Array[Long])]
+      .mapPartitions { it =>
+        val sums = bc.value
+        val ss = sums.map { case (_, sv, _) => sv.map(x => x * x).sum }
+        it.map { case (trueLabel, v) =>
+          val votes = new Array[Int](sums.length)
+          val dots = sums.map { case (_, sv, _) =>
+            var d = 0L; var i = 0
+            while (i < v.length) { d += v(i) * sv(i); i += 1 }
+            d
+          }
+          var a = 0
+          while (a < sums.length) {
+            var b = a + 1
+            while (b < sums.length) {
+              val (_, _, na) = sums(a)
+              val (_, _, nb) = sums(b)
+              val lhs = ss(a) * nb * nb - 2L * dots(a) * na * nb * nb
+              val rhs = ss(b) * na * na - 2L * dots(b) * nb * na * na
+              if (lhs <= rhs) votes(a) += 1 else votes(b) += 1
+              b += 1
+            }
+            a += 1
+          }
+          var best = 0
+          var i = 1
+          while (i < votes.length) { if (votes(i) > votes(best)) best = i; i += 1 }
+          (trueLabel, sums(best)._1)
+        }
+      }
+      .toDF("label", "predicted")
+      .groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("label"), col("predicted"))
+  }
+
+  val ensembleClassifyOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS INT) AS label,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |bydim AS (
+      |  SELECT label, d, CAST(SUM(qv[d]) AS BIGINT) AS s
+      |  FROM q, range(1, 65) AS t(d) GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT b.label, list(b.s ORDER BY b.d) AS sv, n,
+      |         CAST(SUM(b.s * b.s) AS BIGINT) AS ss
+      |  FROM bydim b JOIN (SELECT label, count(*) AS n FROM q GROUP BY 1) c ON c.label = b.label
+      |  GROUP BY b.label, n),
+      |votes AS (
+      |  SELECT v.vec_id, v.label AS true_label,
+      |         CASE WHEN x.ss * y.n * y.n
+      |                   - 2 * CAST(list_sum(list_transform(range(1, len(v.qv)+1), d -> v.qv[d] * x.sv[d])) AS BIGINT) * x.n * y.n * y.n
+      |                <= y.ss * x.n * x.n
+      |                   - 2 * CAST(list_sum(list_transform(range(1, len(v.qv)+1), d -> v.qv[d] * y.sv[d])) AS BIGINT) * y.n * x.n * x.n
+      |              THEN x.label ELSE y.label END AS vote
+      |  FROM q v, sums x JOIN sums y ON x.label < y.label),
+      |tallied AS (
+      |  SELECT vec_id, true_label, vote, count(*) AS nv
+      |  FROM votes GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, true_label, vote AS predicted,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY nv DESC, vote ASC) AS rn
+      |  FROM tallied)
+      |SELECT true_label AS label, predicted, CAST(count(*) AS BIGINT) AS cnt
+      |FROM best WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
+
+  /** Shared per-label vector aggregation (also used by pairSeparation). */
+  private def labelSums(q: DataFrame): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    q.select(col("label"), col("qv")).as[(Int, Array[Long])]
       .rdd
       .aggregateByKey((null: Array[Long], 0L))(
         seqOp = { case ((acc, n), v) =>
@@ -83,14 +192,6 @@ object MLOps {
         })
       .map { case (label, (sv, n)) => (label, sv.toSeq, n) }
       .toDF("label", "sv", "n")
-    sums.as("x").join(sums.as("y"), col("x.label") < col("y.label"))
-      .select(col("x.label").as("la"), col("y.label").as("lb"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"),
-        expr(
-          """round(sqrt(CAST(aggregate(zip_with(x.sv, y.sv, (a, b) -> a*y.n - b*x.n),
-            |                           0L, (acc, v) -> acc + v*v) AS DOUBLE))
-            |      / (x.n * y.n), 6)""".stripMargin).as("centroid_dist"))
-      .orderBy(col("la"), col("lb"))
   }
 
   /** quantized() lives in Similarity; the oracle must re-derive it. */
