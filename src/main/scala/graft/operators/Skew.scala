@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is too hot for AQE's
+  * automatic skew-split (or on engines/configs without it): classic
+  * salting. The big (skewed) side gets a deterministic content-derived
+  * salt in [0, salts); the small side is replicated `salts` times; the
+  * join key becomes (key, salt), splitting each hot key's row group
+  * across `salts` reducers.
+  *
+  * At 100 TB this is the difference between one straggler task holding a
+  * 500 GB key and `salts` parallel tasks holding 500/s GB each. The salt
+  * is xxhash64 of the big side's full row (deterministic — identical
+  * rows co-locate, which is fine: skew comes from hot KEYS, not from
+  * exact duplicate rows).
+  */
+object Skew {
+
+  def saltedEquiJoin(big: DataFrame, small: DataFrame,
+                     bigKey: String, smallKey: String,
+                     salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
+      .withColumn("__salt", col("__salt").cast("long"))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+          saltedBig("__salt") === saltedSmall("__salt"))
+      .drop("__salt")
+  }
+}
