@@ -48,6 +48,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumblingStats under a real file readStream (AvailableNow) equals batch") {
+    val sfDir = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$sfDir/events.parquet").exists()) {
+      val batchDf = graft.Tables.events(spark, sfDir) // sets nanosAsLong conf
+      // the streaming file source wants a DIRECTORY; stage the fixture file
+      val dir = java.nio.file.Files.createTempDirectory("stream_events")
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"$sfDir/events.parquet"),
+        dir.resolve("part-0.parquet"))
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val streamRaw = spark.readStream.schema(rawSchema)
+        .parquet(dir.toString)
+      val streamDf = streamRaw.withColumn("ts",
+        timestamp_micros((col("ts") / 1000L).cast("long")))
+      val q = EventStream.tumblingStats(streamDf)
+        .writeStream.format("memory").queryName("file_stream_test")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination(120000)
+        val streamed = rows(
+          spark.table("file_stream_test").orderBy("win_start", "event_type"))
+        val batch = rows(
+          EventStream.tumblingStats(batchDf).orderBy("win_start", "event_type"))
+        assert(streamed == batch)
+        assert(streamed.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
   test("sessionStats merges events within the 5-minute gap (batch semantics)") {
     // user 10: events at 1,4 (merge), 12 (new) → 2 sessions, max 2 events
     // user 11: events at 11, 25 → 2 sessions of 1
