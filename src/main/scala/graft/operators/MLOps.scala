@@ -168,30 +168,14 @@ object MLOps {
       |FROM best WHERE rn = 1
       |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
 
-  /** Shared per-label vector aggregation (also used by pairSeparation). */
+  /** Shared per-label vector aggregation (also used by pairSeparation):
+    * the typed [[graft.functions.VectorSumAgg]] Aggregator as a DataFrame
+    * UDAF — partial (map-side) combining of the embedding vectors, so only
+    * |labels| × dims longs cross the shuffle. */
   private def labelSums(q: DataFrame): DataFrame = {
-    val spark = q.sparkSession
-    import spark.implicits._
-    q.select(col("label"), col("qv")).as[(Int, Array[Long])]
-      .rdd
-      .aggregateByKey((null: Array[Long], 0L))(
-        seqOp = { case ((acc, n), v) =>
-          val a = if (acc == null) new Array[Long](v.length) else acc
-          var i = 0
-          while (i < v.length) { a(i) += v(i); i += 1 }
-          (a, n + 1)
-        },
-        combOp = { case ((a, na), (b, nb)) =>
-          if (a == null) (b, na + nb)
-          else if (b == null) (a, na + nb)
-          else {
-            var i = 0
-            while (i < a.length) { a(i) += b(i); i += 1 }
-            (a, na + nb)
-          }
-        })
-      .map { case (label, (sv, n)) => (label, sv.toSeq, n) }
-      .toDF("label", "sv", "n")
+    val vsum = udaf(graft.functions.VectorSumAgg)
+    q.groupBy(col("label"))
+      .agg(vsum(col("qv")).as("sv"), count(lit(1)).as("n"))
   }
 
   /** quantized() lives in Similarity; the oracle must re-derive it. */

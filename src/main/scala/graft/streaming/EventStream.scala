@@ -1,9 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.Relational.exactSum
+
+/** Running per-user state carried across micro-batches. */
+final case class UserRunning(user_id: Long, events_seen: Long, total_value: Double)
 
 /** Structured Streaming transforms over the `events` table.
   *
@@ -69,6 +73,33 @@ object EventStream {
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
         max(col("n_events")).as("max_session_events"))
+
+  /** Custom streaming state (`flatMapGroupsWithState`): a running
+    * per-user event counter + value total that survives micro-batch
+    * boundaries — the pattern for state Spark's built-in windows can't
+    * express (per-key accumulators, custom sessionization, online
+    * features). State is per-key and bounded by |users|; in production a
+    * timeout (`GroupStateTimeout`) evicts idle keys. Works on batch
+    * Datasets too (state spans the whole input). */
+  def userRunningCounts(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Double)],
+              state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.events_seen
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserRunning(user, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 
   val sessionStatsOracle: String =
     """WITH marked AS (

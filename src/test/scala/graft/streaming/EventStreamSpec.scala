@@ -89,6 +89,32 @@ class EventStreamSpec extends SparkSpec {
     assert(out(12L) == ((1L, 1L, 1L)))
   }
 
+  test("userRunningCounts: flatMapGroupsWithState accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.userRunningCounts(streamDf)
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(sample.take(4)) // user 10: 3 events (1+2+4), user 11: 1
+      q.processAllAvailable()
+      mem.addData(sample.drop(4)) // user 11: +1, user 12: +1
+      q.processAllAvailable()
+      // update-mode sink appends one row per key per batch; the LAST row
+      // per user carries the accumulated state
+      val last = spark.table("running_test")
+        .groupBy("user_id")
+        .agg(max(struct(col("events_seen"), col("total_value"))).as("s"))
+        .select(col("user_id"), col("s.events_seen"), col("s.total_value"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(last(10L) == ((3L, 7.0)))  // 1.0 + 2.0 + 4.0
+      assert(last(11L) == ((2L, 8.0)))  // 3.0 + 5.0 across two batches
+      assert(last(12L) == ((1L, 6.0)))
+    } finally q.stop()
+  }
+
   test("slidingStats: each event contributes to exactly two 10/5 windows") {
     val out = EventStream.slidingStats(toDf(sample))
     val totalContribs = out.agg(sum("cnt")).collect().head.getLong(0)
