@@ -82,7 +82,9 @@ object SparkEntry {
       TextOps.adlerPartition(documents(s, d))
     }),
     // D10/D11: one-vs-one ensemble voting + confusion matrix
-    "q44_ensemble_vote" -> ((s, d) => MLOps.ensembleClassify(embeddings(s, d)))
+    "q44_ensemble_vote" -> ((s, d) => MLOps.ensembleClassify(embeddings(s, d))),
+    // skew-salted join, gated to be result-invariant vs the plain join
+    "q45_salted_join" -> ((s, d) => Skew.saltedRevenueByNation(lineitem(s, d), supplier(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,6 +133,7 @@ object SparkEntry {
     "q41_pair_separation" -> MLOps.pairSeparationOracle,
     "q42_cube" -> SetAggOps.cubePriorityStatusOracle,
     "q43_adler_partition" -> TextOps.adlerPartitionOracle,
-    "q44_ensemble_vote" -> MLOps.ensembleClassifyOracle
+    "q44_ensemble_vote" -> MLOps.ensembleClassifyOracle,
+    "q45_salted_join" -> Skew.saltedRevenueByNationOracle
   )
 }

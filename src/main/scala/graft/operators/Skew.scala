@@ -18,6 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Driver-checked demo (q45): lineitem ⋈ supplier through the salted
+    * path, revenue per supplier nation. The oracle is the PLAIN join SQL —
+    * salting must be result-invariant, so this query gates exactly that. */
+  def saltedRevenueByNation(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    saltedEquiJoin(
+      lineitem.select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")),
+      supplier.select(col("s_suppkey"), col("s_nationkey")),
+      "l_suppkey", "s_suppkey", salts = 8)
+      .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        round(Relational.exactSum(col("rev")), 2).as("revenue"))
+      .orderBy(col("nationkey"))
+
+  val saltedRevenueByNationOracle: String =
+    """SELECT CAST(s_nationkey AS INT) AS nationkey,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY nationkey""".stripMargin
+
   def saltedEquiJoin(big: DataFrame, small: DataFrame,
                      bigKey: String, smallKey: String,
                      salts: Int): DataFrame = {
