@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.Tables._
 
@@ -84,7 +85,16 @@ object SparkEntry {
     // D10/D11: one-vs-one ensemble voting + confusion matrix
     "q44_ensemble_vote" -> ((s, d) => MLOps.ensembleClassify(embeddings(s, d))),
     // skew-salted join, gated to be result-invariant vs the plain join
-    "q45_salted_join" -> ((s, d) => Skew.saltedRevenueByNation(lineitem(s, d), supplier(s, d)))
+    "q45_salted_join" -> ((s, d) => Skew.saltedRevenueByNation(lineitem(s, d), supplier(s, d))),
+    // as-of join (composed union+window; oracle = DuckDB native ASOF JOIN)
+    "q46_asof_join" -> ((s, d) => Joins.asofAttribution(events(s, d))),
+    // approx sketches (HLL distinct, t-digest median): algorithms differ
+    // from DuckDB's, so no oracle — driver records a rows-only check
+    "q47_sketches" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("median_qty"),
+        count(lit(1)).as("cnt")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,6 +144,9 @@ object SparkEntry {
     "q42_cube" -> SetAggOps.cubePriorityStatusOracle,
     "q43_adler_partition" -> TextOps.adlerPartitionOracle,
     "q44_ensemble_vote" -> MLOps.ensembleClassifyOracle,
-    "q45_salted_join" -> Skew.saltedRevenueByNationOracle
+    "q45_salted_join" -> Skew.saltedRevenueByNationOracle,
+    "q46_asof_join" -> Joins.asofAttributionOracle
+    // q47_sketches intentionally has no oracle (approx algorithms differ
+    // between engines) — the driver records a rows-only check for it
   )
 }

@@ -26,9 +26,12 @@ object Tables {
     * values are whole microseconds so the division is lossless. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ts DIV 1000, NOT ts / 1000: `/` is double division and epoch-nanos
+    // (~1.7e18) exceed double's 2^53 exact range — timestamps came out
+    // ±1µs off (invisible to windowed aggs, fatal to raw-micros compares)
     load(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -16,6 +16,52 @@ import Relational.exactSum
   */
 object Joins {
 
+  /** As-of join (an operator Spark lacks natively — composed from union +
+    * window per the (a)-tier of the extension ladder): attribute each
+    * purchase to the user's most recent click at-or-before it.
+    *
+    * Composition: tag both streams, union, one window pass per user
+    * ordered by (ts, src) carrying the last click forward, keep purchase
+    * rows. ONE shuffle on user_id for any number of probe rows — the
+    * classic scalable as-of encoding (vs a range self-join that explodes).
+    * Clicks are deduped per (user, ts) by max event_id so the "most
+    * recent" row is deterministic. Oracle: DuckDB's native ASOF JOIN. */
+  def asofAttribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), col("click_id"),
+        lit(0).as("src"), lit(null).cast("long").as("purchase_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+        lit(1).as("src"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("src"), coalesce(col("click_id"), col("purchase_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("attributed_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("src") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("src") === 1 && col("attributed_click_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"), col("attributed_click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val asofAttributionOracle: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, CAST(MAX(event_id) AS BIGINT) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id, ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, c.click_id AS attributed_click_id,
+      |       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+      |FROM purchases p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
   /** Fact⋈dim broadcast join: revenue per brand. One shuffle (the final
     * agg); part is broadcast so lineitem never moves. */
   def revenueByBrand(lineitem: DataFrame, part: DataFrame): DataFrame =
