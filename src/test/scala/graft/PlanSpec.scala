@@ -57,6 +57,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen"), p.take(400))
   }
 
+  test("q09: row_number<=k window rewrites to the bounded-heap TopKPerKey " +
+    "operator — no sort anywhere in the plan") {
+    val df = SparkEntry.queries("q09_window_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p.take(600))
+    assert(!p.contains("WindowGroupLimit") && !p.toLowerCase.contains("sort ["),
+      "heap operator must replace both the window sort and WindowGroupLimit:\n" +
+        p.take(800))
+  }
+
   test("q26: banded self-join avoids a two-sided shuffle join (broadcast " +
     "at small scale, exchange reuse at large)") {
     val df = SparkEntry.queries("q26_dedup_simhash")(spark, sf)
