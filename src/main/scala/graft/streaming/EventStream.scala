@@ -74,6 +74,17 @@ object EventStream {
         sum(col("n_events")).as("n_events"),
         max(col("n_events")).as("max_session_events"))
 
+  /** Streaming exact-dedup (the pipeline-ingest twin of
+    * `Dedup.exactDedup`): drop replayed/duplicate events by id, with the
+    * watermark bounding the dedup state — ids older than 1 hour are
+    * evicted, so state is O(events/hour), not O(all history). At-least-
+    * once sources (Kafka replays, retried batches) become exactly-once
+    * downstream. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom streaming state (`flatMapGroupsWithState`): a running
     * per-user event counter + value total that survives micro-batch
     * boundaries — the pattern for state Spark's built-in windows can't

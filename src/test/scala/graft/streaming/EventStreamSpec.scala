@@ -89,6 +89,26 @@ class EventStreamSpec extends SparkSpec {
     assert(out(12L) == ((1L, 1L, 1L)))
   }
 
+  test("dedupedEvents drops replayed ids across micro-batches (at-least-once → exactly-once)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupedEvents(streamDf)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample.take(4))
+      q.processAllAvailable()
+      mem.addData(sample.take(2))  // replay of batch-1 events
+      mem.addData(sample.drop(4))  // plus genuinely new ones
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == sample.map(_._1).sorted) // each id exactly once
+    } finally q.stop()
+  }
+
   test("userRunningCounts: flatMapGroupsWithState accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
