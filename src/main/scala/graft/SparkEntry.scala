@@ -93,6 +93,9 @@ object SparkEntry {
     "q45_salted_join" -> ((s, d) => Skew.saltedRevenueByNation(lineitem(s, d), supplier(s, d))),
     // as-of join (composed union+window; oracle = DuckDB native ASOF JOIN)
     "q46_asof_join" -> ((s, d) => Joins.asofAttribution(events(s, d))),
+    // wide/pivot aggregation and exact percentiles
+    "q48_pivot" -> ((s, d) => EventOps.eventTypePivot(events(s, d))),
+    "q49_percentiles" -> ((s, d) => EventOps.quantityPercentiles(lineitem(s, d))),
     // approx sketches (HLL distinct, t-digest median): algorithms differ
     // from DuckDB's, so no oracle — driver records a rows-only check
     "q47_sketches" -> ((s, d) => lineitem(s, d)
@@ -150,7 +153,9 @@ object SparkEntry {
     "q43_adler_partition" -> TextOps.adlerPartitionOracle,
     "q44_ensemble_vote" -> MLOps.ensembleClassifyOracle,
     "q45_salted_join" -> Skew.saltedRevenueByNationOracle,
-    "q46_asof_join" -> Joins.asofAttributionOracle
+    "q46_asof_join" -> Joins.asofAttributionOracle,
+    "q48_pivot" -> EventOps.eventTypePivotOracle,
+    "q49_percentiles" -> EventOps.quantityPercentilesOracle
     // q47_sketches intentionally has no oracle (approx algorithms differ
     // between engines) — the driver records a rows-only check for it
   )

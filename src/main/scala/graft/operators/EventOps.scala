@@ -26,6 +26,47 @@ object EventOps {
       |       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Pivot (wide aggregation): events per type per day-of-month — the
+    * columnar form of a (day, type) groupBy. Pivot values are declared
+    * explicitly so the plan is a single pass (no values-discovery job)
+    * and the output schema is stable for the oracle. */
+  def eventTypePivot(events: DataFrame): DataFrame =
+    events
+      .select(dayofmonth(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  val eventTypePivotOracle: String =
+    """SELECT CAST(date_part('day', ts) AS INT) AS day,
+      |       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+      |       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Exact interpolated percentiles (both engines implement the standard
+    * (n−1)·p linear interpolation; inputs are small ints so the
+    * interpolation arithmetic is identical IEEE ops). */
+  def quantityPercentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, 0.99)").as("p99_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val quantityPercentilesOracle: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       quantile_cont(l_quantity, 0.5) AS median_qty,
+      |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |       quantile_cont(l_quantity, 0.99) AS p99_qty
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   /** Defensive numeric extraction with default (SURVEY C4/C6, reference
     * accident_analysis.py:30–37): pull "k" out of the JSON-ish props via
     * regex, try-cast, default 0 — exactly the reference's
