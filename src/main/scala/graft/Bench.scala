@@ -10,14 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm-up: pay JIT/codegen-compiler/session initialization once,
+    // outside any query's timing (otherwise the alphabetically-first
+    // query absorbs ~5s of one-time cost)
+    try SparkEntry.entry(spark).queryExecution.toRdd.count()
+    catch { case _: Throwable => }
+    // toRdd.count(), NOT df.count(): a count-aggregate on top lets
+    // Catalyst prune the query's own output columns (a fingerprint query
+    // would "run" without hashing anything); toRdd executes the plan as
+    // written, every output column evaluated, nothing shipped to driver.
+    // Sorted order keeps per-query numbers comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
