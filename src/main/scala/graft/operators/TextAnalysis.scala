@@ -98,12 +98,17 @@ object TextAnalysis {
             |  0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
             |  0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
             |) * 1000000) AS BIGINT)""".stripMargin).as("q6"))
+    // NO round() on the outputs: the inputs are exact integer micro-units,
+    // so both engines compute bit-identical doubles from identical integer
+    // divisions — whereas round() diverges on decimal half-boundaries
+    // (Spark rounds the shortest decimal repr, DuckDB the exact binary;
+    // 379250/1e6 rounds to 0.3793 vs 0.3792).
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
         sum(col("n_toks")).as("total_tokens"),
-        round(sum(col("q6")) / (count(lit(1)) * lit(1000000.0)), 4).as("avg_quality"),
-        round(min(col("q6")) / lit(1000000.0), 4).as("min_quality"),
-        round(max(col("q6")) / lit(1000000.0), 4).as("max_quality"))
+        (sum(col("q6")) / (count(lit(1)) * lit(1000000.0))).as("avg_quality"),
+        (min(col("q6")) / lit(1000000.0)).as("min_quality"),
+        (max(col("q6")) / lit(1000000.0)).as("max_quality"))
       .orderBy(col("source"))
   }
 
@@ -124,9 +129,9 @@ object TextAnalysis {
       |  FROM perdoc)
       |SELECT source, CAST(count(*) AS BIGINT) AS docs,
       |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-      |       ROUND(CAST(SUM(q6) AS DOUBLE) / (count(*) * 1000000.0), 4) AS avg_quality,
-      |       ROUND(MIN(q6) / 1000000.0, 4) AS min_quality,
-      |       ROUND(MAX(q6) / 1000000.0, 4) AS max_quality
+      |       CAST(SUM(q6) AS DOUBLE) / (count(*) * 1000000.0) AS avg_quality,
+      |       MIN(q6) / 1000000.0 AS min_quality,
+      |       MAX(q6) / 1000000.0 AS max_quality
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------
