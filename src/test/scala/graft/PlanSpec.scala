@@ -57,6 +57,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen"), p.take(400))
   }
 
+  test("q25: dedup scans prune documents to (doc_id, text) — no payload columns") {
+    val p = formatted(SparkEntry.queries("q25_dedup_minhash")(spark, sf))
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.forall(r => !r.contains("lang") && !r.contains("source")),
+      s"dedup must not read unused document columns: $reads")
+  }
+
   test("q09: row_number<=k window rewrites to the bounded-heap TopKPerKey " +
     "operator — no sort anywhere in the plan") {
     val df = SparkEntry.queries("q09_window_topk")(spark, sf)
