@@ -50,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.adler32Descriptor)
     ext.injectFunction(SortedIntersectSize.descriptor)
+    ext.injectFunction(DotLongExpression.descriptor)
   }
 }
 
@@ -62,7 +63,8 @@ object GraftFunctions {
   /** Register all graft functions on an existing session (idempotent;
     * used by Verify/Bench/tests and the query lambdas that need them). */
   def register(spark: SparkSession): Unit =
-    Seq(adler32Descriptor, SortedIntersectSize.descriptor).foreach { d =>
+    Seq(adler32Descriptor, SortedIntersectSize.descriptor,
+        DotLongExpression.descriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
 }

@@ -33,11 +33,6 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16)
   }
 
-  /** Round like SQL ROUND(x, 6): half away from zero (matches Spark's
-    * HALF_UP on positives and DuckDB). */
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   /** (vec_id, qv: array<bigint> quantized, n2: bigint squared norm). */
   private[operators] def quantized(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
@@ -65,35 +60,44 @@ object Similarity {
       |  / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))""".stripMargin
 
   // --------------------------------------------------------------------
-  // Exact near-duplicate pairs by cosine ≥ threshold: broadcast one side
-  // (the canonical small-side pattern — here the whole table, at 100 TB a
-  // block column-stripe of it) and run the O(n²/2) integer dot products
-  // as a compiled JVM loop inside mapPartitions. ~20× faster than the
-  // same pairs through interpreted higher-order expressions, and still
-  // fully distributed over the probe side. The LSH path below replaces
-  // the quadratic scan entirely at scale.
+  // Exact near-duplicate pairs by cosine ≥ threshold, as a DISTRIBUTED
+  // blocked self-join: vectors are assigned to one of B blocks
+  // (vec_id mod B); each row is replicated to every block-pair it
+  // participates in (B copies), and the O(n²/2) dot products run inside
+  // the ~B²/2 block-pair join groups — each a bounded n/B × n/B tile, so
+  // per-task memory is bounded and the work spreads across the cluster.
+  // No driver-side materialization anywhere: the old collect()+broadcast
+  // shape dies at the driver before the first task at real scale. The
+  // dot product itself is a codegen'd native Expression
+  // ([[graft.functions.DotLongExpression]]) reading Tungsten arrays in
+  // place — no per-pair array copies. All-pairs compute is inherently
+  // quadratic; [[annLshTopK]] is the sub-quadratic path at scale.
   // --------------------------------------------------------------------
-  def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.5,
+                    blocks: Int = 16): DataFrame = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
-    val q = quantized(embeddings).select(col("vec_id"), col("qv"), col("n2"))
-      .as[(Long, Array[Long], Long)]
-    val side = q.collect().sortBy(_._1) // broadcast side (blocked at scale)
-    val bc = spark.sparkContext.broadcast(side)
-    q.mapPartitions { it =>
-      val ys = bc.value
-      it.flatMap { case (xid, xv, xn2) =>
-        ys.iterator
-          .filter(_._1 > xid)
-          .flatMap { case (yid, yv, yn2) =>
-            var dot = 0L
-            var i = 0
-            while (i < xv.length) { dot += xv(i) * yv(i); i += 1 }
-            val cos = dot.toDouble / math.sqrt(xn2.toDouble * yn2.toDouble)
-            if (cos >= threshold) Some((xid, yid, round6(cos))) else None
-          }
-      }
-    }.toDF("a", "b", "cosine").orderBy(col("a"), col("b"))
+    graft.functions.GraftFunctions.register(spark)
+    val B = blocks
+    val q = quantized(embeddings)
+      .withColumn("blk", pmod(col("vec_id"), lit(B.toLong)).cast("int"))
+    // A row in block b is the LEFT of block-pairs (b, b..B-1) and the
+    // RIGHT of block-pairs (0..b, b): every unordered pair of rows meets
+    // in exactly one block-pair group (within-block pairs deduped by the
+    // vec_id < vec_id filter below).
+    val left = q.withColumn("bp", explode(expr(
+      s"transform(sequence(blk, ${B - 1}), j -> struct(blk AS lo, j AS hi))")))
+    val right = q.withColumn("bp", explode(expr(
+      s"transform(sequence(0, blk), i -> struct(i AS lo, blk AS hi))")))
+    left.as("x").join(right.as("y"), col("x.bp") === col("y.bp"))
+      .filter(col("x.bp.lo") =!= col("x.bp.hi") || col("x.vec_id") < col("y.vec_id"))
+      .select(
+        least(col("x.vec_id"), col("y.vec_id")).as("a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("b"),
+        (expr("CAST(graft_dot_long(x.qv, y.qv) AS DOUBLE)") /
+          sqrt(col("x.n2").cast("double") * col("y.n2").cast("double"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("a"), col("b"))
   }
 
   val cosineNearDupOracle: String =

@@ -76,6 +76,32 @@ class PlanSpec extends SparkSpec {
         p.take(800))
   }
 
+  test("q28: cosineNearDup builds lazily — no driver-side collect of the " +
+    "table (zero Spark jobs at construction) and a real join in the plan") {
+    val sc = spark.sparkContext
+    // spark.read.parquet legitimately runs a schema-inference job; the
+    // regression we guard against is a materializing job (collect/count)
+    // of the TABLE during operator construction — identify by call site.
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = js.stageInfos.map(_.name)
+        if (!names.forall(_.startsWith("parquet at"))) {
+          bad.add(names.mkString(",")); ()
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("q28_emb_neardup")(spark, sf)
+      val p = formatted(df) // planning must not run jobs either
+      Thread.sleep(1000)    // listener events post asynchronously
+      assert(bad.isEmpty,
+        s"operator construction ran materializing Spark jobs: $bad")
+      assert(p.contains("Join"), p.take(800))
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("q26: banded self-join avoids a two-sided shuffle join (broadcast " +
     "at small scale, exchange reuse at large)") {
     val df = SparkEntry.queries("q26_dedup_simhash")(spark, sf)
