@@ -96,13 +96,10 @@ object SparkEntry {
     // wide/pivot aggregation and exact percentiles
     "q48_pivot" -> ((s, d) => EventOps.eventTypePivot(events(s, d))),
     "q49_percentiles" -> ((s, d) => EventOps.quantityPercentiles(lineitem(s, d))),
-    // approx sketches (HLL distinct, t-digest median): algorithms differ
-    // from DuckDB's, so no oracle — driver records a rows-only check
-    "q47_sketches" -> ((s, d) => lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("median_qty"),
-        count(lit(1)).as("cnt")))
+    // approx sketches: deterministic KMV distinct estimate + exact median
+    // over a deterministic hash sample — oracle-checkable, unlike
+    // HLL/t-digest whose results differ across engines
+    "q47_sketches" -> ((s, d) => Sketches.sketchStats(lineitem(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,9 +151,8 @@ object SparkEntry {
     "q44_ensemble_vote" -> MLOps.ensembleClassifyOracle,
     "q45_salted_join" -> Skew.saltedRevenueByNationOracle,
     "q46_asof_join" -> Joins.asofAttributionOracle,
+    "q47_sketches" -> Sketches.sketchStatsOracle,
     "q48_pivot" -> EventOps.eventTypePivotOracle,
     "q49_percentiles" -> EventOps.quantityPercentilesOracle
-    // q47_sketches intentionally has no oracle (approx algorithms differ
-    // between engines) — the driver records a rows-only check for it
   )
 }

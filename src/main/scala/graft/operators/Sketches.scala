@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketchAgg
+
+/** Deterministic approximate aggregates — the engine's answer to the
+  * usual HLL/t-digest sketch tier (reference's offline eval scripts use
+  * pandas `nunique`/`quantile`; Spark's stock `approx_count_distinct` /
+  * `percentile_approx` are engine-specific, so their results can never
+  * be oracle-checked across engines).
+  *
+  * Instead: (1) distinct counts via a KMV bottom-k sketch over
+  * md5-derived hashes ([[graft.functions.KmvSketchAgg]]) — a pure
+  * function of the input SET, identical in any engine that can md5; and
+  * (2) quantiles as EXACT interpolated percentiles over a deterministic
+  * 10% hash sample (sample membership decided by md5 of the row key, so
+  * both engines pick the same rows). Both are real sketch/sample
+  * semantics with the same shuffle profile as their nondeterministic
+  * cousins: the KMV buffer is ≤ k longs per (partition, group) and the
+  * sample cuts the sort input 10×.
+  */
+object Sketches {
+
+  /** 32-bit md5-derived hash of an expression, as SQL (matches the
+    * DuckDB `CAST(concat('0x', substr(md5(e),1,8)) AS BIGINT)` idiom). */
+  private def h32sql(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Per return-flag: KMV approximate distinct parts, exact median
+    * quantity over a deterministic 10% row sample, exact row count. */
+  def sketchStats(lineitem: DataFrame, k: Int = 256): DataFrame = {
+    val kmv = udaf(new KmvSketchAgg(k), Encoders.scalaLong)
+    lineitem
+      .select(col("l_returnflag"), col("l_quantity"),
+        expr(h32sql("CAST(l_partkey AS STRING)")).as("h"),
+        expr(h32sql(
+          "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"))
+          .as("sh"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        kmv(col("h")).as("approx_parts"),
+        expr("percentile(l_quantity, 0.5) FILTER (WHERE pmod(sh, 10) = 0)")
+          .as("median_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val sketchStatsOracle: String =
+    """WITH hashed AS (
+      |  SELECT l_returnflag, l_quantity,
+      |         CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+      |         CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) AS sh
+      |  FROM lineitem),
+      |kmv AS (
+      |  SELECT l_returnflag, list_sort(list(DISTINCT h)) AS hs
+      |  FROM hashed GROUP BY 1),
+      |med AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_quantity, 0.5) FILTER (sh % 10 = 0) AS median_qty,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM hashed GROUP BY 1)
+      |SELECT m.l_returnflag,
+      |       CASE WHEN len(k.hs) < 256 THEN CAST(len(k.hs) AS DOUBLE)
+      |            ELSE 255.0 * 4294967296.0 / CAST(k.hs[256] AS DOUBLE) END AS approx_parts,
+      |       m.median_qty, m.cnt
+      |FROM med m JOIN kmv k USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+}
