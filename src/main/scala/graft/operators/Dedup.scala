@@ -63,28 +63,57 @@ object Dedup {
       |FROM documents GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------
-  // MinHash + LSH: 12 permutations, 4 bands × 3 rows. Per-band match
-  // probability at jaccard j is j³; with the fixture's planted dups at
-  // j≈0.98 the miss probability is (1-0.98³)⁴ ≈ 1e-5 per pair, while
-  // unrelated pairs (j<0.1) band-collide with p ≈ 4e-3·j³ — the exact
-  // verification pass removes those.
+  // MinHash + LSH with banding DERIVED from the requested threshold.
+  // With b bands of r rows, a pair at jaccard j band-collides with
+  // probability 1-(1-j^r)^b; [[lshBanding]] picks the cheapest (b, r)
+  // whose per-pair recall at j = threshold clears 92%. At the default
+  // t=0.5 that is 9 bands × 2 rows (recall ≈ 0.925) — the fixed 4×3 it
+  // replaces had ~41% recall at its own advertised threshold.
   // --------------------------------------------------------------------
-  /** 12-permutation minhash signature, compiled: one md5 per shingle,
-    * then affine universal-hash permutations h_i(x) = (a_i·h + b_i) mod p
-    * over the shared base hash — the JVM twin of the SQL the oracle
-    * evaluates (same constants, same mod-p arithmetic). */
-  private val minhashSigUdf = udf { sset: Seq[String] =>
-    val P = 2147483647L
+  /** Mod-p universal-hash permutation constants, shared by the JVM
+    * signature UDF, the SQL banding of [[ngramJaccard]], and both DuckDB
+    * oracles: h_s(x) = (A(s)·x + B(s)) mod P over the md5 base hash. */
+  private[operators] val P = 2147483647L
+  private[operators] def permA(s: Int): Long = ((2L * s + 1L) * 1103515245L) % P
+  private[operators] def permB(s: Int): Long = s * 12345L + 1L
+
+  /** Cheapest (bands, rows) reaching ≥92% per-pair recall at jaccard =
+    * threshold, minimizing total permutations b·r. Bands are capped at 12
+    * (shuffle rows per doc scale with b), so sub-0.35 thresholds trade
+    * recall for bounded fan-out — documented, and the exact verify stage
+    * keeps precision at 1 regardless. */
+  private[operators] def lshBanding(threshold: Double,
+                                    targetRecall: Double = 0.92): (Int, Int) = {
+    val t = math.max(threshold, 0.05)
+    val opts = for (r <- 2 to 6) yield {
+      val p = math.pow(t, r)
+      val b = math.max(1, math.min(12,
+        math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt))
+      (b, r)
+    }
+    // among capped options prefer best recall, then fewest permutations
+    opts.minBy { case (b, r) =>
+      val recall = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+      (-recall, b * r)
+    }
+  }
+
+  /** n-permutation minhash signature, compiled: one md5 per shingle,
+    * then affine universal-hash permutations over the shared base hash —
+    * the JVM twin of the SQL the oracle evaluates (same constants, same
+    * mod-p arithmetic). */
+  private def minhashSigUdf(n: Int) = udf { sset: Seq[String] =>
     val md = java.security.MessageDigest.getInstance("MD5")
-    val mins = Array.fill(12)(Long.MaxValue)
+    val as = Array.tabulate(n)(permA)
+    val bs = Array.tabulate(n)(permB)
+    val mins = Array.fill(n)(Long.MaxValue)
     sset.foreach { x =>
       val d = md.digest(x.getBytes("UTF-8"))
       val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
       var s = 0
-      while (s < 12) {
-        val a = ((2L * s + 1L) * 1103515245L) % P
-        val v = (a * h + s * 12345L + 1L) % P
+      while (s < n) {
+        val v = (as(s) * h + bs(s)) % P
         if (v < mins(s)) mins(s) = v
         s += 1
       }
@@ -93,13 +122,14 @@ object Dedup {
   }
 
   def minhashDedup(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (b, r) = lshBanding(threshold)
     val sh = shingled(documents)
     val sig = sh.select(col("doc_id"), col("sset"),
-      minhashSigUdf(col("sset")).as("sig"))
+      minhashSigUdf(b * r)(col("sset")).as("sig"))
+    val bandCols = (0 until r).map(k => s"sig[band*$r+$k]").mkString(", ")
     val banded = sig
-      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
-      .select(col("doc_id"), expr(
-        "concat_ws('_', band, sig[band*3], sig[band*3+1], sig[band*3+2])").as("band_key"))
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
+      .select(col("doc_id"), expr(s"concat_ws('_', band, $bandCols)").as("band_key"))
       // exchange barrier: signatures materialize once; the self-join's two
       // branches reuse the shuffle (ReusedExchange) rather than re-hashing
       // every shingle per branch, and the join needs no further exchange
@@ -120,7 +150,9 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
-  val minhashDedupOracle: String =
+  val minhashDedupOracle: String = {
+    val (b, r) = lshBanding(0.5)
+    val bandCols = (1 to r).map(k => s"sig[band*$r+$k]").mkString(", ")
     s"""WITH $oracleShingled,
       |bh AS (
       |  SELECT doc_id, sset,
@@ -129,14 +161,14 @@ object Dedup {
       |  FROM sh),
       |sig AS (
       |  SELECT doc_id, sset,
-      |         list_transform(range(0, 12), s ->
+      |         list_transform(range(0, ${b * r}), s ->
       |           list_min(list_transform(bh, h ->
       |             (((2*s + 1) * 1103515245 % 2147483647) * h + s * 12345 + 1) % 2147483647))) AS sig
       |  FROM bh),
       |banded AS (
       |  SELECT doc_id,
-      |         concat_ws('_', band, sig[band*3+1], sig[band*3+2], sig[band*3+3]) AS band_key
-      |  FROM sig, range(0, 4) AS t(band)),
+      |         concat_ws('_', band, $bandCols) AS band_key
+      |  FROM sig, range(0, $b) AS t(band)),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |  FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
@@ -146,6 +178,7 @@ object Dedup {
       |           CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jac
       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
       |SELECT a, b, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.5 ORDER BY a, b""".stripMargin
+  }
 
   // --------------------------------------------------------------------
   // SimHash: 32-bit fingerprint over the shingle set; near-dup pairs found
@@ -216,15 +249,20 @@ object Dedup {
       |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
 
   // --------------------------------------------------------------------
-  // Direct n-gram Jaccard with staggered length blocking: each doc lands
-  // in two length buckets (width 16, offset 8), so any pair differing by
-  // <8 chars shares a bucket — exact for near-dups (which are length-
-  // close by construction) without the all-pairs cross join. Bucket
-  // width is the block-size/recall knob: candidate pairs scale with
-  // bucket² so halving the width quarters the verification work.
+  // Direct n-gram Jaccard, blocked on (length bucket ∧ minhash band).
+  // Staggered length buckets (width 16, offset 8) alone are exact for
+  // near-dups but go QUADRATIC at corpus scale — document lengths
+  // concentrate, so hot buckets hold O(corpus) docs. Conjoining each
+  // length bucket with a threshold-derived minhash band key subdivides
+  // every hot bucket by content: unrelated same-length docs land in
+  // different bands (random band collision ~ 1/P per row), while a pair
+  // at jaccard ≥ t still shares ≥1 of the b bands with ≥92% probability
+  // ([[lshBanding]]). Candidate volume drops from Σ bucket² to
+  // O(docs·b + true-dup pairs); precision stays exact via verification.
   // --------------------------------------------------------------------
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
+    val (b, r) = lshBanding(threshold)
     // Shingles are 32-bit-hashed BEFORE the pairwise stage: intersecting
     // bigint arrays is far cheaper than string arrays, and at 100 TB the
     // hashed sets are also what you'd ship through the shuffle (8 bytes
@@ -236,47 +274,84 @@ object Dedup {
         """sort_array(array_distinct(transform(sequence(0, size(toks)-3),
           |  i -> CAST(conv(substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 1, 8), 16, 10) AS BIGINT))))"""
           .stripMargin).as("hset"))
-    val bucketed = sh.select(col("doc_id"), col("hset"),
-      explode(expr(
-        "array_distinct(array(CAST(floor(n_chars/16) AS BIGINT), CAST(floor((n_chars+8)/16) AS BIGINT) + 1000000))"))
-        .as("bucket"))
-      .repartition(col("bucket")) // materialize hashed sets once for both branches
-    // graft_sorted_intersect_size: codegen'd merge walk directly over the
-    // Tungsten arrays (a Scala UDF would copy both arrays per pair).
-    // The algebraic prefilter jac≥t ⟺ inter ≥ t/(1+t)·(|A|+|B|) evaluates
-    // the intersect ONCE per candidate; the exact jaccard is recomputed
-    // only for the surviving ~|true dup| rows.
-    val d = threshold / (1.0 + threshold)
-    bucketed.as("x").join(bucketed.as("y"), "bucket")
+    // 2 staggered length buckets × b minhash bands per doc. The minhash
+    // mins reuse hset's md5 values through the shared mod-p permutations
+    // (same constants as minhashDedup), so banding costs b·r affine
+    // passes over already-hashed ints — no second md5 of the corpus.
+    // hset is referenced by every key expression, so CollapseProject
+    // keeps it materialized in its own projection (multi-reference,
+    // non-cheap) — the md5 chain runs once per doc, not per key.
+    val lbs = Seq("CAST(floor(n_chars/16) AS BIGINT)",
+      "CAST(floor((n_chars+8)/16) AS BIGINT) + 1000000")
+    val keyExprs = for (lb <- lbs; i <- 0 until b) yield {
+      val mins = (0 until r).map { k =>
+        val s = i * r + k
+        s"array_min(transform(hset, h -> (${permA(s)} * (h % $P) + ${permB(s)}) % $P))"
+      }
+      s"concat_ws('|', $lb, $i, ${mins.mkString(", ")})"
+    }
+    val bucketed = sh
+      .select(col("doc_id"), explode(expr(s"array(${keyExprs.mkString(", ")})")).as("bucket"))
+      .repartition(col("bucket")) // band keys materialize once for both branches
+    val cand = bucketed.as("x").join(bucketed.as("y"), "bucket")
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        expr("graft_sorted_intersect_size(x.hset, y.hset)").as("inter"),
-        (size(col("x.hset")) + size(col("y.hset"))).as("stot"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact-jaccard verification of candidate (a, b) pairs against the
+    * hashed shingle sets. graft_sorted_intersect_size is a codegen'd
+    * merge walk directly over the Tungsten arrays (a Scala UDF would
+    * copy both arrays per pair); the algebraic prefilter
+    * jac≥t ⟺ inter ≥ t/(1+t)·(|A|+|B|) evaluates the intersect ONCE per
+    * candidate, the division only for survivors. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val d = threshold / (1.0 + threshold)
+    cand
+      .join(sh.select(col("doc_id"), col("hset").as("sa")), cand("a") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("hset").as("sb")), cand("b") === col("doc_id")).drop("doc_id")
+      .select(col("a"), col("b"),
+        expr("graft_sorted_intersect_size(sa, sb)").as("inter"),
+        (size(col("sa")) + size(col("sb"))).as("stot"))
       .filter(col("inter") >= lit(d) * col("stot"))
       .select(col("a"), col("b"),
         (col("inter") / (col("stot") - col("inter")).cast("double")).as("jac"))
-      .distinct()
       .filter(col("jac") >= threshold) // exact belt for arbitrary thresholds
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
   }
 
-  val ngramJaccardOracle: String =
-    """WITH toks AS (
-      |  SELECT doc_id, n_chars, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+  val ngramJaccardOracle: String = {
+    val (b, r) = lshBanding(0.5)
+    val lbs = Seq("CAST(floor(n_chars/16) AS BIGINT)",
+      "CAST(floor((n_chars+8)/16) AS BIGINT) + 1000000")
+    val keyExprs = for (lb <- lbs; i <- 0 until b) yield {
+      val mins = (0 until r).map { k =>
+        val s = i * r + k
+        s"list_min(list_transform(hset, h -> (${permA(s)} * (h % $P) + ${permB(s)}) % $P))"
+      }
+      s"concat_ws('|', $lb, $i, ${mins.mkString(", ")})"
+    }
+    s"""WITH toks AS (
+      |  SELECT doc_id, n_chars, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
       |sh AS (
       |  SELECT doc_id, n_chars,
       |         list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8)) AS BIGINT)
       |                        for i in range(1, len(ts)-1)]) AS hset
       |  FROM toks WHERE len(ts) >= 3),
       |bucketed AS (
-      |  SELECT doc_id, hset, bucket
-      |  FROM sh, unnest(list_distinct([CAST(floor(n_chars/16) AS BIGINT),
-      |                                 CAST(floor((n_chars+8)/16) AS BIGINT) + 1000000])) AS t(bucket)),
+      |  SELECT doc_id, unnest([${keyExprs.mkString(",\n      |          ")}]) AS bucket
+      |  FROM sh),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
       |pairs AS (
-      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-      |         len(list_intersect(x.hset, y.hset)) /
-      |           CAST(len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) AS DOUBLE) AS jac
-      |  FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+      |  SELECT c.a, c.b,
+      |         len(list_intersect(sa.hset, sb.hset)) /
+      |           CAST(len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE) AS jac
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
       |SELECT a, b, ROUND(jac, 4) AS jaccard FROM pairs WHERE jac >= 0.5 ORDER BY a, b""".stripMargin
+  }
 }

@@ -35,9 +35,48 @@ class InvariantsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.ngramJaccard(docs, threshold = 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // ngram blocking only pairs length-close docs; every such pair at
-    // j≥0.9 must also survive 4×3 minhash banding (miss prob ≤ 1e-4)
+    // ngram blocking conjoins length buckets with the SAME minhash band
+    // keys minhashDedup uses, so its candidates are a subset of minhash's
     assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")
+  }
+
+  test("ngram candidate volume stays O(docs) under total length skew " +
+    "(every doc in one length bucket must NOT go quadratic)") {
+    val r = new scala.util.Random(11)
+    val n = 200
+    // unrelated random content over a large vocab, but IDENTICAL n_chars:
+    // length-only blocking would emit n(n-1)/2 = 19900 candidate pairs
+    val docs = (0 until n).map { i =>
+      val words = Seq.fill(20)(r.alphanumeric.take(5).mkString)
+      (i.toLong, words.mkString(" "), "en", "s", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // threshold 0 disables both verify filters, so the output IS the
+    // candidate set (pairs sharing a length∧band bucket)
+    val cands = Dedup.ngramJaccard(docs, threshold = 0.0).count()
+    assert(cands <= 3L * n,
+      s"$cands candidates for $n same-length docs — blocking went quadratic")
+  }
+
+  test("minhash banding derived from threshold keeps recall on planted " +
+    "near-dups at two different thresholds") {
+    val r = new scala.util.Random(42)
+    val planted = 30
+    val docs = (0 until planted).flatMap { i =>
+      val words = Seq.fill(50)(r.alphanumeric.take(4).mkString)
+      val dup = words.updated(25, "changed")
+      Seq((2L * i, words.mkString(" ")), (2L * i + 1, dup.mkString(" ")))
+    }.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // planted dups have j = 45/51 ≈ 0.88 (one changed token flips 3 of
+    // 48 shingles), so test below that: 0.5 and 0.8
+    for (t <- Seq(0.5, 0.8)) {
+      val found = Dedup.minhashDedup(docs, threshold = t).collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      val hits = (0 until planted).count(i => found.contains((2L * i, 2L * i + 1)))
+      // banding targets ≥92% per-pair recall at the REQUESTED threshold,
+      // and the planted pairs sit above it, so recall should be near-total
+      assert(hits >= (planted * 0.85).toInt, s"recall $hits/$planted at t=$t")
+    }
   }
 
   test("cosine outputs are within [-1, 1] and symmetric pairs canonical") {
