@@ -29,7 +29,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout passes through sbt's logger (an "[info] " prefix broke the
+    // driver's JSON parse in round 1) — also write the line to a file so
+    // BENCH_r*.json always gets machine-readable per-query numbers
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

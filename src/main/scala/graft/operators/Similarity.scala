@@ -74,10 +74,16 @@ object Similarity {
   // quadratic; [[annLshTopK]] is the sub-quadratic path at scale.
   // --------------------------------------------------------------------
   def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.5,
-                    blocks: Int = 16): DataFrame = {
+                    blocks: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val B = blocks
+    // Default block count scales with the cluster, not the data: B(B+1)/2
+    // block-pair join groups ≈ 4× task slots keeps every core busy while
+    // bounding row replication (each row ships to ~B/2+1 groups per side).
+    // On a 1000-executor × 8-core cluster this derives B ≈ 180 — 16k
+    // tiles — with no driver-side data inspection needed.
+    val B = if (blocks > 0) blocks
+      else math.max(4, math.ceil(math.sqrt(8.0 * spark.sparkContext.defaultParallelism)).toInt)
     val q = quantized(embeddings)
       .withColumn("blk", pmod(col("vec_id"), lit(B.toLong)).cast("int"))
     // A row in block b is the LEFT of block-pairs (b, b..B-1) and the
@@ -88,7 +94,9 @@ object Similarity {
       s"transform(sequence(blk, ${B - 1}), j -> struct(blk AS lo, j AS hi))")))
     val right = q.withColumn("bp", explode(expr(
       s"transform(sequence(0, blk), i -> struct(i AS lo, blk AS hi))")))
-    left.as("x").join(right.as("y"), col("x.bp") === col("y.bp"))
+    // shuffle-hash, not sort-merge: the build side is a bounded n/B-row
+    // tile and sorting 4 KB array rows is pure waste
+    left.as("x").join(right.as("y").hint("shuffle_hash"), col("x.bp") === col("y.bp"))
       .filter(col("x.bp.lo") =!= col("x.bp.hi") || col("x.vec_id") < col("y.vec_id"))
       .select(
         least(col("x.vec_id"), col("y.vec_id")).as("a"),

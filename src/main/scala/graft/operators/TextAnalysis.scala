@@ -41,7 +41,11 @@ object TextAnalysis {
         expr("CAST(round(ln((cw + 1.0) / (tot + v)) * 1000000) AS BIGINT)").as("lp"))
     val docWords = toks.groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("n"))
-    val scored = docWords.join(profile, "w")
+    // profile is |V|·|L| rows (aggregated, tiny next to the corpus):
+    // broadcast it so the stopword-skewed join on `w` never shuffles the
+    // doc-word stream by token — the hot-key problem disappears because
+    // every partition owns a full profile copy
+    val scored = docWords.join(broadcast(profile), "w")
       .groupBy(col("doc_id"), col("lang"), col("l"))
       .agg(sum(col("n") * col("lp")).as("score"))
     val best = scored.withColumn("rn", expr(

@@ -102,6 +102,14 @@ class PlanSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("q31: the doc-word ⋈ profile join broadcasts the profile side " +
+    "(stopword skew must not shuffle the token stream by word)") {
+    val df = SparkEntry.queries("q31_langid")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("q26: banded self-join avoids a two-sided shuffle join (broadcast " +
     "at small scale, exchange reuse at large)") {
     val df = SparkEntry.queries("q26_dedup_simhash")(spark, sf)
