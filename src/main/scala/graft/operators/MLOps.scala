@@ -168,6 +168,50 @@ object MLOps {
       |FROM best WHERE rn = 1
       |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
 
+  /** REAL per-pair model training (SURVEY D9; reference
+    * plants_classifier.py:166–180, 222–231): one binary MLlib
+    * LogisticRegression per label pair, mirroring q41's pair-generation
+    * shape. Deliberately NOT in the oracle-checked query set — trained
+    * weights are solver output, not relational algebra; no cross-engine
+    * oracle exists (same reason the reference's .joblib files aren't
+    * diffable). The *pipeline* is deterministic and spec-gated: pair
+    * enumeration, train-set sizes, and separability on disjoint clusters.
+    *
+    * Orchestration matches the reference: the driver loops over the
+    * |L|²/2 pairs (|L| is small — the driver-side collect is the label
+    * DISTINCT, never the vectors) while each fit() distributes its
+    * gradient aggregation over the cached feature Dataset. */
+  def trainPairClassifiers(embeddings: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val feats = embeddings
+      .select(expr("CAST(label AS INT)").as("label"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .cache()
+    try {
+      val counts = feats.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .as[(Int, Long)].collect().toMap
+      val labels = counts.keys.toArray.sorted
+      val results = for {
+        i <- labels.indices
+        j <- (i + 1) until labels.length
+      } yield {
+        val (la, lb) = (labels(i), labels(j))
+        val train = feats.filter(col("label").isin(la, lb))
+          .withColumn("y", when(col("label") === lb, 1.0).otherwise(0.0))
+        val model = new LogisticRegression()
+          .setMaxIter(maxIter).setRegParam(0.01)
+          .setLabelCol("y").setFeaturesCol("features")
+          .fit(train)
+        (la, lb, counts(la) + counts(lb), model.summary.accuracy)
+      }
+      results.toDF("la", "lb", "n_train", "train_accuracy")
+        .orderBy(col("la"), col("lb"))
+    } finally { feats.unpersist(); () }
+  }
+
   /** Shared per-label vector aggregation (also used by pairSeparation):
     * the typed [[graft.functions.VectorSumAgg]] Aggregator as a DataFrame
     * UDAF — partial (map-side) combining of the embedding vectors, so only

