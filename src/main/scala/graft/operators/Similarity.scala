@@ -90,14 +90,15 @@ object Similarity {
     // RIGHT of block-pairs (0..b, b): every unordered pair of rows meets
     // in exactly one block-pair group (within-block pairs deduped by the
     // vec_id < vec_id filter below).
-    val left = q.withColumn("bp", explode(expr(
-      s"transform(sequence(blk, ${B - 1}), j -> struct(blk AS lo, j AS hi))")))
-    val right = q.withColumn("bp", explode(expr(
-      s"transform(sequence(0, blk), i -> struct(i AS lo, blk AS hi))")))
+    val left = q.withColumn("hi", explode(expr(s"sequence(blk, ${B - 1})")))
+      .withColumnRenamed("blk", "lo")
+    val right = q.withColumn("lo", explode(expr("sequence(0, blk)")))
+      .withColumnRenamed("blk", "hi")
     // shuffle-hash, not sort-merge: the build side is a bounded n/B-row
     // tile and sorting 4 KB array rows is pure waste
-    left.as("x").join(right.as("y").hint("shuffle_hash"), col("x.bp") === col("y.bp"))
-      .filter(col("x.bp.lo") =!= col("x.bp.hi") || col("x.vec_id") < col("y.vec_id"))
+    left.as("x").join(right.as("y").hint("shuffle_hash"),
+        col("x.lo") === col("y.lo") && col("x.hi") === col("y.hi"))
+      .filter(col("x.lo") =!= col("x.hi") || col("x.vec_id") < col("y.vec_id"))
       .select(
         least(col("x.vec_id"), col("y.vec_id")).as("a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("b"),
