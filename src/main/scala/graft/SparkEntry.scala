@@ -99,7 +99,12 @@ object SparkEntry {
     // approx sketches: deterministic KMV distinct estimate + exact median
     // over a deterministic hash sample — oracle-checkable, unlike
     // HLL/t-digest whose results differ across engines
-    "q47_sketches" -> ((s, d) => Sketches.sketchStats(lineitem(s, d)))
+    "q47_sketches" -> ((s, d) => Sketches.sketchStats(lineitem(s, d))),
+    // training-data curation tier (all row-local / broadcast shaped)
+    "q50_pii_scrub" -> ((s, d) => Pipeline.piiScrub(documents(s, d))),
+    "q51_repetition" -> ((s, d) => Pipeline.repetitionFilter(documents(s, d))),
+    "q52_source_mix" -> ((s, d) => Pipeline.sourceMixture(documents(s, d))),
+    "q53_contamination" -> ((s, d) => Pipeline.contamination(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -153,6 +158,10 @@ object SparkEntry {
     "q46_asof_join" -> Joins.asofAttributionOracle,
     "q47_sketches" -> Sketches.sketchStatsOracle,
     "q48_pivot" -> EventOps.eventTypePivotOracle,
-    "q49_percentiles" -> EventOps.quantityPercentilesOracle
+    "q49_percentiles" -> EventOps.quantityPercentilesOracle,
+    "q50_pii_scrub" -> Pipeline.piiScrubOracle,
+    "q51_repetition" -> Pipeline.repetitionFilterOracle,
+    "q52_source_mix" -> Pipeline.sourceMixtureOracle,
+    "q53_contamination" -> Pipeline.contaminationOracle
   )
 }

@@ -263,7 +263,7 @@ object Dedup {
   /** Sorted distinct 32-bit md5 hashes of the 3-token shingles — the JVM
     * twin of `sort_array(array_distinct(transform(..., md5-conv)))`,
     * verified element-identical against the SQL chain. */
-  private val hsetUdf = udf { toks: Seq[String] =>
+  private[operators] val hsetUdf = udf { toks: Seq[String] =>
     val md = java.security.MessageDigest.getInstance("MD5")
     val set = new java.util.TreeSet[java.lang.Long]()
     var i = 0

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup/similarity: PII
+  * scrubbing, repetition-based quality filtering, source-mixture
+  * sampling, and benchmark-contamination checks (north-star extensions;
+  * the reference's nearest analog is the scrub/filter stage of its
+  * wordcount task, example_wordcount.py:14–17).
+  *
+  * Scale design: every operator here is row-local or broadcast-join
+  * shaped — nothing shuffles the corpus. PII counts and repetition
+  * ratios are per-row expressions; mixture sampling is a hash-Bernoulli
+  * decision per row aggregated per source; contamination intersects each
+  * doc's shingle set against a broadcast benchmark set. Ratios are
+  * integer-exact (ppm via integer division), never float-summed.
+  */
+object Pipeline {
+
+  // --------------------------------------------------------------------
+  // PII scrub: count + redact emails / phone numbers / SSN-shaped ids.
+  // Patterns are RE2-safe (same semantics in Java regex and DuckDB).
+  // --------------------------------------------------------------------
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val idRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(idRe)).cast("long").as("n_ids"),
+      md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        idRe, "<ID>")).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+
+  val piiScrubOracle: String =
+    s"""SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+      |       CAST(len(regexp_extract_all(text, '$idRe')) AS BIGINT) AS n_ids,
+      |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |             '$emailRe', '<EMAIL>', 'g'),
+      |             '$phoneRe', '<PHONE>', 'g'),
+      |             '$idRe', '<ID>', 'g')) AS scrubbed_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Repetition-based quality (Gopher-style): duplicate-bigram fraction
+  // and most-common-word fraction, entirely row-local (the per-doc
+  // word-count scan is O(|distinct|·|words|) inside one row — no
+  // doc-word shuffle ever happens). Fractions are exact integer ppm.
+  // --------------------------------------------------------------------
+  def repetitionFilter(documents: DataFrame,
+                       maxDupBigramPpm: Long = 300000L,
+                       maxTopWordPpm: Long = 200000L): DataFrame =
+    documents
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("""CAST((size(toks) - 1
+                     - size(array_distinct(transform(sequence(0, size(toks)-2),
+                              i -> concat_ws(' ', toks[i], toks[i+1]))))) * 1000000L
+                     DIV (size(toks) - 1) AS BIGINT)""").as("dup_bigram_ppm"),
+        expr("""CAST(array_max(transform(array_distinct(toks),
+                       w -> size(filter(toks, t -> t = w)))) * 1000000L
+                     DIV size(toks) AS BIGINT)""").as("top_word_ppm"))
+      .withColumn("keep",
+        col("dup_bigram_ppm") < maxDupBigramPpm &&
+          col("top_word_ppm") < maxTopWordPpm)
+      .orderBy(col("doc_id"))
+
+  val repetitionFilterOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+      |stats AS (
+      |  SELECT doc_id,
+      |         CAST(len(ts) AS BIGINT) AS n_words,
+      |         CAST((len(ts) - 1
+      |               - len(list_distinct([ts[i] || ' ' || ts[i+1]
+      |                                    for i in range(1, len(ts))]))) * 1000000
+      |              // (len(ts) - 1) AS BIGINT) AS dup_bigram_ppm,
+      |         CAST(list_max(list_transform(list_distinct(ts),
+      |                w -> len(list_filter(ts, t -> t = w)))) * 1000000
+      |              // len(ts) AS BIGINT) AS top_word_ppm
+      |  FROM toks WHERE len(ts) >= 2)
+      |SELECT doc_id, n_words, dup_bigram_ppm, top_word_ppm,
+      |       dup_bigram_ppm < 300000 AND top_word_ppm < 200000 AS keep
+      |FROM stats ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Source-mixture sampling: per-source target keep-rates (derived
+  // deterministically from the source name), applied as hash-Bernoulli
+  // per doc — the "downweight the crawl, keep the books" stage of a
+  // pretraining mix. Same rows selected on any cluster and in the
+  // oracle; no rand() anywhere.
+  // --------------------------------------------------------------------
+  def sourceMixture(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        (expr("CAST(conv(substr(md5(source), 1, 8), 16, 10) AS BIGINT)") % 60 + 10)
+          .as("rate_pct"),
+        (expr("CAST(conv(substr(md5(concat(source, ':', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+          % 100).as("roll"))
+      .groupBy(col("source"), col("rate_pct"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("roll") < col("rate_pct"), 1L).otherwise(0L)).as("kept"))
+      .orderBy(col("source"))
+
+  val sourceMixtureOracle: String =
+    """WITH rolls AS (
+      |  SELECT source,
+      |         CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) % 60 + 10 AS rate_pct,
+      |         CAST(concat('0x', substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS roll
+      |  FROM documents)
+      |SELECT source, rate_pct,
+      |       CAST(COUNT(*) AS BIGINT) AS total,
+      |       CAST(SUM(CASE WHEN roll < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS kept
+      |FROM rolls GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Benchmark-contamination check: fraction of each corpus doc's shingles
+  // that appear in a (small) benchmark set. The benchmark side collapses
+  // to ONE distinct-shingle array and broadcasts; the corpus side is a
+  // row-local sorted-intersect against it — at 100 TB nothing shuffles
+  // but the benchmark array. Docs with ≥50% shingle overlap are flagged.
+  // --------------------------------------------------------------------
+  def contamination(documents: DataFrame, benchMod: Int = 50,
+                    flagPpm: Long = 500000L): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val sh = documents
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), Dedup.hsetUdf(col("toks")).as("hset"))
+    val benchArr = sh.filter(col("doc_id") % benchMod === 0)
+      .select(explode(col("hset")).as("h")).distinct()
+      .agg(sort_array(collect_list(col("h"))).as("bset"))
+    sh.filter(col("doc_id") % benchMod =!= 0)
+      .crossJoin(broadcast(benchArr))
+      .select(col("doc_id"),
+        size(col("hset")).cast("long").as("n_shingles"),
+        expr("CAST(graft_sorted_intersect_size(hset, bset) AS BIGINT)").as("n_overlap"))
+      .withColumn("overlap_ppm",
+        expr("CAST(n_overlap * 1000000L DIV n_shingles AS BIGINT)"))
+      .withColumn("contaminated", col("overlap_ppm") >= flagPpm)
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8)) AS BIGINT)
+      |                        for i in range(1, len(ts)-1)]) AS hset
+      |  FROM toks WHERE len(ts) >= 3),
+      |bench AS (
+      |  SELECT DISTINCT t.h FROM sh, unnest(hset) AS t(h) WHERE doc_id % 50 = 0),
+      |barr AS (SELECT list(h) AS bset FROM bench),
+      |scored AS (
+      |  SELECT doc_id,
+      |         CAST(len(hset) AS BIGINT) AS n_shingles,
+      |         CAST(len(list_intersect(hset, barr.bset)) AS BIGINT) AS n_overlap
+      |  FROM sh, barr WHERE doc_id % 50 <> 0)
+      |SELECT doc_id, n_shingles, n_overlap,
+      |       CAST(n_overlap * 1000000 // n_shingles AS BIGINT) AS overlap_ppm,
+      |       n_overlap * 1000000 // n_shingles >= 500000 AS contaminated
+      |FROM scored ORDER BY doc_id""".stripMargin
+}

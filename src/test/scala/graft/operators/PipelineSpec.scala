@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang",
+        "concat('src', CAST(doc_id % 3 AS STRING)) AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+
+  test("piiScrub counts and redacts planted emails, phones, ids") {
+    val d = docs(
+      (0L, "contact bob@example.com or alice@test.org today"),
+      (1L, "call 555-123-4567 or 555.987.6543 now"),
+      (2L, "ssn 123-45-6789 on file"),
+      (3L, "clean text with no pii at all"))
+    val out = Pipeline.piiScrub(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_emails") == 2L)
+    assert(out(1L).getAs[Long]("n_phones") == 2L)
+    assert(out(2L).getAs[Long]("n_ids") == 1L)
+    assert(out(3L).getAs[Long]("n_emails") == 0L &&
+      out(3L).getAs[Long]("n_phones") == 0L && out(3L).getAs[Long]("n_ids") == 0L)
+    // redaction changes the fingerprint only when something matched
+    val cleanFp = out(3L).getAs[String]("scrubbed_fp")
+    assert(cleanFp == org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      "clean text with no pii at all"))
+  }
+
+  test("repetitionFilter: repeated text fails, varied text passes") {
+    val varied = (1 to 40).map(i => s"word$i").mkString(" ")
+    val looped = Seq.fill(20)("spam eggs").mkString(" ")
+    val out = Pipeline.repetitionFilter(docs((0L, varied), (1L, looped)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"))
+    assert(out(0L).getAs[Long]("dup_bigram_ppm") == 0L)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    // "spam eggs" x20: top word appears 20/40 times = 500000 ppm
+    assert(out(1L).getAs[Long]("top_word_ppm") == 500000L)
+  }
+
+  test("sourceMixture keep-rates are per-source deterministic and within [10, 69]") {
+    val d = docs((0L until 300L).map(i => (i, s"text $i")): _*)
+    val out = Pipeline.sourceMixture(d).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val rate = r.getAs[Long]("rate_pct")
+      assert(rate >= 10L && rate <= 69L)
+      val frac = r.getAs[Long]("kept").toDouble / r.getAs[Long]("total")
+      assert(math.abs(frac - rate / 100.0) < 0.15,
+        s"${r.getAs[String]("source")}: kept fraction $frac vs rate $rate%")
+    }
+    assertDeterministic(Pipeline.sourceMixture(d))
+  }
+
+  test("contamination flags docs sharing shingles with the benchmark set") {
+    // doc 0 (doc_id % 50 == 0) is the benchmark; doc 7 copies it,
+    // doc 1 is unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs((0L, base), (7L, base), (1L, "one two three four five six"))
+    val out = Pipeline.contamination(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(0L), "benchmark docs are excluded from the corpus side")
+    assert(out(7L).getAs[Boolean]("contaminated"))
+    assert(out(7L).getAs[Long]("overlap_ppm") == 1000000L)
+    assert(!out(1L).getAs[Boolean]("contaminated"))
+    assert(out(1L).getAs[Long]("n_overlap") == 0L)
+  }
+}
