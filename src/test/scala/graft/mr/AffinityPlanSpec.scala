@@ -1,0 +1,57 @@
+package graft.mr
+
+import graft.SparkSpec
+
+class AffinityPlanSpec extends SparkSpec {
+
+  private val classes = (0 until 12).map(i => f"sp$i%02d")
+
+  test("every pair is assigned exactly once, groups respect the quota") {
+    val div = AffinityPlan.divideWork(classes, 4)
+    val all = div.flatten
+    assert(all.size == 12 * 11 / 2)
+    assert(all.distinct.size == all.size)
+    assert(all.toSet == AffinityPlan.labelPairs(classes).toSet)
+    val quota = math.ceil(all.size / 4.0).toInt
+    assert(div.forall(_.size <= quota))
+  }
+
+  test("affinity grouping ships fewer labels than round-robin") {
+    val aff = AffinityPlan.shipments(AffinityPlan.divideWork(classes, 4))
+    val rr = AffinityPlan.shipments(AffinityPlan.roundRobin(classes, 4))
+    assert(aff < rr, s"affinity $aff vs round-robin $rr")
+    // and never worse than the trivial lower/upper bounds
+    assert(aff >= classes.size) // every label ships at least once
+    assert(aff <= 4 * classes.size) // never worse than broadcast-all
+  }
+
+  test("division and routing are deterministic") {
+    assert(AffinityPlan.divideWork(classes, 4) == AffinityPlan.divideWork(classes, 4))
+    val route = AffinityPlan.multicastRoute(AffinityPlan.divideWork(classes, 4))
+    assert(route.keySet == classes.toSet)
+  }
+
+  test("multicastRoute through MRJob delivers both labels of every " +
+    "assigned pair to that pair's worker") {
+    val workers = 4
+    val div = AffinityPlan.divideWork(classes, workers)
+    val route = AffinityPlan.multicastRoute(div)
+    // records: one (label, payload) per label; route by affinity plan
+    val input = spark.sparkContext.parallelize(
+      classes.map(l => (l, s"emb-$l")), 3)
+    val perWorker = MRJob.run[(String, String), String, String, String](
+      input, workers,
+      map = (it, _) => it,
+      shuffle = k => route(k),
+      reduce = (k, _) => Iterator(k))
+      .mapPartitionsWithIndex((w, it) => Iterator(w -> it.toSet))
+      .collect().toMap
+    div.zipWithIndex.foreach { case (group, w) =>
+      val needed = group.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(needed.subsetOf(perWorker(w)),
+        s"worker $w missing ${needed -- perWorker(w)}")
+      // and nothing extra was shipped (the whole point of the planner)
+      assert(perWorker(w) == needed)
+    }
+  }
+}
