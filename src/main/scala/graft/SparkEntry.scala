@@ -65,6 +65,7 @@ object SparkEntry {
     "q28_emb_neardup" -> ((s, d) => Similarity.cosineNearDup(embeddings(s, d))),
     "q29_ann_brute" -> ((s, d) => Similarity.annBruteTopK(embeddings(s, d))),
     "q30_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d))),
+    "q54_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(embeddings(s, d))),
     // text analysis (north-star)
     "q31_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q32_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
@@ -162,6 +163,7 @@ object SparkEntry {
     "q50_pii_scrub" -> Pipeline.piiScrubOracle,
     "q51_repetition" -> Pipeline.repetitionFilterOracle,
     "q52_source_mix" -> Pipeline.sourceMixtureOracle,
-    "q53_contamination" -> Pipeline.contaminationOracle
+    "q53_contamination" -> Pipeline.contaminationOracle,
+    "q54_ann_ivf" -> Similarity.annIvfTopKOracle
   )
 }

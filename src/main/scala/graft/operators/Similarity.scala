@@ -200,6 +200,95 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // --------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path next to LSH:
+  // C deterministic centroids (the vectors with the C smallest md5(id)
+  // hashes — an engine-independent pseudo-random sample), every vector
+  // assigned to its nearest centroid cell by EXACT integer distance
+  // (argmin of n2_c − 2·v·c; the ‖v‖² term cancels), queries probe the
+  // nProbe nearest cells. One narrow shuffle on the cell id; the
+  // quadratic step runs only inside probed cells (expected n/C of the
+  // corpus each). The (score, centroid-index) argmin is ENCODED into one
+  // bigint (score′·256 + idx with a 2³⁸ offset to keep it nonnegative)
+  // so both engines order plain integers — no cross-engine struct
+  // comparison semantics anywhere.
+  // --------------------------------------------------------------------
+  def annIvfTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
+                 centroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val q = quantized(embeddings)
+    // C centroids, cheapest-hash-first; collapse to ONE broadcast row of
+    // (qv, n2) structs ordered by hash then vec_id (fully deterministic)
+    val centArr = q
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .orderBy(col("h"), col("vec_id")).limit(centroids)
+      .agg(collect_list(struct(col("h"), col("vec_id"), col("qv"), col("n2"))).as("raw"))
+      .select(expr("transform(array_sort(raw), c -> struct(c.qv AS qv, c.n2 AS n2))").as("cents"))
+    val OFF = 274877906944L // 2^38 > max |n2_c - 2·dot| for 512-dim ×10⁴-quantized vectors
+    val scoresExpr =
+      s"""transform(cents, (c, i) ->
+         |  (c.n2 - 2L * graft_dot_long(qv, c.qv) + ${OFF}L) * 256L + CAST(i AS BIGINT))""".stripMargin
+    val assigned = q.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("qv"), col("n2"),
+        expr(s"array_min($scoresExpr) % 256L").as("cell"))
+      .repartition(col("cell"))
+    val probes = q.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("qv"), col("n2"),
+        explode(expr(
+          s"transform(slice(array_sort($scoresExpr), 1, $nProbe), x -> x % 256L)"))
+          .as("cell"))
+    probes.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
+        expr(cosExpr).as("cos"))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annIvfTopKOracle: String = {
+    val OFF = 274877906944L
+    val dotCQ =
+      """CAST(list_sum(list_transform(range(1, len(q.qv)+1), d -> q.qv[d] * cents[i].qv[d])) AS BIGINT)"""
+    val scores =
+      s"""list_transform(range(1, len(cents)+1), i ->
+         |        (cents[i].n2 - 2 * $dotCQ + $OFF) * 256 + (i - 1))""".stripMargin
+    s"""WITH $oracleQuantized,
+      |ranked_cents AS (
+      |  SELECT qv, n2,
+      |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+      |         vec_id
+      |  FROM qn ORDER BY h, vec_id LIMIT 16),
+      |carr AS (
+      |  SELECT list(struct_pack(qv := qv, n2 := n2) ORDER BY h, vec_id) AS cents
+      |  FROM ranked_cents),
+      |assigned AS (
+      |  SELECT q.vec_id, q.qv, q.n2,
+      |         list_min($scores) % 256 AS cell
+      |  FROM qn q, carr),
+      |probes AS (
+      |  SELECT q.vec_id, q.qv, q.n2, t.pcell
+      |  FROM qn q, carr,
+      |       unnest(list_transform(list_sort($scores)[1:2], x -> x % 256)) AS t(pcell)
+      |  WHERE q.vec_id < 10),
+      |scored AS (
+      |  SELECT x.vec_id AS qid, y.vec_id AS nid,
+      |         $oracleCosExpr AS cos
+      |  FROM probes x JOIN assigned y
+      |    ON x.pcell = y.cell AND x.vec_id <> y.vec_id),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, ROUND(cos, 6) AS cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val annLshTopKOracle: String =
     s"""WITH $oracleQuantized,
       |bucketed AS (

@@ -110,6 +110,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("q51: repetition stats never shuffle a doc-word stream — the only " +
+    "exchange is the final presentation sort") {
+    val p = formatted(SparkEntry.queries("q51_repetition")(spark, sf))
+    assert(!p.contains("hashpartitioning"),
+      "row-local ppm stats must not hash-shuffle:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q53: the benchmark shingle array broadcasts — the corpus side " +
+    "never shuffles for the overlap join") {
+    val df = SparkEntry.queries("q53_contamination")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+  }
+
   test("q26: banded self-join avoids a two-sided shuffle join (broadcast " +
     "at small scale, exchange reuse at large)") {
     val df = SparkEntry.queries("q26_dedup_simhash")(spark, sf)

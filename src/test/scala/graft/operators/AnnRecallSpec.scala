@@ -21,4 +21,15 @@ class AnnRecallSpec extends SparkSpec {
     // every LSH hit must still be a real pair from the corpus
     assert(lsh.forall { case (q, n) => q != n })
   }
+
+  test("annIvfTopK 2-probe recall@3 vs annBruteTopK stays >= its floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.annBruteTopK(emb, k = 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val ivf = Similarity.annIvfTopK(emb, k = 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    info(s"IVF recall@3 = $recall")
+    assert(recall >= 0.20, s"IVF recall@3 regressed to $recall")
+  }
 }
