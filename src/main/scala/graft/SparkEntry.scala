@@ -66,6 +66,8 @@ object SparkEntry {
     "q29_ann_brute" -> ((s, d) => Similarity.annBruteTopK(embeddings(s, d))),
     "q30_ann_lsh" -> ((s, d) => Similarity.annLshTopK(embeddings(s, d))),
     "q54_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(embeddings(s, d))),
+    // banded range join (time-window equi-ized via hour buckets)
+    "q55_range_join" -> ((s, d) => Joins.rangeJoinClicks(events(s, d))),
     // text analysis (north-star)
     "q31_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q32_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
@@ -164,6 +166,7 @@ object SparkEntry {
     "q51_repetition" -> Pipeline.repetitionFilterOracle,
     "q52_source_mix" -> Pipeline.sourceMixtureOracle,
     "q53_contamination" -> Pipeline.contaminationOracle,
-    "q54_ann_ivf" -> Similarity.annIvfTopKOracle
+    "q54_ann_ivf" -> Similarity.annIvfTopKOracle,
+    "q55_range_join" -> Joins.rangeJoinClicksOracle
   )
 }

@@ -159,4 +159,49 @@ object Joins {
       |       a.label AS label_a, b.label AS label_b,
       |       a.n AS n_a, b.n AS n_b, a.n + b.n AS total
       |FROM counts a JOIN counts b ON a.label < b.label""".stripMargin
+
+  /** Banded RANGE JOIN: clicks within the hour before each purchase, per
+    * user. A naive time-range join is a per-user cross product; banding
+    * each row to its epoch-hour bucket turns it into an EQUI-join — every
+    * purchase probes exactly two buckets (its own + the previous hour),
+    * so candidates are bounded by bucket population, the shuffle is one
+    * narrow (user, bucket) exchange, and the exact `[pts−1h, pts)` range
+    * check runs only on candidates. The standard bucketed-range-join
+    * shape at any scale; skewed hot users fall to AQE skew handling. */
+  def rangeJoinClicks(events: DataFrame): DataFrame = {
+    val hourBucket = expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), hourBucket.as("bucket"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"),
+        explode(array(hourBucket - 1, hourBucket)).as("bucket"))
+    purchases.join(clicks, Seq("user_id", "bucket"), "left")
+      .select(col("event_id"), col("user_id"),
+        when(col("cts").isNotNull &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+          col("cts") < col("pts"), 1L).otherwise(0L).as("m"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(sum(col("m")).as("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  val rangeJoinClicksOracle: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS cts, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT event_id, user_id, ts AS pts,
+      |         unnest([CAST(floor(epoch(ts) / 3600) AS BIGINT) - 1,
+      |                 CAST(floor(epoch(ts) / 3600) AS BIGINT)]) AS bucket
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id,
+      |         CASE WHEN c.cts IS NOT NULL
+      |                   AND c.cts >= p.pts - INTERVAL 1 HOUR
+      |                   AND c.cts < p.pts
+      |              THEN 1 ELSE 0 END AS m
+      |  FROM purchases p LEFT JOIN clicks c
+      |    ON c.user_id = p.user_id AND c.bucket = p.bucket)
+      |SELECT event_id, user_id, CAST(SUM(m) AS BIGINT) AS n_clicks
+      |FROM j GROUP BY 1, 2 ORDER BY event_id""".stripMargin
 }

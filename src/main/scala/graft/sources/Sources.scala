@@ -62,4 +62,17 @@ object Sources {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     path
   }
+
+  /** Bucketed catalog table sink: pre-shuffles ONCE at write time so
+    * every later equi-join/aggregation on the bucket key is co-located —
+    * at 100 TB this is the difference between one shuffle per pipeline
+    * run and zero (both sides of a fact⋈fact join arrive pre-hashed;
+    * SourcesSpec asserts the join plan has no Exchange). Buckets are
+    * Spark's hash buckets, the durable analog of the reference's
+    * semantic partitioner (accident_analysis.py:90–104). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }

@@ -65,4 +65,30 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(part"),
       "partition pruning must reach the scan")
   }
+
+  test("writeBucketed: a join of two bucketed tables is co-located — " +
+    "zero Exchange in the physical plan") {
+    val a = spark.range(1000).withColumn("va", expr("id * 2"))
+    val b = spark.range(1000).withColumn("vb", expr("id * 3"))
+    Sources.writeBucketed(a, "bkt_a", "id", 4)
+    Sources.writeBucketed(b, "bkt_b", "id", 4)
+    // the fixture is tiny, so the planner would broadcast (also
+    // shuffle-free, but not what this test pins down) — force the
+    // co-located shuffle-join path a fact⋈fact join takes at scale
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+        .filter(col("va") > 100)
+      assert(joined.count() == 949)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed equi-join must not shuffle either side:\n" + p.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+      ()
+    }
+  }
 }
