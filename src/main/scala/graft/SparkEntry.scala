@@ -68,6 +68,8 @@ object SparkEntry {
     "q54_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(embeddings(s, d))),
     // banded range join (time-window equi-ized via hour buckets)
     "q55_range_join" -> ((s, d) => Joins.rangeJoinClicks(events(s, d))),
+    // stream-stream interval join, batch twin (inner-join semantics)
+    "q56_stream_join" -> ((s, d) => streaming.EventStream.clickAttributionCounts(events(s, d))),
     // text analysis (north-star)
     "q31_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q32_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
@@ -167,6 +169,7 @@ object SparkEntry {
     "q52_source_mix" -> Pipeline.sourceMixtureOracle,
     "q53_contamination" -> Pipeline.contaminationOracle,
     "q54_ann_ivf" -> Similarity.annIvfTopKOracle,
-    "q55_range_join" -> Joins.rangeJoinClicksOracle
+    "q55_range_join" -> Joins.rangeJoinClicksOracle,
+    "q56_stream_join" -> streaming.EventStream.clickAttributionCountsOracle
   )
 }

@@ -112,6 +112,48 @@ object EventStream {
       }
   }
 
+  /** Watermarked STREAM-STREAM interval join: each purchase joined to
+    * the same user's clicks from the preceding hour. The time-range
+    * predicate plus both watermarks let Spark bound the join state —
+    * buffered clicks older than (purchase watermark − 1 h) are evicted,
+    * so state is O(events/hour) per side, never O(history). This is the
+    * streaming twin of the banded batch range join
+    * ([[graft.operators.Joins.rangeJoinClicks]]); the same function on a
+    * batch read is the q56 oracle query (inner-join semantics: only
+    * purchases with ≥1 attributed click appear — append-mode streaming
+    * cannot emit zero-match rows, exactly like SQL INNER JOIN). */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+          col("cts") < col("pts"))
+      .select(col("event_id"), col("user_id"), col("cts"))
+  }
+
+  /** Batch/driver form of [[clickAttribution]] aggregated per purchase
+    * (the streaming spec compares raw joined rows instead — counts per
+    * purchase would need a second stateful operator). */
+  def clickAttributionCounts(events: DataFrame): DataFrame =
+    clickAttribution(events)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("event_id"))
+
+  val clickAttributionCountsOracle: String =
+    """SELECT p.event_id, p.user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin
+
   val sessionStatsOracle: String =
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,

@@ -135,6 +135,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution stream-stream join over micro-batches equals " +
+    "the batch twin (clicks arrive in a different batch than purchases)") {
+    implicit val sqlCtx = spark.sqlContext
+    val attribution = Seq(
+      (1L, ts(5), 10L, "click", 1.0, "{}"),
+      (2L, ts(20), 10L, "click", 1.0, "{}"),
+      (3L, ts(30), 10L, "purchase", 9.0, "{}"), // joins clicks at 5 and 20
+      (4L, ts(31), 11L, "click", 1.0, "{}"),    // other user
+      (5L, ts(45), 11L, "purchase", 9.0, "{}"), // joins click at 31
+      (6L, ts(50), 12L, "purchase", 9.0, "{}")) // no clicks: absent (inner)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.clickAttribution(streamDf)
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(attribution.take(2)) // clicks first...
+      q.processAllAvailable()
+      mem.addData(attribution.drop(2)) // ...purchases in a later batch
+      q.processAllAvailable()
+      val streamed = rows(spark.table("attr_test").orderBy("event_id", "cts"))
+      val batch = rows(EventStream.clickAttribution(toDf(attribution))
+        .orderBy("event_id", "cts"))
+      assert(streamed == batch)
+      assert(streamed.map(_.head).toSet == Set(3L, 5L)) // 6 has no clicks
+    } finally q.stop()
+  }
+
   test("slidingStats: each event contributes to exactly two 10/5 windows") {
     val out = EventStream.slidingStats(toDf(sample))
     val totalContribs = out.agg(sum("cnt")).collect().head.getLong(0)
