@@ -26,7 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 49-query bench sessions thrash GC at 8g (measured ±35% per-query
-  // noise); the box has 128g
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // NB: 24g was tried and measured no faster than 8g for the 56-query
+  // bench (box-level noise dominates); keep 8g to match the recorded
+  // baseline environment
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

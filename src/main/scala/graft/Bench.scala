@@ -21,6 +21,11 @@ object Bench {
     // written, every output column evaluated, nothing shipped to driver.
     // Sorted order keeps per-query numbers comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // pay accumulated session garbage OUTSIDE the next query's timing:
+      // without this, measured 56-query sessions inflate individual
+      // queries up to 3x their isolated warm time (GC debt lands on
+      // whoever runs next)
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }

@@ -70,6 +70,8 @@ object SparkEntry {
     "q55_range_join" -> ((s, d) => Joins.rangeJoinClicks(events(s, d))),
     // stream-stream interval join, batch twin (inner-join semantics)
     "q56_stream_join" -> ((s, d) => streaming.EventStream.clickAttributionCounts(events(s, d))),
+    // arbitrary GROUPING SETS (not expressible as rollup/cube)
+    "q57_grouping_sets" -> ((s, d) => SetAggOps.groupingSetsPriorityStatus(orders(s, d))),
     // text analysis (north-star)
     "q31_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q32_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
@@ -170,6 +172,7 @@ object SparkEntry {
     "q53_contamination" -> Pipeline.contaminationOracle,
     "q54_ann_ivf" -> Similarity.annIvfTopKOracle,
     "q55_range_join" -> Joins.rangeJoinClicksOracle,
-    "q56_stream_join" -> streaming.EventStream.clickAttributionCountsOracle
+    "q56_stream_join" -> streaming.EventStream.clickAttributionCountsOracle,
+    "q57_grouping_sets" -> SetAggOps.groupingSetsPriorityStatusOracle
   )
 }

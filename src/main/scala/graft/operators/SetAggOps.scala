@@ -103,6 +103,34 @@ object SetAggOps {
       |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Arbitrary GROUPING SETS — a shape rollup/cube can NOT express:
+    * {(priority), (status)} aggregates two independent dimensions in ONE
+    * pass over orders (the Expand operator duplicates each row once per
+    * set, then a single partial+final aggregation runs — at 100 TB that
+    * is one scan and one shuffle instead of two of each unioned). */
+  def groupingSetsPriorityStatus(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(exactSum(col("o_totalprice")), 2).as("total_price"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("cnt"), col("total_price"), col("gid"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+
+  val groupingSetsPriorityStatusOracle: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_price,
+      |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+      |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
   /** CUBE over (priority, shipmode-ish flag): all 4 grouping-set levels
     * in one pass; NULL keys coalesced to 'ALL' as in [[rollupFlagStatus]]. */
   def cubePriorityStatus(orders: DataFrame): DataFrame =
