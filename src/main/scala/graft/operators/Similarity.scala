@@ -216,30 +216,47 @@ object Similarity {
   def annIvfTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
                  centroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
-    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
     val q = quantized(embeddings)
-    // C centroids, cheapest-hash-first; collapse to ONE broadcast row of
-    // (qv, n2) structs ordered by hash then vec_id (fully deterministic)
-    val centArr = q
+    // C centroids, cheapest-md5-hash-first, fully deterministic. The
+    // collect here is the C×dims SUMMARY (16×512 longs ≈ 64 KB), never
+    // the table — the same legitimate driver-side broadcast build as the
+    // LSH hyperplane weights; inlining it as a plan subtree instead was
+    // measured to re-run the centroid scan once per consumer (3 scans).
+    val cents: Array[(Array[Long], Long)] = q
       .withColumn("h", expr(
         "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
       .orderBy(col("h"), col("vec_id")).limit(centroids)
-      .agg(collect_list(struct(col("h"), col("vec_id"), col("qv"), col("n2"))).as("raw"))
-      .select(expr("transform(array_sort(raw), c -> struct(c.qv AS qv, c.n2 AS n2))").as("cents"))
-    val OFF = 274877906944L // 2^38 > max |n2_c - 2·dot| for 512-dim ×10⁴-quantized vectors
-    val scoresExpr =
-      s"""transform(cents, (c, i) ->
-         |  (c.n2 - 2L * graft_dot_long(qv, c.qv) + ${OFF}L) * 256L + CAST(i AS BIGINT))""".stripMargin
-    val assigned = q.crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("qv"), col("n2"),
-        expr(s"array_min($scoresExpr) % 256L").as("cell"))
+      .select(col("qv"), col("n2")).as[(Array[Long], Long)].collect()
+    val bc = spark.sparkContext.broadcast(cents)
+    // exact integer distance per centroid: n2_c − 2·v·c (the ‖v‖² term
+    // cancels in the argmin); ties break to the lower centroid index
+    def cellScores(qv: Seq[Long]): Array[Long] = {
+      val cs = bc.value
+      Array.tabulate(cs.length) { i =>
+        val (cqv, cn2) = cs(i)
+        var dot = 0L
+        var d = 0
+        while (d < cqv.length) { dot += qv(d) * cqv(d); d += 1 }
+        cn2 - 2L * dot
+      }
+    }
+    val cellUdf = udf { qv: Seq[Long] =>
+      val s = cellScores(qv)
+      var best = 0
+      var i = 1
+      while (i < s.length) { if (s(i) < s(best)) best = i; i += 1 }
+      best
+    }
+    val probeUdf = udf { qv: Seq[Long] =>
+      cellScores(qv).zipWithIndex.sortBy(identity).take(nProbe).map(_._2)
+    }
+    val assigned = q
+      .select(col("vec_id"), col("qv"), col("n2"), cellUdf(col("qv")).as("cell"))
       .repartition(col("cell"))
     val probes = q.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("qv"), col("n2"),
-        explode(expr(
-          s"transform(slice(array_sort($scoresExpr), 1, $nProbe), x -> x % 256L)"))
-          .as("cell"))
+        explode(probeUdf(col("qv"))).as("cell"))
     probes.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
