@@ -124,6 +124,63 @@ object Multimodal {
     }
   }
 
+  /** Output of the real audio decode path: PCM stream stats. */
+  final case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
+                                n_samples: Long, peak: Int, rms: Double)
+
+  /** REAL audio codec on JDK `javax.sound.sampled` — zero extra
+    * dependencies, same per-partition-init contract as [[ImageIoCodec]].
+    * Decodes WAV/PCM payloads to 16-bit samples and computes stream
+    * stats (duration, peak, RMS) — the feature-extraction stage an
+    * audio curation pipeline runs before filtering. */
+  private[operators] final class WavCodec {
+    def decodeStats(payload: Array[Byte]): Option[(Int, Int, Long, Int, Double)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val be = fmt.isBigEndian
+            val n = bytes.length / 2
+            var peak = 0
+            var sumSq = 0.0
+            var i = 0
+            while (i < n) {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1) & 0xff
+              val s = (if (be) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumSq += s.toDouble * s
+              i += 1
+            }
+            val perChannel = n / math.max(1, fmt.getChannels)
+            Some((fmt.getSampleRate.toInt, fmt.getChannels, perChannel.toLong,
+              peak, math.sqrt(sumSq / math.max(1, n))))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Distributed real audio decode: WAV payloads → per-clip PCM stats;
+    * undecodable rows dropped (skip-on-error, like the image path). */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("fmt"),
+        col("declared_w"), col("declared_h")).as[MediaRow]
+      .mapPartitions { rows =>
+        val codec = new WavCodec // per-partition init
+        rows.flatMap { m =>
+          codec.decodeStats(m.payload).map { case (sr, ch, ns, peak, rms) =>
+            DecodedAudio(m.doc_id, sr, ch, ns, peak, rms)
+          }
+        }
+      }.toDF().orderBy(col("doc_id"))
+  }
+
   /** Distributed real decode: binary payloads → per-image tensor stats.
     * Undecodable rows are dropped (the reference's skip-on-error). */
   def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {

@@ -62,6 +62,39 @@ class MultimodalSpec extends SparkSpec {
     assert(blue.getAs[Double]("mean_b") > 254.0 && blue.getAs[Double]("mean_r") < 1.0)
   }
 
+  /** Render an in-memory 16-bit mono WAV: `samples` at `rate` Hz. */
+  private def wav(samples: Array[Short], rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio: real WAV round-trip — rate, length, peak, RMS") {
+    // constant amplitude 1000 → RMS = 1000, peak = 1000
+    val tone = wav(Array.fill(8000)(1000.toShort), 8000f)
+    val media = Seq(
+      (0L, tone, "wav", 0, 0),
+      (1L, "not audio".getBytes("UTF-8"), "wav", 0, 0))
+      .toDF("doc_id", "payload", "fmt", "declared_w", "declared_h")
+    val out = Multimodal.decodeAudio(spark, media).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 0L)
+    val r = out.head
+    assert(r.getAs[Int]("sample_rate") == 8000)
+    assert(r.getAs[Int]("channels") == 1)
+    assert(r.getAs[Long]("n_samples") == 8000L)
+    assert(r.getAs[Int]("peak") == 1000)
+    assert(math.abs(r.getAs[Double]("rms") - 1000.0) < 1e-9)
+  }
+
   test("decodeImages is deterministic across executions") {
     val media = Seq((0L, png(33, 20, 0x123456), "png", 33, 20))
       .toDF("doc_id", "payload", "fmt", "declared_w", "declared_h")
