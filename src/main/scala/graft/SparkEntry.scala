@@ -72,6 +72,8 @@ object SparkEntry {
     "q56_stream_join" -> ((s, d) => streaming.EventStream.clickAttributionCounts(events(s, d))),
     // arbitrary GROUPING SETS (not expressible as rollup/cube)
     "q57_grouping_sets" -> ((s, d) => SetAggOps.groupingSetsPriorityStatus(orders(s, d))),
+    // typed JSON parse (from_json with declared schema; q22's regex twin)
+    "q58_json_props" -> ((s, d) => EventOps.jsonPropsStats(events(s, d))),
     // text analysis (north-star)
     "q31_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q32_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
@@ -173,6 +175,7 @@ object SparkEntry {
     "q54_ann_ivf" -> Similarity.annIvfTopKOracle,
     "q55_range_join" -> Joins.rangeJoinClicksOracle,
     "q56_stream_join" -> streaming.EventStream.clickAttributionCountsOracle,
-    "q57_grouping_sets" -> SetAggOps.groupingSetsPriorityStatusOracle
+    "q57_grouping_sets" -> SetAggOps.groupingSetsPriorityStatusOracle,
+    "q58_json_props" -> EventOps.jsonPropsStatsOracle
   )
 }

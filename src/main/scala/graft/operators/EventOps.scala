@@ -91,6 +91,35 @@ object EventOps {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** Typed JSON parsing (the schema-full counterpart of
+    * [[propsKeyStats]]'s regex extraction): `from_json` with a declared
+    * schema runs in codegen, yields NULL for malformed documents
+    * (try/except-default semantics without regex fragility), and prunes
+    * to the referenced field. */
+  def jsonPropsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("distinct_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val jsonPropsStatsOracle: String =
+    """SELECT event_type,
+      |       CAST(COUNT(k) AS BIGINT) AS n_parsed,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k,
+      |       CAST(MIN(k) AS BIGINT) AS min_k,
+      |       CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type,
+      |             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Timestamp diff + interval arithmetic (SURVEY C7, reference
     * accident_analysis.py:78–87): ship delay in days per order priority. */
   def shipDelayByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
