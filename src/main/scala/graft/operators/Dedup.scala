@@ -24,16 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** First-occurrence-distinct 3-word shingles in one compiled pass —
+    * the JVM twin of `array_distinct(transform(...))` (which is
+    * interpreted per element as a HigherOrderFunction). Set SEMANTICS
+    * are what downstream consumes (minhash minima, intersect sizes) —
+    * element order never matters, but insertion order matches
+    * array_distinct anyway. */
+  private val shingleSetUdf = udf { toks: Seq[String] =>
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); ()
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
+
   /** doc_id + distinct 3-word shingle set; docs with <3 tokens have no
     * shingles and are excluded (cannot near-dup match). */
   private[operators] def shingled(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin)
-        .as("sset"))
+      .select(col("doc_id"), shingleSetUdf(col("toks")).as("sset"))
 
   private val oracleShingled: String =
     """toks AS (
@@ -281,6 +296,26 @@ object Dedup {
     out
   }
 
+  /** All n affine-permutation minima of an already-hashed shingle set in
+    * one compiled pass — the JVM twin of
+    * `array_min(transform(hset, h -> (A·(h%P)+B) % P))` per permutation,
+    * element-identical by construction (same constants, same mod-p). */
+  private def permMinsUdf(n: Int) = udf { hset: Seq[Long] =>
+    val as = Array.tabulate(n)(permA)
+    val bs = Array.tabulate(n)(permB)
+    val mins = Array.fill(n)(Long.MaxValue)
+    hset.foreach { h0 =>
+      val h = h0 % P
+      var s = 0
+      while (s < n) {
+        val v = (as(s) * h + bs(s)) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+    }
+    mins
+  }
+
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val (b, r) = lshBanding(threshold)
@@ -300,19 +335,18 @@ object Dedup {
     // mins reuse hset's md5 values through the shared mod-p permutations
     // (same constants as minhashDedup), so banding costs b·r affine
     // passes over already-hashed ints — no second md5 of the corpus.
-    // hset is referenced by every key expression, so CollapseProject
-    // keeps it materialized in its own projection (multi-reference,
-    // non-cheap) — the md5 chain runs once per doc, not per key.
+    // The mins are computed in ONE compiled pass ([[permMinsUdf]]):
+    // Spark's higher-order array_min(transform(...)) is interpreted
+    // (CodegenFallback), and b·r per-element lambda evaluations per doc
+    // dominated the query at corpus scale.
     val lbs = Seq("CAST(floor(n_chars/16) AS BIGINT)",
       "CAST(floor((n_chars+8)/16) AS BIGINT) + 1000000")
     val keyExprs = for (lb <- lbs; i <- 0 until b) yield {
-      val mins = (0 until r).map { k =>
-        val s = i * r + k
-        s"array_min(transform(hset, h -> (${permA(s)} * (h % $P) + ${permB(s)}) % $P))"
-      }
+      val mins = (0 until r).map(k => s"mins[${i * r + k}]")
       s"concat_ws('|', $lb, $i, ${mins.mkString(", ")})"
     }
     val bucketed = sh
+      .select(col("doc_id"), col("n_chars"), permMinsUdf(b * r)(col("hset")).as("mins"))
       .select(col("doc_id"), explode(expr(s"array(${keyExprs.mkString(", ")})")).as("bucket"))
       .repartition(col("bucket")) // band keys materialize once for both branches
     val cand = bucketed.as("x").join(bucketed.as("y"), "bucket")

@@ -55,21 +55,37 @@ object Pipeline {
   // word-count scan is O(|distinct|·|words|) inside one row — no
   // doc-word shuffle ever happens). Fractions are exact integer ppm.
   // --------------------------------------------------------------------
+  /** (n_words, dup_bigram_ppm, top_word_ppm) in one compiled pass.
+    * Integer divisions on nonnegative values == SQL DIV / DuckDB `//`.
+    * Replaces interpreted higher-order expressions whose per-element
+    * lambda evaluations (O(|distinct|·|words|) per doc) dominated the
+    * query: Spark's transform/filter/array_max are CodegenFallback. */
+  private val repStatsUdf = udf { toks: Seq[String] =>
+    val n = toks.length.toLong
+    val bigrams = new java.util.HashSet[String]()
+    var i = 0
+    while (i + 1 < toks.length) { bigrams.add(toks(i) + " " + toks(i + 1)); i += 1 }
+    val counts = new java.util.HashMap[String, Long]()
+    var top = 0L
+    toks.foreach { w =>
+      val c = counts.merge(w, 1L, (a, b) => a + b)
+      if (c > top) top = c
+    }
+    val n2 = n - 1
+    ((n, (n2 - bigrams.size) * 1000000L / n2, top * 1000000L / n))
+  }
+
   def repetitionFilter(documents: DataFrame,
                        maxDupBigramPpm: Long = 300000L,
                        maxTopWordPpm: Long = 200000L): DataFrame =
     documents
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), repStatsUdf(col("toks")).as("s"))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_words"),
-        expr("""CAST((size(toks) - 1
-                     - size(array_distinct(transform(sequence(0, size(toks)-2),
-                              i -> concat_ws(' ', toks[i], toks[i+1]))))) * 1000000L
-                     DIV (size(toks) - 1) AS BIGINT)""").as("dup_bigram_ppm"),
-        expr("""CAST(array_max(transform(array_distinct(toks),
-                       w -> size(filter(toks, t -> t = w)))) * 1000000L
-                     DIV size(toks) AS BIGINT)""").as("top_word_ppm"))
+        col("s._1").as("n_words"),
+        col("s._2").as("dup_bigram_ppm"),
+        col("s._3").as("top_word_ppm"))
       .withColumn("keep",
         col("dup_bigram_ppm") < maxDupBigramPpm &&
           col("top_word_ppm") < maxTopWordPpm)
