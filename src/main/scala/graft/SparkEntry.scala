@@ -61,6 +61,7 @@ object SparkEntry {
     "q25_dedup_minhash" -> ((s, d) => Dedup.minhashDedup(documents(s, d))),
     "q26_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(documents(s, d))),
     "q27_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
+    "q59_dup_clusters" -> ((s, d) => Dedup.dupClusters(documents(s, d))),
     // similarity search (north-star)
     "q28_emb_neardup" -> ((s, d) => Similarity.cosineNearDup(embeddings(s, d))),
     "q29_ann_brute" -> ((s, d) => Similarity.annBruteTopK(embeddings(s, d))),
@@ -176,6 +177,7 @@ object SparkEntry {
     "q55_range_join" -> Joins.rangeJoinClicksOracle,
     "q56_stream_join" -> streaming.EventStream.clickAttributionCountsOracle,
     "q57_grouping_sets" -> SetAggOps.groupingSetsPriorityStatusOracle,
-    "q58_json_props" -> EventOps.jsonPropsStatsOracle
+    "q58_json_props" -> EventOps.jsonPropsStatsOracle,
+    "q59_dup_clusters" -> Dedup.dupClustersOracle
   )
 }

@@ -165,10 +165,13 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
-  val minhashDedupOracle: String = {
+  /** The minhash-pairs pipeline as reusable CTEs (shared by the q25
+    * oracle and the q59 clustering oracle; final table `mp(a, b, jac)`
+    * holds verified pairs at jaccard ≥ 0.5). */
+  private val oracleMinhashPairsCtes: String = {
     val (b, r) = lshBanding(0.5)
     val bandCols = (1 to r).map(k => s"sig[band*$r+$k]").mkString(", ")
-    s"""WITH $oracleShingled,
+    s"""$oracleShingled,
       |bh AS (
       |  SELECT doc_id, sset,
       |         list_transform(sset, x ->
@@ -191,9 +194,66 @@ object Dedup {
       |  SELECT c.a, c.b,
       |         len(list_intersect(sa.sset, sb.sset)) /
       |           CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jac
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
-      |SELECT a, b, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.5 ORDER BY a, b""".stripMargin
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+      |mp AS (SELECT a, b, jac FROM j WHERE jac >= 0.5)""".stripMargin
   }
+
+  val minhashDedupOracle: String =
+    s"""WITH $oracleMinhashPairsCtes
+      |SELECT a, b, ROUND(jac, 4) AS jaccard FROM mp ORDER BY a, b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Near-dup CLUSTERING: connected components over the minhash pair
+  // graph via min-label propagation — the step that turns pairwise
+  // matches into keep/drop decisions (each cluster keeps its smallest
+  // doc_id). Label propagation is the 100 TB-scale CC algorithm: each
+  // iteration is one join + one min-aggregation, converging in
+  // O(graph diameter) rounds; near-dup clusters are shallow (dups of a
+  // common source), so a handful of rounds suffice. The driver loop
+  // iterates ROUNDS (with a convergence count), never data.
+  // --------------------------------------------------------------------
+  def dupClusters(documents: DataFrame, threshold: Double = 0.5,
+                  maxIters: Int = 15): DataFrame = {
+    val pairs = minhashDedup(documents, threshold).select(col("a"), col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // each vertex adopts the min of its own and its neighbors' labels
+      val prop = edges.join(labels, edges("b") === labels("v"))
+        .groupBy(edges("a").as("pv")).agg(min(col("lbl")).as("nbl"))
+      val next = labels.join(prop, labels("v") === col("pv"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") < col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
+      .orderBy(col("component"))
+  }
+
+  val dupClustersOracle: String =
+    s"""WITH RECURSIVE $oracleMinhashPairsCtes,
+      |edges AS (
+      |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
+      |reach(v, w) AS (
+      |  SELECT DISTINCT a AS v, a AS w FROM edges
+      |  UNION
+      |  SELECT r.v, e.b AS w FROM reach r JOIN edges e ON e.a = r.w),
+      |comp AS (
+      |  SELECT v, MIN(w) AS component FROM reach GROUP BY v)
+      |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       MAX(v) AS max_doc
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
   // --------------------------------------------------------------------
   // SimHash: 32-bit fingerprint over the shingle set; near-dup pairs found

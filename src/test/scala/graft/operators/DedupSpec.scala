@@ -53,6 +53,27 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("dupClusters merges a transitive CHAIN of near-dups into one " +
+    "component (adjacent docs similar, endpoints not)") {
+    // sliding 40-word windows over a 70-word vocab: adjacent docs share
+    // ~77% of shingles (a pair), endpoints share too little (no pair) —
+    // only transitivity connects the chain, so propagation must run
+    // multiple rounds (graph diameter 5)
+    val vocab = (0 until 70).map(i => f"w$i%02d")
+    val chain = (0 until 6).map { i =>
+      (10L + i, vocab.slice(i * 5, i * 5 + 40).mkString(" "))
+    }
+    val lone = Seq((100L, (0 until 40).map(i => s"z$i").mkString(" ")))
+    val docs = (chain ++ lone).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val out = Dedup.dupClusters(docs).collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head.getLong(0) == 10L)             // component = min doc_id
+    assert(out.head.getAs[Long]("n_docs") == 6L)   // whole chain, once each
+    assert(out.head.getAs[Long]("max_doc") == 15L)
+  }
+
   test("dedup plans are deterministic across executions") {
     val d = docs((1L, base, base.length.toLong),
       (2L, nearDup, nearDup.length.toLong))
