@@ -214,28 +214,48 @@ object Dedup {
   // --------------------------------------------------------------------
   def dupClusters(documents: DataFrame, threshold: Double = 0.5,
                   maxIters: Int = 15): DataFrame = {
-    val pairs = minhashDedup(documents, threshold).select(col("a"), col("b"))
-    val edges = pairs
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-    var labels = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // The ROUND LOOP runs on co-partitioned RDDs, not DataFrames — the
+    // canonical Pregel shape and one of the few legitimate RDD uses:
+    // per-iteration Catalyst planning + fresh codegen cost ~2 s/round on
+    // a graph of a few hundred edges (measured), and a lazily-chained
+    // multi-round DataFrame plan duplicates every prior round's subtree
+    // 2× per level (measured 115 s for 4 unrolled rounds — physical
+    // plans are trees, only exchanges get reused). RDD rounds on the
+    // cached, hash-partitioned edge list are plain shuffles with zero
+    // planning. Only the derived GRAPH (edges + labels) is ever
+    // cached/collected-on — never the corpus.
+    val pairsRdd = minhashDedup(documents, threshold)
+      .select(col("a"), col("b")).as[(Long, Long)].rdd
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val edgesBySrc = pairsRdd
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(part).cache()
+    var labels = edgesBySrc.keys.distinct()
+      .map(v => (v, v)).partitionBy(part).cache()
+    // labels only ever DECREASE, so an unchanged label-sum ⟺ a fixed
+    // point — one cheap action per round, no change-join needed
+    var prevSum = BigInt(-1)
     var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
+    while (iter < maxIters && {
       // each vertex adopts the min of its own and its neighbors' labels
-      val prop = edges.join(labels, edges("b") === labels("v"))
-        .groupBy(edges("a").as("pv")).agg(min(col("lbl")).as("nbl"))
-      val next = labels.join(prop, labels("v") === col("pv"), "left")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
-        .filter(col("lbl") < col("old")).limit(1).count()
+      val msgs = edgesBySrc.join(labels)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+      val next = labels.union(msgs)
+        .reduceByKey(part, (x: Long, y: Long) => math.min(x, y)).cache()
+      val s = next.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+      labels.unpersist(false)
       labels = next
-      converged = changed == 0
       iter += 1
-    }
-    labels
+      val changed = s != prevSum
+      prevSum = s
+      changed
+    }) ()
+    edgesBySrc.unpersist(false)
+    val labelDf = labels.toDF("v", "lbl")
+    labelDf
       .groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
       .orderBy(col("component"))
