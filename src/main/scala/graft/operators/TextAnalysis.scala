@@ -26,21 +26,26 @@ object TextAnalysis {
     val toks = documents.select(col("doc_id"), col("lang"),
       explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-      // exchange barrier: the exploded token stream feeds four consumers
-      // (vocab size, lang totals, profiles, doc-word counts) — one
-      // materialized shuffle they all reuse beats four re-explosions
-      .repartition(col("w"))
-    val vocabSize = toks.select(countDistinct(col("w")).as("v"))
-    val langTotals = toks.groupBy(col("lang").as("l")).agg(count(lit(1)).as("tot"))
-    val profile = toks.groupBy(col("lang").as("l"), col("w"))
-      .agg(count(lit(1)).as("cw"))
+    // The raw token stream is zipfian on `w` — a shuffle keyed by the token
+    // itself would give the partition owning "the" a constant fraction of
+    // the whole corpus. Instead, ONE aggregation keyed by (doc_id, lang, w)
+    // collapses the stream map-side (partial+final HashAggregate) to
+    // O(distinct (doc, word)) rows behind a well-distributed key, and every
+    // other quantity — vocab size, per-lang totals, per-(lang, word)
+    // profiles — derives from those aggregated rows. The identical
+    // docWords subtree under all consumers lets Catalyst's ReuseExchange
+    // share one exchange; no shuffle ever carries raw token occurrences.
+    val docWords = toks.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val vocabSize = docWords.select(countDistinct(col("w")).as("v"))
+    val langTotals = docWords.groupBy(col("lang").as("l")).agg(sum(col("n")).as("tot"))
+    val profile = docWords.groupBy(col("lang").as("l"), col("w"))
+      .agg(sum(col("n")).as("cw"))
       .join(langTotals, "l")
       .crossJoin(vocabSize)
       // integer micro-log-prob: deterministic to sum in any order
       .select(col("l"), col("w"),
         expr("CAST(round(ln((cw + 1.0) / (tot + v)) * 1000000) AS BIGINT)").as("lp"))
-    val docWords = toks.groupBy(col("doc_id"), col("lang"), col("w"))
-      .agg(count(lit(1)).as("n"))
     // profile is |V|·|L| rows (aggregated, tiny next to the corpus):
     // broadcast it so the stopword-skewed join on `w` never shuffles the
     // doc-word stream by token — the hot-key problem disappears because

@@ -95,7 +95,9 @@ class PlanSpec extends SparkSpec {
     try {
       val df = SparkEntry.queries("q28_emb_neardup")(spark, sf)
       val p = formatted(df) // planning must not run jobs either
-      Thread.sleep(1000)    // listener events post asynchronously
+      // deterministically drain async listener delivery (a fixed sleep can
+      // flaky-PASS on a loaded box by missing a late-posted job event)
+      org.apache.spark.GraftTestBridge.drainListenerBus(sc)
       assert(bad.isEmpty,
         s"operator construction ran materializing Spark jobs: $bad")
       assert(p.contains("Join"), p.take(800))
@@ -108,6 +110,38 @@ class PlanSpec extends SparkSpec {
     df.collect() // finalize the adaptive plan
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q31: no exchange is hash-partitioned on the raw token column — " +
+    "every token-keyed shuffle sits above a map-side partial aggregate") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE wraps the whole query in one AdaptiveSparkPlanExec leaf; turn it
+    // off while planning so the tree exposes plain ShuffleExchangeExec nodes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // (sparkPlan is pre-EnsureRequirements and has no exchanges yet)
+    val plan =
+      try SparkEntry.queries("q31_langid")(spark, sf).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, "expected at least one shuffle in langId")
+    val offenders = shuffles.filter { e =>
+      val tokenOnly = e.outputPartitioning match {
+        case h: HashPartitioning =>
+          val refs = h.expressions.flatMap(_.references.toSeq).map(_.name).toSet
+          refs == Set("w")
+        case _ => false
+      }
+      // zipfian keys are fine once partial aggregation has collapsed the
+      // stream (≤ #partitions rows per key cross the wire); the regression
+      // is a token-keyed exchange fed by raw occurrences (the old
+      // repartition(col("w")) barrier)
+      tokenOnly && !e.child.exists(_.isInstanceOf[BaseAggregateExec])
+    }
+    assert(offenders.isEmpty,
+      "raw token stream shuffled on the token key:\n" +
+        offenders.map(_.treeString).mkString("\n"))
   }
 
   test("q51: repetition stats never shuffle a doc-word stream — the only " +
