@@ -81,11 +81,17 @@ object MLOps {
     * whichever label's centroid is closer; argmax of votes predicts the
     * label; output is the confusion matrix.
     *
-    * The closer-centroid test is EXACT integer arithmetic — comparing
-    * ‖v−sa/na‖² vs ‖v−sb/nb‖² multiplied through by na²nb² (the ‖v‖²
-    * term cancels):  ‖sa‖²nb² − 2(v·sa)·na·nb²  vs  ‖sb‖²na² − 2(v·sb)·nb·na².
-    * All terms < 2⁶³ for quantized 64-dim embeddings; ties vote the
-    * smaller label; argmax ties resolve to the smaller label.
+    * The closer-centroid test compares ‖v−sa/na‖² vs ‖v−sb/nb‖² (the
+    * ‖v‖² term cancels), i.e. ss_a/na² − 2(v·sa)/na vs the b side. The
+    * rationals multiplied through by na²nb² give terms ~ dims·(n·10⁴)²·n²,
+    * which overflows a 64-bit long once a label has O(10³) members — so
+    * the integer form is NOT safe at scale. Instead: a double fast path
+    * with a provable error margin (double error ≤ ~10⁻¹⁴ of the largest
+    * input term; decide only when the gap exceeds 10⁻⁹ of it), falling
+    * back to EXACT BigInt arithmetic on the knife edge. The oracle
+    * mirrors the exact comparison in DuckDB HUGEINT (int128 — exact to
+    * ~4·10⁷ members/label; the engine's BigInt path is unbounded). Ties
+    * vote the smaller label; argmax ties resolve to the smaller label.
     *
     * Scale shape: the per-label summary (|labels|·dims longs) is
     * broadcast; voting + argmax run compiled in one narrow mapPartitions
@@ -103,23 +109,54 @@ object MLOps {
     q.select(col("label"), col("qv")).as[(Int, Array[Long])]
       .mapPartitions { it =>
         val sums = bc.value
-        val ss = sums.map { case (_, sv, _) => sv.map(x => x * x).sum }
+        val nL = sums.length
+        // ss in double (Σ sv_d² itself exceeds 2⁶³ near 10⁵ members/label)
+        // plus an exact BigInt copy for the knife-edge fallback
+        val ssD = sums.map { case (_, sv, _) => sv.map(x => x.toDouble * x).sum }
+        val ssB = sums.map { case (_, sv, _) =>
+          sv.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * x) }
         it.map { case (trueLabel, v) =>
-          val votes = new Array[Int](sums.length)
-          val dots = sums.map { case (_, sv, _) =>
-            var d = 0L; var i = 0
-            while (i < v.length) { d += v(i) * sv(i); i += 1 }
-            d
+          val votes = new Array[Int](nL)
+          val dotsD = new Array[Double](nL)
+          val absDotsD = new Array[Double](nL) // Σ|v_i·sv_i|: cancellation-safe error scale
+          var k = 0
+          while (k < nL) {
+            val sv = sums(k)._2
+            var d = 0.0; var ad = 0.0; var i = 0
+            while (i < v.length) {
+              val p = v(i).toDouble * sv(i); d += p; ad += math.abs(p); i += 1
+            }
+            dotsD(k) = d; absDotsD(k) = ad; k += 1
+          }
+          def exactDot(k: Int): BigInt = {
+            val sv = sums(k)._2
+            var acc = BigInt(0); var i = 0
+            while (i < v.length) { acc += BigInt(v(i)) * sv(i); i += 1 }
+            acc
           }
           var a = 0
-          while (a < sums.length) {
+          while (a < nL) {
+            val na = sums(a)._3
             var b = a + 1
-            while (b < sums.length) {
-              val (_, _, na) = sums(a)
-              val (_, _, nb) = sums(b)
-              val lhs = ss(a) * nb * nb - 2L * dots(a) * na * nb * nb
-              val rhs = ss(b) * na * na - 2L * dots(b) * nb * na * na
-              if (lhs <= rhs) votes(a) += 1 else votes(b) += 1
+            while (b < nL) {
+              val nb = sums(b)._3
+              // g(x) = ss_x/nx² − 2·dot_x/nx; decide on doubles only when
+              // the gap exceeds 10⁻⁹ of the largest input term (observed
+              // double error ≤ ~10⁻¹³ of it), else exact BigInt
+              val ta = ssD(a) / (na.toDouble * na)
+              val tb = ssD(b) / (nb.toDouble * nb)
+              val ga = ta - 2.0 * dotsD(a) / na
+              val gb = tb - 2.0 * dotsD(b) / nb
+              val m = 1e-9 * math.max(1.0, math.max(
+                math.max(ta, 2.0 * absDotsD(a) / na),
+                math.max(tb, 2.0 * absDotsD(b) / nb)))
+              val aCloser =
+                if (ga < gb - m) true
+                else if (gb < ga - m) false
+                else // exact rational compare, incl. exact ties:
+                  (ssB(a) - 2 * exactDot(a) * na) * nb * nb <=
+                    (ssB(b) - 2 * exactDot(b) * nb) * na * na
+              if (aCloser) votes(a) += 1 else votes(b) += 1
               b += 1
             }
             a += 1
@@ -145,16 +182,17 @@ object MLOps {
       |  SELECT label, d, CAST(SUM(qv[d]) AS BIGINT) AS s
       |  FROM q, range(1, 65) AS t(d) GROUP BY 1, 2),
       |sums AS (
+      |  -- ss in HUGEINT: Σ s² exceeds BIGINT near 10⁵ members/label
       |  SELECT b.label, list(b.s ORDER BY b.d) AS sv, n,
-      |         CAST(SUM(b.s * b.s) AS BIGINT) AS ss
+      |         SUM(CAST(b.s AS HUGEINT) * b.s) AS ss
       |  FROM bydim b JOIN (SELECT label, count(*) AS n FROM q GROUP BY 1) c ON c.label = b.label
       |  GROUP BY b.label, n),
       |votes AS (
+      |  -- exact int128 form of the closer-centroid test:
+      |  -- (ss_a − 2·(v·sa)·na)·nb² ≤ (ss_b − 2·(v·sb)·nb)·na²
       |  SELECT v.vec_id, v.label AS true_label,
-      |         CASE WHEN x.ss * y.n * y.n
-      |                   - 2 * CAST(list_sum(list_transform(range(1, len(v.qv)+1), d -> v.qv[d] * x.sv[d])) AS BIGINT) * x.n * y.n * y.n
-      |                <= y.ss * x.n * x.n
-      |                   - 2 * CAST(list_sum(list_transform(range(1, len(v.qv)+1), d -> v.qv[d] * y.sv[d])) AS BIGINT) * y.n * x.n * x.n
+      |         CASE WHEN (x.ss - 2 * CAST(list_sum(list_transform(range(1, len(v.qv)+1), d -> CAST(v.qv[d] AS HUGEINT) * x.sv[d])) AS HUGEINT) * x.n) * y.n * y.n
+      |                <= (y.ss - 2 * CAST(list_sum(list_transform(range(1, len(v.qv)+1), d -> CAST(v.qv[d] AS HUGEINT) * y.sv[d])) AS HUGEINT) * y.n) * x.n * x.n
       |              THEN x.label ELSE y.label END AS vote
       |  FROM q v, sums x JOIN sums y ON x.label < y.label),
       |tallied AS (
