@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
 object Bench {
+
+  /** Per-stage volume/time counters (the reference's per-phase metrics
+    * surface — map/shuffle/reduce times and byte counters per task,
+    * worker.py:163–182 — re-expressed as Spark stage metrics): shuffle
+    * bytes read/written and executor run time, accumulated across stages
+    * and snapshotted per query. */
+  private final class IoListener extends SparkListener {
+    val read = new java.util.concurrent.atomic.LongAdder
+    val write = new java.util.concurrent.atomic.LongAdder
+    val runMs = new java.util.concurrent.atomic.LongAdder
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        read.add(m.shuffleReadMetrics.totalBytesRead)
+        write.add(m.shuffleWriteMetrics.bytesWritten)
+        runMs.add(m.executorRunTime)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,6 +32,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
     // warm-up: pay JIT/codegen-compiler/session initialization once,
     // outside any query's timing (otherwise the alphabetically-first
     // query absorbs ~5s of one-time cost)
@@ -26,19 +50,28 @@ object Bench {
       // queries up to 3x their isolated warm time (GC debt lands on
       // whoever runs next)
       System.gc()
+      // drain async listener delivery so stage metrics attribute to the
+      // query that actually ran them
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      val (r0, w0, m0) = (io.read.sum, io.write.sum, io.runMs.sum)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      (name, sec, io.read.sum - r0, io.write.sum - w0, io.runMs.sum - m0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ios = results.map { case (k, _, r, w, m) =>
+      s"\"$k\":{\"shuffle_read_mb\":${r / 1e6},\"shuffle_write_mb\":${w / 1e6},\"executor_run_ms\":$m}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"sf":"$sfDir"}"""
     println(json)
-    // stdout passes through sbt's logger (an "[info] " prefix broke the
-    // driver's JSON parse in round 1) — also write the line to a file so
-    // BENCH_r*.json always gets machine-readable per-query numbers
+    // stdout passes through raw now (run/outputStrategy) — and the line is
+    // also written to a file so BENCH_r*.json always gets machine-readable
+    // per-query numbers even if stdout capture changes
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

@@ -97,7 +97,7 @@ class PlanSpec extends SparkSpec {
       val p = formatted(df) // planning must not run jobs either
       // deterministically drain async listener delivery (a fixed sleep can
       // flaky-PASS on a loaded box by missing a late-posted job event)
-      org.apache.spark.GraftTestBridge.drainListenerBus(sc)
+      org.apache.spark.graft.ListenerDrain.drain(sc)
       assert(bad.isEmpty,
         s"operator construction ran materializing Spark jobs: $bad")
       assert(p.contains("Join"), p.take(800))
