@@ -250,6 +250,88 @@ object MLOps {
     } finally { feats.unpersist(); () }
   }
 
+  /** Train one binary LogisticRegression per label pair and PERSIST the
+    * fitted weights to a parquet sink — the reference's `.joblib` dump
+    * (plants_classifier.py:228) re-expressed as a weights table
+    * (la, lb, weights array<double>, intercept): queryable, versionable,
+    * and broadcastable at inference time. Returns the weights DataFrame
+    * as written. */
+  def persistPairModels(embeddings: DataFrame, path: String,
+                        maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val feats = embeddings
+      .select(expr("CAST(label AS INT)").as("label"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .cache()
+    try {
+      val labels = feats.select(col("label")).distinct()
+        .as[Int].collect().sorted
+      val rows = for {
+        i <- labels.indices
+        j <- (i + 1) until labels.length
+      } yield {
+        val (la, lb) = (labels(i), labels(j))
+        val train = feats.filter(col("label").isin(la, lb))
+          .withColumn("y", when(col("label") === lb, 1.0).otherwise(0.0))
+        val model = new LogisticRegression()
+          .setMaxIter(maxIter).setRegParam(0.01)
+          .setLabelCol("y").setFeaturesCol("features")
+          .fit(train)
+        (la, lb, model.coefficients.toArray, model.intercept)
+      }
+      val weights = rows.toDF("la", "lb", "weights", "intercept")
+      weights.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    } finally { feats.unpersist(); () }
+  }
+
+  /** One-vs-one ensemble voting with the TRAINED classifiers reloaded
+    * from the weights sink (scripts/plants_classifier_tester.py:20–58):
+    * each pair model votes lb when w·x + intercept > 0, else la; argmax
+    * of votes (ties to the smaller label) predicts; output is per-class
+    * accuracy — the reference tester's report.
+    *
+    * Scale shape: the weights table is |L|²/2 rows — broadcast; voting
+    * runs compiled in one narrow mapPartitions pass over the vectors. */
+  def ensembleFromModels(embeddings: DataFrame, weights: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val models = weights.select(col("la"), col("lb"), col("weights"), col("intercept"))
+      .as[(Int, Int, Array[Double], Double)].collect().sortBy(m => (m._1, m._2))
+    val labels = models.flatMap(m => Seq(m._1, m._2)).distinct.sorted
+    val labelIdx = labels.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast((models, labels, labelIdx))
+    embeddings
+      .select(expr("CAST(label AS INT)").as("label"),
+        col("embedding").cast("array<double>").as("x"))
+      .as[(Int, Array[Double])]
+      .mapPartitions { it =>
+        val (ms, lbls, idx) = bc.value
+        it.map { case (trueLabel, x) =>
+          val votes = new Array[Int](lbls.length)
+          ms.foreach { case (la, lb, w, b0) =>
+            var m = b0; var i = 0
+            while (i < w.length) { m += w(i) * x(i); i += 1 }
+            if (m > 0.0) votes(idx(lb)) += 1 else votes(idx(la)) += 1
+          }
+          var best = 0
+          var i = 1
+          while (i < votes.length) { if (votes(i) > votes(best)) best = i; i += 1 }
+          (trueLabel, lbls(best))
+        }
+      }
+      .toDF("label", "predicted")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L)).as("correct"))
+      .select(col("label"), col("n"), col("correct"),
+        round(col("correct") / col("n").cast("double"), 4).as("accuracy"))
+      .orderBy(col("label"))
+  }
+
   /** Shared per-label vector aggregation (also used by pairSeparation):
     * the typed [[graft.functions.VectorSumAgg]] Aggregator as a DataFrame
     * UDAF — partial (map-side) combining of the embedding vectors, so only

@@ -37,4 +37,22 @@ class MLTrainSpec extends SparkSpec {
       .selectExpr("la", "lb", "n_train")
     assertDeterministic(stable)
   }
+
+  test("train → persist weights parquet → reload → ensemble vote → " +
+    "per-class accuracy (the joblib round trip, tester.py:20–58)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
+    val weights = MLOps.persistPairModels(emb, s"$dir/pair_models")
+    // the sink holds one row per pair with dim-matched weight vectors
+    assert(weights.count() == 3)
+    assert(weights.collect().forall(_.getAs[Seq[Double]]("weights").length == 4))
+    // reload from disk (not the in-memory frame) and vote with the
+    // TRAINED models: disjoint clusters must classify perfectly
+    val reloaded = spark.read.parquet(s"$dir/pair_models")
+    val acc = MLOps.ensembleFromModels(emb, reloaded).collect()
+    assert(acc.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(acc.forall(r => r.getAs[Long]("n") == 20L &&
+      r.getAs[Long]("correct") == 20L &&
+      r.getAs[Double]("accuracy") == 1.0),
+      acc.mkString(";"))
+  }
 }
