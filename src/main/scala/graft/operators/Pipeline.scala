@@ -146,21 +146,54 @@ object Pipeline {
   // row-local sorted-intersect against it — at 100 TB nothing shuffles
   // but the benchmark array. Docs with ≥50% shingle overlap are flagged.
   // --------------------------------------------------------------------
+  /** @param broadcastBench benchmark suites are small BY DEFINITION, so
+    *   the default collapses them to one sorted array and broadcasts it —
+    *   with an in-plan guard that raises a loud error past
+    *   `maxBenchShingles` (instead of silently hitting the 2 GB
+    *   single-row limit). For a pathological "benchmark" bigger than
+    *   that, pass false: the join fallback shuffles exploded corpus
+    *   shingles against the benchmark shingle TABLE (no single-row
+    *   collapse anywhere) and aggregates overlap counts per doc. */
   def contamination(documents: DataFrame, benchMod: Int = 50,
-                    flagPpm: Long = 500000L): DataFrame = {
+                    flagPpm: Long = 500000L,
+                    broadcastBench: Boolean = true,
+                    maxBenchShingles: Long = 8000000L): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val sh = documents
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), Dedup.hsetUdf(col("toks")).as("hset"))
-    val benchArr = sh.filter(col("doc_id") % benchMod === 0)
-      .select(explode(col("hset")).as("h")).distinct()
-      .agg(sort_array(collect_list(col("h"))).as("bset"))
-    sh.filter(col("doc_id") % benchMod =!= 0)
-      .crossJoin(broadcast(benchArr))
-      .select(col("doc_id"),
-        size(col("hset")).cast("long").as("n_shingles"),
-        expr("CAST(graft_sorted_intersect_size(hset, bset) AS BIGINT)").as("n_overlap"))
+    val corpus = sh.filter(col("doc_id") % benchMod =!= 0)
+    val scored =
+      if (broadcastBench) {
+        val benchArr = sh.filter(col("doc_id") % benchMod === 0)
+          .select(explode(col("hset")).as("h")).distinct()
+          .agg(sort_array(collect_list(col("h"))).as("bset"))
+          .select(expr(
+            s"""CASE WHEN size(bset) > ${maxBenchShingles}L
+               |  THEN CAST(raise_error(concat('benchmark shingle set has ',
+               |    size(bset), ' entries > max $maxBenchShingles for the',
+               |    ' broadcast array; call contamination with',
+               |    ' broadcastBench = false')) AS ARRAY<BIGINT>)
+               |  ELSE bset END""".stripMargin).as("bset"))
+        corpus
+          .crossJoin(broadcast(benchArr))
+          .select(col("doc_id"),
+            size(col("hset")).cast("long").as("n_shingles"),
+            expr("CAST(graft_sorted_intersect_size(hset, bset) AS BIGINT)").as("n_overlap"))
+      } else {
+        val bench = sh.filter(col("doc_id") % benchMod === 0)
+          .select(explode(col("hset")).as("h")).distinct()
+        val overlaps = corpus
+          .select(col("doc_id"), explode(col("hset")).as("h"))
+          .join(bench, "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        corpus.select(col("doc_id"), size(col("hset")).cast("long").as("n_shingles"))
+          .join(overlaps, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      }
+    scored
       .withColumn("overlap_ppm",
         expr("CAST(n_overlap * 1000000L DIV n_shingles AS BIGINT)"))
       .withColumn("contaminated", col("overlap_ppm") >= flagPpm)

@@ -22,7 +22,15 @@ object TextAnalysis {
   // side at scale). Score: docs join profiles on word, integer-quantized
   // log-likelihood sum, argmax per doc. Output: confusion matrix.
   // --------------------------------------------------------------------
-  def langId(documents: DataFrame): DataFrame = {
+  /** @param broadcastProfile the (lang, word) profile is |V|·|L| rows —
+    *   tiny for curated corpora, but an OPEN vocabulary at web scale grows
+    *   with the corpus. true (default) broadcasts it with an in-plan guard
+    *   that raises a loud error past `maxProfileRows` (instead of a
+    *   mysterious broadcast OOM); false takes the join fallback: a plain
+    *   shuffle join on the aggregated doc-word rows (O(distinct pairs)
+    *   volume; AQE's skew handling covers stopword keys). */
+  def langId(documents: DataFrame, broadcastProfile: Boolean = true,
+             maxProfileRows: Long = 10000000L): DataFrame = {
     val toks = documents.select(col("doc_id"), col("lang"),
       explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -49,8 +57,23 @@ object TextAnalysis {
     // profile is |V|·|L| rows (aggregated, tiny next to the corpus):
     // broadcast it so the stopword-skewed join on `w` never shuffles the
     // doc-word stream by token — the hot-key problem disappears because
-    // every partition owns a full profile copy
-    val scored = docWords.join(broadcast(profile), "w")
+    // every partition owns a full profile copy. The size guard runs
+    // IN-PLAN (a count branch over the same aggregation — its exchange is
+    // reused, no extra action) and raises a loud error rather than letting
+    // an open-vocabulary corpus OOM the broadcast.
+    val profileSide =
+      if (!broadcastProfile) profile
+      else {
+        val cnt = profile.agg(count(lit(1)).as("profile_rows"))
+        broadcast(profile.crossJoin(cnt).select(col("l"), col("w"),
+          expr(
+            s"""CASE WHEN profile_rows > ${maxProfileRows}L
+               |  THEN CAST(raise_error(concat('langId profile has ', profile_rows,
+               |    ' rows > max $maxProfileRows for broadcast; call langId with',
+               |    ' broadcastProfile = false')) AS BIGINT)
+               |  ELSE lp END""".stripMargin).as("lp")))
+      }
+    val scored = docWords.join(profileSide, "w")
       .groupBy(col("doc_id"), col("lang"), col("l"))
       .agg(sum(col("n") * col("lp")).as("score"))
     val best = scored.withColumn("rn", expr(

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Broadcast-size guardrails: the langId profile and the contamination
+  * benchmark array are broadcast-side structures that grow with open
+  * vocabularies / misuse. These pin (a) the loud in-plan guard and (b)
+  * result-identical join fallback paths for when the bound is real. */
+class GuardrailSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "en", "a", 40, "the cat sat on the mat near the red door"),
+    (1L, "en", "a", 38, "the dog sat on the mat by the old door"),
+    (2L, "fr", "b", 30, "le chat est sur le tapis rouge ici"),
+    (3L, "fr", "b", 28, "le chien est sur le tapis vert la"),
+    (4L, "en", "a", 36, "a cat and a dog sat near the same mat"),
+    (50L, "en", "a", 40, "the cat sat on the mat near the red door"),
+    (100L, "fr", "b", 30, "le chat est sur le tapis rouge ici")
+  ).toDF("doc_id", "lang", "source", "n_chars", "text")
+
+  test("langId join fallback matches the broadcast path exactly") {
+    val bc = TextAnalysis.langId(docs).collect().map(_.toSeq).toSeq
+    val jn = TextAnalysis.langId(docs, broadcastProfile = false)
+      .collect().map(_.toSeq).toSeq
+    assert(bc == jn)
+    assert(bc.nonEmpty)
+  }
+
+  test("langId fallback survives with auto-broadcast disabled (a real " +
+    "shuffle join, the open-vocabulary path)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = TextAnalysis.langId(docs, broadcastProfile = false)
+      out.collect()
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("langId raises loudly when the profile exceeds the broadcast bound") {
+    val e = intercept[Exception] {
+      TextAnalysis.langId(docs, maxProfileRows = 2L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("broadcastProfile = false")),
+      e.toString)
+  }
+
+  test("contamination join fallback matches the broadcast path exactly") {
+    val bc = Pipeline.contamination(docs).collect().map(_.toSeq).toSeq
+    val jn = Pipeline.contamination(docs, broadcastBench = false)
+      .collect().map(_.toSeq).toSeq
+    assert(bc == jn)
+    assert(bc.nonEmpty)
+  }
+
+  test("contamination raises loudly when the benchmark set exceeds the " +
+    "single-array bound") {
+    val e = intercept[Exception] {
+      Pipeline.contamination(docs, maxBenchShingles = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("broadcastBench = false")),
+      e.toString)
+  }
+}
