@@ -67,12 +67,15 @@ object AffinityPlan {
 
   /** The multicast routing a division implies: label → sorted workers
     * whose groups contain a pair touching it. Plug straight into
-    * [[MRJob.run]]'s `shuffle` parameter. */
+    * [[MRJob.run]]'s `shuffle` parameter. TOTAL: a label no pair covers
+    * (or any key when <2 classes produced no pairs at all) routes to zero
+    * workers instead of throwing NoSuchElementException inside a task. */
   def multicastRoute(division: Vector[Vector[(String, String)]]): Map[String, Seq[Int]] =
     division.zipWithIndex
       .flatMap { case (group, w) => group.flatMap(p => Seq(p._1 -> w, p._2 -> w)) }
       .groupBy(_._1)
       .map { case (label, ws) => label -> ws.map(_._2).distinct.sorted.toSeq }
+      .withDefaultValue(Seq.empty)
 
   /** Total label→worker shipments of a division (the cost the greedy
     * minimizes; W·|L| for broadcast-everything, |pairs|·2 worst case). */

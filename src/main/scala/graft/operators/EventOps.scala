@@ -95,11 +95,14 @@ object EventOps {
     * [[propsKeyStats]]'s regex extraction): `from_json` with a declared
     * schema runs in codegen, yields NULL for malformed documents
     * (try/except-default semantics without regex fragility), and prunes
-    * to the referenced field. */
+    * to the referenced field. The field is extracted as STRING and
+    * try_cast to BIGINT — declaring `k BIGINT` directly would NULL out
+    * quoted numerics ({"k":"12"}) that the oracle's
+    * TRY_CAST(json_extract_string(...)) parses to 12. */
   def jsonPropsStats(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),
-        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+        expr("try_cast(from_json(props, 'k STRING').k AS BIGINT)").as("k"))
       .groupBy(col("event_type"))
       .agg(count(col("k")).as("n_parsed"),
         sum(col("k")).as("sum_k"),

@@ -31,6 +31,17 @@ class AffinityPlanSpec extends SparkSpec {
     assert(route.keySet == classes.toSet)
   }
 
+  test("multicastRoute is total: uncovered labels and the <2-class " +
+    "(no pairs) case route to zero workers instead of throwing") {
+    val route = AffinityPlan.multicastRoute(AffinityPlan.divideWork(classes, 4))
+    assert(route("not-a-class") == Seq.empty)
+    // a single class yields no pairs: every key routes nowhere
+    val degenerate = AffinityPlan.multicastRoute(
+      AffinityPlan.divideWork(Seq("only"), 4))
+    assert(degenerate("only") == Seq.empty)
+    assert(degenerate("anything") == Seq.empty)
+  }
+
   test("multicastRoute through MRJob delivers both labels of every " +
     "assigned pair to that pair's worker") {
     val workers = 4
