@@ -110,6 +110,10 @@ object SparkEntry {
     // over a deterministic hash sample — oracle-checkable, unlike
     // HLL/t-digest whose results differ across engines
     "q47_sketches" -> ((s, d) => Sketches.sketchStats(lineitem(s, d))),
+    // bounded-state quantile sketch: exact median over the deterministic
+    // bottom-k-by-hash reservoir (≤ k pairs of state per group, no
+    // 10%-sample sort anywhere — q47's scale path)
+    "q60_quantile_sketch" -> ((s, d) => Sketches.quantileSketch(lineitem(s, d))),
     // training-data curation tier (all row-local / broadcast shaped)
     "q50_pii_scrub" -> ((s, d) => Pipeline.piiScrub(documents(s, d))),
     "q51_repetition" -> ((s, d) => Pipeline.repetitionFilter(documents(s, d))),
@@ -167,6 +171,7 @@ object SparkEntry {
     "q45_salted_join" -> Skew.saltedRevenueByNationOracle,
     "q46_asof_join" -> Joins.asofAttributionOracle,
     "q47_sketches" -> Sketches.sketchStatsOracle,
+    "q60_quantile_sketch" -> Sketches.quantileSketchOracle,
     "q48_pivot" -> EventOps.eventTypePivotOracle,
     "q49_percentiles" -> EventOps.quantityPercentilesOracle,
     "q50_pii_scrub" -> Pipeline.piiScrubOracle,

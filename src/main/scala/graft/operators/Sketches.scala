@@ -47,6 +47,58 @@ object Sketches {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Bounded-state quantile sketch (q47's scale path): median over the
+    * deterministic bottom-k-by-hash row sample
+    * ([[graft.functions.BottomKSampleAgg]]). Unlike [[sketchStats]]'s 10%
+    * hash sample — whose sort input still grows linearly with the group —
+    * the state here is ≤ k (hash, value) pairs per (partition, group)
+    * regardless of group size: the classic sketch wire profile, but a
+    * pure function of the input multiset, so the DuckDB oracle
+    * reproduces it row-for-row (ORDER BY hash, value LIMIT k). */
+  def quantileSketch(lineitem: DataFrame, k: Int = 256): DataFrame = {
+    val bks = udaf(new graft.functions.BottomKSampleAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    lineitem
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("qty"),
+        expr(h32sql(
+          "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"))
+          .as("sh"))
+      .groupBy(col("l_returnflag"))
+      .agg(bks(col("sh"), col("qty")).as("qs"), count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        expr(
+          """CASE WHEN size(qs) % 2 = 1 THEN element_at(qs, CAST((size(qs) + 1) DIV 2 AS INT))
+            |     ELSE (element_at(qs, CAST(size(qs) DIV 2 AS INT))
+            |           + element_at(qs, CAST(size(qs) DIV 2 + 1 AS INT))) / 2.0D END"""
+            .stripMargin).as("median_qty_sketch"),
+        expr("CAST(size(qs) AS BIGINT)").as("sampled"),
+        col("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val quantileSketchOracle: String =
+    """WITH hashed AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
+      |         CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) AS sh
+      |  FROM lineitem),
+      |ranked AS (
+      |  SELECT l_returnflag, qty,
+      |         row_number() OVER (PARTITION BY l_returnflag ORDER BY sh, qty) AS rn
+      |  FROM hashed),
+      |samp AS (
+      |  SELECT l_returnflag, list(qty ORDER BY qty) AS qs
+      |  FROM ranked WHERE rn <= 256 GROUP BY 1),
+      |cnts AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt FROM hashed GROUP BY 1)
+      |SELECT s.l_returnflag,
+      |       CASE WHEN len(qs) % 2 = 1 THEN qs[(len(qs) + 1) // 2]
+      |            ELSE (qs[len(qs) // 2] + qs[len(qs) // 2 + 1]) / 2.0 END AS median_qty_sketch,
+      |       CAST(len(qs) AS BIGINT) AS sampled,
+      |       c.cnt
+      |FROM samp s JOIN cnts c USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val sketchStatsOracle: String =
     """WITH hashed AS (
       |  SELECT l_returnflag, l_quantity,
