@@ -200,16 +200,34 @@ object TextAnalysis {
   // window hashes — robust to small edits, one row per doc, no shuffle
   // beyond the final sort.
   // --------------------------------------------------------------------
+  /** Sorted 32-bit window hashes in one compiled pass — the JVM twin of
+    * `array_sort(transform(sequence(...), i -> conv(substr(md5(substr(
+    * norm, i*8+1, 32)), 1, 8), 16, 10)))`, element-identical by
+    * construction. The SQL form is a HigherOrderFunction (CodegenFallback:
+    * every window's md5 evaluates interpreted), and windows/doc ×
+    * corpus-size makes that a measured hot loop at scale — same
+    * justification as the dedup UDF twins. */
+  private val windowHashesUdf = udf { norm: String =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = (norm.length - 32) / 8
+    val out = new Array[Long](n + 1)
+    var i = 0
+    while (i <= n) {
+      val d = md.digest(norm.substring(i * 8, i * 8 + 32).getBytes("UTF-8"))
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   def fingerprint(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
       .filter(length(col("norm")) >= 32)
-      .select(col("doc_id"), expr(
-        """array_sort(transform(
-          |  sequence(0, CAST(floor((length(norm) - 32) / 8) AS INT)),
-          |  i -> CAST(conv(substr(md5(substr(norm, i*8 + 1, 32)), 1, 8), 16, 10) AS BIGINT)))"""
-          .stripMargin).as("hs"))
+      .select(col("doc_id"), windowHashesUdf(col("norm")).as("hs"))
       .select(col("doc_id"), expr("hs[0]").as("fp_min"),
         expr("CASE WHEN size(hs) > 1 THEN hs[1] ELSE hs[0] END").as("fp_min2"),
         size(col("hs")).as("n_windows"))
