@@ -62,6 +62,9 @@ object SparkEntry {
     "q26_dedup_simhash" -> ((s, d) => Dedup.simhashDedup(documents(s, d))),
     "q27_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
     "q59_dup_clusters" -> ((s, d) => Dedup.dupClusters(documents(s, d))),
+    // the keep/drop decision: per-doc component keeper (shares the
+    // memoized pairs + labels stages with q25/q59 within a session)
+    "q61_dedup_keepers" -> ((s, d) => Dedup.dedupKeepers(documents(s, d))),
     // similarity search (north-star)
     "q28_emb_neardup" -> ((s, d) => Similarity.cosineNearDup(embeddings(s, d))),
     "q29_ann_brute" -> ((s, d) => Similarity.annBruteTopK(embeddings(s, d))),
@@ -183,6 +186,7 @@ object SparkEntry {
     "q56_stream_join" -> streaming.EventStream.clickAttributionCountsOracle,
     "q57_grouping_sets" -> SetAggOps.groupingSetsPriorityStatusOracle,
     "q58_json_props" -> EventOps.jsonPropsStatsOracle,
-    "q59_dup_clusters" -> Dedup.dupClustersOracle
+    "q59_dup_clusters" -> Dedup.dupClustersOracle,
+    "q61_dedup_keepers" -> Dedup.dedupKeepersOracle
   )
 }

@@ -152,7 +152,25 @@ object Dedup {
     * one session would stale-hit, the standard cache contract). */
   private val pairsMemo = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[(Int, Double), DataFrame]]()
+    scala.collection.mutable.Map[(String, Int, Double), DataFrame]]()
+
+  private def memoized(documents: DataFrame, stage: String, threshold: Double)
+                      (build: => DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val key = (stage, documents.semanticHash(), threshold)
+    pairsMemo.synchronized {
+      val perSession = {
+        val m = pairsMemo.get(spark)
+        if (m != null) m else {
+          val fresh = scala.collection.mutable.Map.empty[(String, Int, Double), DataFrame]
+          pairsMemo.put(spark, fresh)
+          fresh
+        }
+      }
+      perSession.getOrElseUpdate(key,
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  }
 
   /** Drop this session's memoized pair stages (e.g. after overwriting the
     * underlying files in place, which the plan-hash key cannot see). */
@@ -162,23 +180,8 @@ object Dedup {
       if (m != null) m.values.foreach(_.unpersist())
     }
 
-  private def verifiedPairs(documents: DataFrame, threshold: Double): DataFrame = {
-    val spark = documents.sparkSession
-    val key = (documents.semanticHash(), threshold)
-    pairsMemo.synchronized {
-      val perSession = {
-        val m = pairsMemo.get(spark)
-        if (m != null) m else {
-          val fresh = scala.collection.mutable.Map.empty[(Int, Double), DataFrame]
-          pairsMemo.put(spark, fresh)
-          fresh
-        }
-      }
-      perSession.getOrElseUpdate(key,
-        minhashPairsPlan(documents, threshold)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
-  }
+  private def verifiedPairs(documents: DataFrame, threshold: Double): DataFrame =
+    memoized(documents, "pairs", threshold)(minhashPairsPlan(documents, threshold))
 
   /** Verified near-dup pairs (a, b, jac), unordered — the shared stage
     * behind [[minhashDedup]] and [[dupClusters]]. */
@@ -268,7 +271,17 @@ object Dedup {
   // iterates ROUNDS (with a convergence count), never data.
   // --------------------------------------------------------------------
   def dupClusters(documents: DataFrame, threshold: Double = DefaultThreshold,
-                  maxIters: Int = 25): DataFrame = {
+                  maxIters: Int = 25): DataFrame =
+    componentLabels(documents, threshold, maxIters)
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
+      .orderBy(col("component"))
+
+  /** Connected-component label per matched vertex (v, lbl) — the shared,
+    * session-memoized stage behind [[dupClusters]] and [[dedupKeepers]]. */
+  private def componentLabels(documents: DataFrame, threshold: Double,
+                              maxIters: Int): DataFrame =
+    memoized(documents, "labels", threshold) {
     val spark = documents.sparkSession
     import spark.implicits._
     // The ROUND LOOP runs on co-partitioned RDDs, not DataFrames — the
@@ -332,12 +345,43 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge in $maxIters rounds — with pointer " +
         s"doubling that needs component diameter > ~2^$maxIters; raise maxIters")
-    val labelDf = labels.toDF("v", "lbl")
-    labelDf
-      .groupBy(col("lbl").as("component"))
-      .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
-      .orderBy(col("component"))
+    labels.toDF("v", "lbl")
   }
+
+  /** The keep/drop decision the whole dedup tier exists for: every
+    * document's keeper is its component's min doc_id (itself when it
+    * matched nothing — including sub-3-token docs that cannot shingle);
+    * `keep` marks the component representative. One narrow left join of
+    * the corpus ids against the (small) matched-vertex labels. */
+  def dedupKeepers(documents: DataFrame, threshold: Double = DefaultThreshold,
+                   maxIters: Int = 25): DataFrame = {
+    val labels = componentLabels(documents, threshold, maxIters)
+    documents.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("keeper_id"))
+      .withColumn("keep", col("keeper_id") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepersOracle: String = dedupKeepersOracleAt(DefaultThreshold)
+
+  /** Oracle builder on the SAME threshold as the engine function. */
+  def dedupKeepersOracleAt(threshold: Double): String =
+    s"""WITH RECURSIVE ${oracleMinhashPairsCtes(threshold)},
+      |edges AS (
+      |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
+      |reach(v, w) AS (
+      |  SELECT DISTINCT a AS v, a AS w FROM edges
+      |  UNION
+      |  SELECT r.v, e.b AS w FROM reach r JOIN edges e ON e.a = r.w),
+      |comp AS (
+      |  SELECT v, MIN(w) AS component FROM reach GROUP BY v)
+      |SELECT d.doc_id,
+      |       COALESCE(c.component, d.doc_id) AS keeper_id,
+      |       COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+      |FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   val dupClustersOracle: String = dupClustersOracleAt(DefaultThreshold)
 

@@ -74,6 +74,19 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Long]("max_doc") == 15L)
   }
 
+  test("dedupKeepers: cluster members point at the min doc_id; " +
+    "unmatched and unshingleable docs keep themselves") {
+    val d = docs(
+      (1L, base, base.length.toLong),
+      (2L, nearDup, nearDup.length.toLong), // near-dup of 1 → keeper 1
+      (3L, "totally different words nothing shared here at all whatsoever " * 6, 100L),
+      (4L, "ab", 2L)) // <3 tokens: cannot shingle, must still appear
+    val out = Dedup.dedupKeepers(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 4L, true)), out.toString)
+  }
+
   test("dedup plans are deterministic across executions") {
     val d = docs((1L, base, base.length.toLong),
       (2L, nearDup, nearDup.length.toLong))
