@@ -54,6 +54,21 @@ object Sources {
       .withColumn("label",
         regexp_extract(col("path"), "([^/]+)/[^/]+$", 1))
 
+  /** ORC read — the second columnar format the library speaks (Spark
+    * built-in; same pushdown/pruning surface as parquet, `.explain`
+    * shows PushedFilters + a pruned ReadSchema). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink, optionally partitioned — mirror of the parquet sink for
+    * pipelines whose downstream consumers are ORC-native (Hive/Trino). */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil): String = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+    path
+  }
+
   /** Partitioned parquet sink (the engine's durable output path —
     * replaces the reference's in-memory master result dict,
     * master.py:19–20). Returns the written path for chaining. */

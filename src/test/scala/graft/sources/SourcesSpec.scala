@@ -66,6 +66,24 @@ class SourcesSpec extends SparkSpec {
       "partition pruning must reach the scan")
   }
 
+  test("ORC round-trip with partition pruning and filter pushdown " +
+    "(the parquet surface, second columnar format)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = spark.range(200)
+      .withColumn("part", expr("CAST(id % 4 AS STRING)"))
+      .withColumn("v", expr("id * 7"))
+    Sources.writeOrc(df, s"$dir/t", Seq("part"))
+    val back = Sources.readOrc(spark, s"$dir/t")
+      .filter(col("part") === "2" && col("v") > 100)
+      .select(col("id"), col("v"))
+    assert(back.count() == df.filter("id % 4 = 2 AND id * 7 > 100").count())
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(part"),
+      "partition pruning must reach the ORC scan:\n" + scan.take(800))
+    assert(scan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,100)]"),
+      "predicate pushdown must reach the ORC scan:\n" + scan.take(800))
+  }
+
   test("writeBucketed: a join of two bucketed tables is co-located — " +
     "zero Exchange in the physical plan") {
     val a = spark.range(1000).withColumn("va", expr("id * 2"))
