@@ -45,10 +45,14 @@ object TextAnalysis {
     // share one exchange; no shuffle ever carries raw token occurrences.
     val docWords = toks.groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("n"))
-    val vocabSize = docWords.select(countDistinct(col("w")).as("v"))
-    val langTotals = docWords.groupBy(col("lang").as("l")).agg(sum(col("n")).as("tot"))
-    val profile = docWords.groupBy(col("lang").as("l"), col("w"))
+    // vocab size and per-lang totals both derive from the SMALL (lang,
+    // word) aggregate, not from docWords again — the auxiliary branches
+    // re-read a |V|·|L|-row exchange instead of the distinct-pairs one
+    val counts = docWords.groupBy(col("lang").as("l"), col("w"))
       .agg(sum(col("n")).as("cw"))
+    val vocabSize = counts.select(countDistinct(col("w")).as("v"))
+    val langTotals = counts.groupBy(col("l")).agg(sum(col("cw")).as("tot"))
+    val profile = counts
       .join(langTotals, "l")
       .crossJoin(vocabSize)
       // integer micro-log-prob: deterministic to sum in any order
