@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, ParsedStatement}
 
 /** The SAFE analog of the reference's dynamic task submission
   * (`POST /submit` with Python source, master.py:41–74, exec()'d on every
@@ -10,36 +11,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gets the reference's "ship me a query at runtime" capability with a
   * declarative, sandboxed surface instead of arbitrary code.
   *
-  * Scale note: this inherits every engine property the precompiled
-  * queries have — pushdown, pruning, AQE, codegen — because it IS the
-  * same planner; there is no separate interpreted path.
+  * "Sandboxed" is enforced, not assumed: the parsed plan is rejected if
+  * it contains any statement beyond a pure query — `ADD JAR` /
+  * `CREATE FUNCTION` (arbitrary bytecode), `INSERT OVERWRITE` (arbitrary
+  * writes), `SET` (session mutation) and every other DDL/DML/command all
+  * fail BEFORE execution (commands run eagerly in `spark.sql`, so the
+  * check must precede it).
+  *
+  * Scale note: accepted queries inherit every engine property the
+  * precompiled queries have — pushdown, pruning, AQE, codegen — because
+  * this IS the same planner; there is no separate interpreted path.
   */
 object SqlGate {
 
-  /** All fixture tables, registered under their reference names. */
-  val tableNames: Seq[String] = Seq("region", "nation", "customer",
-    "supplier", "part", "orders", "lineitem", "events", "documents",
-    "embeddings")
+  /** All fixture tables under their reference names — the ONE list that
+    * drives both [[tableNames]] and [[register]] (events gets the same
+    * nanos→timestamp normalization the typed loaders apply, so SQL and
+    * DataFrame callers see one schema). */
+  private val tables: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> (Tables.region(_, _)),
+    "nation" -> (Tables.nation(_, _)),
+    "customer" -> (Tables.customer(_, _)),
+    "supplier" -> (Tables.supplier(_, _)),
+    "part" -> (Tables.part(_, _)),
+    "orders" -> (Tables.orders(_, _)),
+    "lineitem" -> (Tables.lineitem(_, _)),
+    "events" -> (Tables.events(_, _)),
+    "documents" -> (Tables.documents(_, _)),
+    "embeddings" -> (Tables.embeddings(_, _)))
 
-  /** Register every fixture table as a temp view for SQL access
-    * (events gets the same nanos→timestamp normalization the typed
-    * loaders apply, so SQL and DataFrame callers see one schema). */
-  def register(spark: SparkSession, dir: String): Unit = {
-    Tables.region(spark, dir).createOrReplaceTempView("region")
-    Tables.nation(spark, dir).createOrReplaceTempView("nation")
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
-    Tables.part(spark, dir).createOrReplaceTempView("part")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-  }
+  val tableNames: Seq[String] = tables.map(_._1)
+
+  /** Register every fixture table as a temp view for SQL access. */
+  def register(spark: SparkSession, dir: String): Unit =
+    tables.foreach { case (name, load) =>
+      load(spark, dir).createOrReplaceTempView(name)
+    }
 
   /** Submit a SQL task against the fixture tables; also registers the
-    * graft extension functions so submitted text can use them. */
+    * graft extension functions so submitted text can use them.
+    *
+    * @throws IllegalArgumentException for any non-query statement. */
   def submit(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val offender = parsed.collectFirst {
+      case c: Command => c.nodeName
+      case i: InsertIntoStatement => i.nodeName
+      // INSERT OVERWRITE DIRECTORY parses to a plain UnaryNode, not a
+      // Command — deny it explicitly
+      case d: InsertIntoDir => d.nodeName
+      case s: ParsedStatement => s.nodeName
+    }
+    require(offender.isEmpty,
+      s"SqlGate accepts queries only; rejected statement: ${offender.getOrElse("")}")
     graft.functions.GraftFunctions.register(spark)
     register(spark, dir)
     spark.sql(sql)

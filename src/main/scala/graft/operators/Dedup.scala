@@ -146,38 +146,71 @@ object Dedup {
   /** Session-scoped stage cache for verified minhash pairs: pair listing
     * (q25) and clustering (q59) share one signature+verify computation per
     * (session, input plan, threshold) — multi-query sessions pay the
-    * expensive stage once. Keyed weakly by session (dropped sessions GC)
-    * and by the input's semantic plan hash (a different source or filter
-    * is a different entry; re-writing files under an identical plan within
-    * one session would stale-hit, the standard cache contract). */
-  private val pairsMemo = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[(String, Int, Double), DataFrame]]()
+    * expensive stage once. Keyed by the input's semantic plan hash (a
+    * different source or filter is a different entry; re-writing files
+    * under an identical plan within one session would stale-hit, the
+    * standard cache contract).
+    *
+    * Access-ordered LRU bounded at [[MaxMemoEntries]]: evicted entries
+    * unpersist their blocks, so entries for finished sessions age out as
+    * new work arrives instead of accumulating for the JVM lifetime (a
+    * weak-keyed map could not deliver that — the cached Datasets
+    * strongly reference their session, pinning a weak key forever).
+    * Builds run under a per-entry [[Slot]] lock, NOT this map's monitor:
+    * the "labels" stage executes a multi-round job inside its build, and
+    * one corpus clustering must not serialize unrelated dedup work. */
+  private val MaxMemoEntries = 16
+
+  private final class Slot {
+    @volatile private var df: DataFrame = _
+    def get(build: => DataFrame): DataFrame = {
+      val v = df
+      if (v != null) v
+      else synchronized {
+        if (df == null)
+          df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df
+      }
+    }
+    def unpersistIfBuilt(): Unit = synchronized {
+      // a stopped session throws from unpersist — eviction of a dead
+      // session's entry must not break the live caller inserting
+      if (df != null)
+        try df.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private type MemoKey = (org.apache.spark.sql.SparkSession, String, Int, Double)
+  private val pairsMemo =
+    new java.util.LinkedHashMap[MemoKey, Slot](MaxMemoEntries, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[MemoKey, Slot]): Boolean =
+        if (size() > MaxMemoEntries) { e.getValue.unpersistIfBuilt(); true }
+        else false
+    }
 
   private def memoized(documents: DataFrame, stage: String, threshold: Double)
                       (build: => DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    val key = (stage, documents.semanticHash(), threshold)
-    pairsMemo.synchronized {
-      val perSession = {
-        val m = pairsMemo.get(spark)
-        if (m != null) m else {
-          val fresh = scala.collection.mutable.Map.empty[(String, Int, Double), DataFrame]
-          pairsMemo.put(spark, fresh)
-          fresh
-        }
-      }
-      perSession.getOrElseUpdate(key,
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val key = (documents.sparkSession, stage, documents.semanticHash(), threshold)
+    val slot = pairsMemo.synchronized {
+      val s = pairsMemo.get(key)
+      if (s != null) s else { val fresh = new Slot; pairsMemo.put(key, fresh); fresh }
     }
+    // build outside the map lock; concurrent same-key callers share the
+    // slot's own monitor (an evicted-mid-build slot still returns a valid
+    // DataFrame — its blocks just stop being tracked, bounded by one)
+    slot.get(build)
   }
 
   /** Drop this session's memoized pair stages (e.g. after overwriting the
     * underlying files in place, which the plan-hash key cannot see). */
   def clearStageCache(spark: org.apache.spark.sql.SparkSession): Unit =
     pairsMemo.synchronized {
-      val m = pairsMemo.remove(spark)
-      if (m != null) m.values.foreach(_.unpersist())
+      val it = pairsMemo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) { e.getValue.unpersistIfBuilt(); it.remove() }
+      }
     }
 
   private def verifiedPairs(documents: DataFrame, threshold: Double): DataFrame =
@@ -321,9 +354,11 @@ object Dedup {
       val msgs = edgesBySrc.join(labels)
         .map { case (_, (dst, lbl)) => (dst, lbl) }
         .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+      // cached for the round: prop feeds BOTH sides of the doubling join
+      // below — uncached, its join-heavy lineage would evaluate twice
       val prop = labels.leftOuterJoin(msgs).mapValues {
         case (l, m) => math.min(l, m.getOrElse(Long.MaxValue))
-      }
+      }.cache()
       // pointer doubling: v jumps to its label's label (lbl(lbl(v)) ≤
       // lbl(v) since labels are monotone), so chains collapse in
       // O(log diameter) rounds instead of O(diameter)
@@ -333,6 +368,7 @@ object Dedup {
         .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
         .cache()
       val s = next.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+      prop.unpersist(false)
       labels.unpersist(false)
       labels = next
       iter += 1

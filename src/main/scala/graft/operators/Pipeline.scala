@@ -169,13 +169,9 @@ object Pipeline {
         val benchArr = sh.filter(col("doc_id") % benchMod === 0)
           .select(explode(col("hset")).as("h")).distinct()
           .agg(sort_array(collect_list(col("h"))).as("bset"))
-          .select(expr(
-            s"""CASE WHEN size(bset) > ${maxBenchShingles}L
-               |  THEN CAST(raise_error(concat('benchmark shingle set has ',
-               |    size(bset), ' entries > max $maxBenchShingles for the',
-               |    ' broadcast array; call contamination with',
-               |    ' broadcastBench = false')) AS ARRAY<BIGINT>)
-               |  ELSE bset END""".stripMargin).as("bset"))
+          .select(expr(Guards.guardedSql("size(bset)", maxBenchShingles,
+            "benchmark shingle set", "bset", "ARRAY<BIGINT>",
+            "call contamination with broadcastBench = false")).as("bset"))
         corpus
           .crossJoin(broadcast(benchArr))
           .select(col("doc_id"),

@@ -77,8 +77,13 @@ object Sketches {
       .orderBy(col("l_returnflag"))
   }
 
-  val quantileSketchOracle: String =
-    """WITH hashed AS (
+  val quantileSketchOracle: String = quantileSketchOracleAt(256)
+
+  /** Oracle builder on the SAME k as the engine function — the
+    * single-source-of-truth pairing [[graft.operators.Dedup.DefaultThreshold]]
+    * uses for banding, applied to the sample size. */
+  def quantileSketchOracleAt(k: Int): String =
+    s"""WITH hashed AS (
       |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
       |         CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) AS sh
       |  FROM lineitem),
@@ -88,7 +93,7 @@ object Sketches {
       |  FROM hashed),
       |samp AS (
       |  SELECT l_returnflag, list(qty ORDER BY qty) AS qs
-      |  FROM ranked WHERE rn <= 256 GROUP BY 1),
+      |  FROM ranked WHERE rn <= $k GROUP BY 1),
       |cnts AS (
       |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt FROM hashed GROUP BY 1)
       |SELECT s.l_returnflag,
@@ -99,8 +104,11 @@ object Sketches {
       |FROM samp s JOIN cnts c USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
-  val sketchStatsOracle: String =
-    """WITH hashed AS (
+  val sketchStatsOracle: String = sketchStatsOracleAt(256)
+
+  /** Oracle builder on the SAME k as the engine function. */
+  def sketchStatsOracleAt(k: Int): String =
+    s"""WITH hashed AS (
       |  SELECT l_returnflag, l_quantity,
       |         CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
       |         CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) AS sh
@@ -114,8 +122,8 @@ object Sketches {
       |         CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM hashed GROUP BY 1)
       |SELECT m.l_returnflag,
-      |       CASE WHEN len(k.hs) < 256 THEN CAST(len(k.hs) AS DOUBLE)
-      |            ELSE 255.0 * 4294967296.0 / CAST(k.hs[256] AS DOUBLE) END AS approx_parts,
+      |       CASE WHEN len(k.hs) < $k THEN CAST(len(k.hs) AS DOUBLE)
+      |            ELSE ${k - 1}.0 * 4294967296.0 / CAST(k.hs[$k] AS DOUBLE) END AS approx_parts,
       |       m.median_qty, m.cnt
       |FROM med m JOIN kmv k USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin

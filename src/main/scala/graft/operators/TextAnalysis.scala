@@ -70,12 +70,9 @@ object TextAnalysis {
       else {
         val cnt = profile.agg(count(lit(1)).as("profile_rows"))
         broadcast(profile.crossJoin(cnt).select(col("l"), col("w"),
-          expr(
-            s"""CASE WHEN profile_rows > ${maxProfileRows}L
-               |  THEN CAST(raise_error(concat('langId profile has ', profile_rows,
-               |    ' rows > max $maxProfileRows for broadcast; call langId with',
-               |    ' broadcastProfile = false')) AS BIGINT)
-               |  ELSE lp END""".stripMargin).as("lp")))
+          expr(Guards.guardedSql("profile_rows", maxProfileRows,
+            "langId profile", "lp", "BIGINT",
+            "call langId with broadcastProfile = false")).as("lp")))
       }
     val scored = docWords.join(profileSide, "w")
       .groupBy(col("doc_id"), col("lang"), col("l"))
@@ -213,11 +210,15 @@ object TextAnalysis {
     * justification as the dedup UDF twins. */
   private val windowHashesUdf = udf { norm: String =>
     val md = java.security.MessageDigest.getInstance("MD5")
-    val n = (norm.length - 32) / 8
+    // SQL substr/length count CODEPOINTS in both engines; Java String
+    // indexes UTF-16 units. Window over the codepoint array so non-BMP
+    // text (surrogate pairs) hashes the same windows as the SQL form.
+    val cps = norm.codePoints().toArray
+    val n = (cps.length - 32) / 8
     val out = new Array[Long](n + 1)
     var i = 0
     while (i <= n) {
-      val d = md.digest(norm.substring(i * 8, i * 8 + 32).getBytes("UTF-8"))
+      val d = md.digest(new String(cps, i * 8, 32).getBytes("UTF-8"))
       out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       i += 1

@@ -42,4 +42,33 @@ class SqlGateSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
+
+  test("non-query statements are rejected BEFORE execution") {
+    val bad = Seq(
+      "SET spark.sql.shuffle.partitions=1",
+      "ADD JAR '/tmp/evil.jar'",
+      "CREATE FUNCTION evil AS 'com.evil.Udf' USING JAR '/tmp/evil.jar'",
+      "INSERT OVERWRITE DIRECTORY '/tmp/sqlgate_x' SELECT 1",
+      "INSERT INTO lineitem SELECT * FROM lineitem",
+      "CREATE TABLE t AS SELECT 1 AS x",
+      "DROP TABLE lineitem",
+      "CACHE TABLE lineitem")
+    bad.foreach { s =>
+      val e = intercept[IllegalArgumentException](SqlGate.submit(spark, sf, s))
+      assert(e.getMessage.contains("queries only"), s)
+    }
+    // the SET must not have taken effect (rejection preceded execution)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "1")
+  }
+
+  test("CTE, set-op and subquery queries still pass the gate") {
+    val out = SqlGate.submit(spark, sf,
+      """WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 100)
+        |SELECT COUNT(*) AS n FROM (
+        |  SELECT o_orderkey FROM big
+        |  UNION SELECT l_orderkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM big))""".stripMargin)
+      .collect()
+    assert(out.head.getLong(0) > 0)
+  }
 }

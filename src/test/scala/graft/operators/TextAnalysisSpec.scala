@@ -46,4 +46,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
   }
+
+  test("fingerprint windows index by codepoints — matches the SQL form " +
+    "on non-BMP text (surrogate pairs)") {
+    import org.apache.spark.sql.functions._
+    // 😀 is U+1F600: 1 codepoint, 2 UTF-16 units — UTF-16 indexing would
+    // shift every window after it and change the window count
+    val d = docs(
+      (1L, ("ab😀cdefgh " * 8).trim, "en", "s"),
+      (2L, "😀" * 40, "en", "s"))
+    val udfOut = TextAnalysis.fingerprint(d).collect().map(_.toSeq).toSeq
+    val sqlOut = d
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .filter(length(col("norm")) >= 32)
+      .selectExpr("doc_id",
+        """array_sort(transform(
+          |  sequence(0, CAST(floor((length(norm) - 32) / 8) AS INT)),
+          |  i -> CAST(conv(substr(md5(substr(norm, i*8 + 1, 32)), 1, 8), 16, 10) AS BIGINT))) AS hs"""
+          .stripMargin)
+      .selectExpr("doc_id", "hs[0] AS fp_min",
+        "CASE WHEN size(hs) > 1 THEN hs[1] ELSE hs[0] END AS fp_min2",
+        "size(hs) AS n_windows")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(udfOut == sqlOut)
+  }
 }
