@@ -121,7 +121,16 @@ object SparkEntry {
     "q50_pii_scrub" -> ((s, d) => Pipeline.piiScrub(documents(s, d))),
     "q51_repetition" -> ((s, d) => Pipeline.repetitionFilter(documents(s, d))),
     "q52_source_mix" -> ((s, d) => Pipeline.sourceMixture(documents(s, d))),
-    "q53_contamination" -> ((s, d) => Pipeline.contamination(documents(s, d)))
+    "q53_contamination" -> ((s, d) => Pipeline.contamination(documents(s, d))),
+    // sequence packing: per-source concat-and-chunk layout at a fixed
+    // token budget — one narrow source-keyed shuffle + ordered cumsum
+    "q62_token_packing" -> ((s, d) => Pipeline.tokenPacking(documents(s, d))),
+    // hard per-source cap, md5 priority; the row_number<=k window runs
+    // on the bounded-heap TopKPerKey operator (|sources|·k shuffle rows)
+    "q63_domain_quota" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      Pipeline.domainQuota(documents(s, d))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -187,6 +196,8 @@ object SparkEntry {
     "q57_grouping_sets" -> SetAggOps.groupingSetsPriorityStatusOracle,
     "q58_json_props" -> EventOps.jsonPropsStatsOracle,
     "q59_dup_clusters" -> Dedup.dupClustersOracle,
-    "q61_dedup_keepers" -> Dedup.dedupKeepersOracle
+    "q61_dedup_keepers" -> Dedup.dedupKeepersOracle,
+    "q62_token_packing" -> Pipeline.tokenPackingOracle,
+    "q63_domain_quota" -> Pipeline.domainQuotaOracle
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond dedup/similarity: PII
@@ -9,11 +10,13 @@ import org.apache.spark.sql.functions._
   * the reference's nearest analog is the scrub/filter stage of its
   * wordcount task, example_wordcount.py:14–17).
   *
-  * Scale design: every operator here is row-local or broadcast-join
-  * shaped — nothing shuffles the corpus. PII counts and repetition
-  * ratios are per-row expressions; mixture sampling is a hash-Bernoulli
-  * decision per row aggregated per source; contamination intersects each
-  * doc's shingle set against a broadcast benchmark set. Ratios are
+  * Scale design: every operator here is row-local, broadcast-join
+  * shaped, or one narrow source-keyed shuffle — nothing shuffles the
+  * corpus payload more than once. PII counts and repetition ratios are
+  * per-row expressions; mixture sampling is a hash-Bernoulli decision
+  * per row aggregated per source; contamination intersects each doc's
+  * shingle set against a broadcast benchmark set; packing and quota
+  * shuffle only (source, doc_id, token-count) projections. Ratios are
   * integer-exact (ppm via integer division), never float-summed.
   */
 object Pipeline {
@@ -216,4 +219,100 @@ object Pipeline {
       |       CAST(n_overlap * 1000000 // n_shingles AS BIGINT) AS overlap_ppm,
       |       n_overlap * 1000000 // n_shingles >= 500000 AS contaminated
       |FROM scored ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Sequence packing (concat-and-chunk): pretraining packs each source's
+  // token stream in a deterministic document order and cuts it every
+  // `budget` tokens. Report the packing layout per source — bins
+  // produced, boundary straddlers, fill density — all exact integers.
+  // Scale: ONE shuffle on source + an in-partition ordered cumsum
+  // (running window, no second pass). A 100 TB corpus keys the window by
+  // (source, shard) so no single source serializes into one partition;
+  // the per-shard semantics are identical.
+  // --------------------------------------------------------------------
+  def tokenPacking(documents: DataFrame, budget: Long = 4096L): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("source"), col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      // a doc occupies token offsets [cum-tok, cum): its first and last
+      // bins are exact integer divisions of those offsets
+      .select(col("source"), col("tok"),
+        expr(s"(cum - tok) DIV ${budget}L").as("start_bin"),
+        expr(s"(cum - 1) DIV ${budget}L").as("end_bin"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        expr(s"(sum(tok) + ${budget - 1}L) DIV ${budget}L").as("n_bins"),
+        sum(when(col("start_bin") =!= col("end_bin"), 1L).otherwise(0L))
+          .as("n_straddlers"),
+        expr(s"(count(1) * 1000L) DIV ((sum(tok) + ${budget - 1}L) DIV ${budget}L)")
+          .as("docs_per_bin_x1000"))
+      .orderBy(col("source"))
+  }
+
+  val tokenPackingOracle: String = tokenPackingOracleAt(4096L)
+
+  /** Oracle builder on the SAME budget as the engine function. */
+  def tokenPackingOracleAt(budget: Long): String =
+    s"""WITH toks AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT source, tok,
+      |         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM toks),
+      |bins AS (
+      |  SELECT source, tok,
+      |         (cum - tok) // $budget AS start_bin,
+      |         (cum - 1) // $budget AS end_bin
+      |  FROM packed)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |       CAST((SUM(tok) + ${budget - 1}) // $budget AS BIGINT) AS n_bins,
+      |       CAST(SUM(CASE WHEN start_bin <> end_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+      |       CAST((COUNT(*) * 1000) // ((SUM(tok) + ${budget - 1}) // $budget) AS BIGINT) AS docs_per_bin_x1000
+      |FROM bins GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Per-source document quota: keep at most k docs per source, priority
+  // = md5(doc_id) — a deterministic "random" draw both engines agree on.
+  // This is the hard per-domain CAP of web-corpus curation ([[
+  // sourceMixture]] is the complementary soft fractional sampler); the
+  // keep set is a pure function of the input multiset, never of arrival
+  // order. Scale: with [[graft.plans.TopKInstall]] the row_number<=k
+  // window runs on the bounded-heap operator — at most |sources|·k rows
+  // cross the shuffle and nothing ever sorts a whole source.
+  // --------------------------------------------------------------------
+  def domainQuota(documents: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+    documents
+      .select(col("source"), col("doc_id"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .as("pri"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("tok"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("tok"))
+  }
+
+  val domainQuotaOracle: String = domainQuotaOracleAt(20)
+
+  /** Oracle builder on the SAME k as the engine function. */
+  def domainQuotaOracleAt(k: Int): String =
+    s"""WITH pri AS (
+      |  SELECT source, doc_id,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS pri,
+      |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, tok,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS INT) AS rk
+      |  FROM pri)
+      |SELECT source, rk, doc_id, tok FROM ranked WHERE rk <= $k""".stripMargin
 }

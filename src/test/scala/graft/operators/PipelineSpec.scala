@@ -68,4 +68,44 @@ class PipelineSpec extends SparkSpec {
     assert(!out(1L).getAs[Boolean]("contaminated"))
     assert(out(1L).getAs[Long]("n_overlap") == 0L)
   }
+
+  test("tokenPacking: bin counts, straddlers and totals obey the " +
+    "concat-and-chunk layout invariants") {
+    // src0: docs 0,3,6,9 → 4 docs; every doc here is 5 tokens
+    val d = docs((0L until 12L).map(i => (i, "a b c d e")): _*)
+    val out = Pipeline.tokenPacking(d, budget = 8L).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet == Set("src0", "src1", "src2"))
+    out.values.foreach { r =>
+      val (docs0, toks, bins, straddlers) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("n_bins"),
+        r.getAs[Long]("n_straddlers"))
+      assert(docs0 == 4L && toks == 20L)
+      // 20 tokens at budget 8 → ceil = 3 bins
+      assert(bins == 3L)
+      // offsets per doc: [0,5) [5,10) [10,15) [15,20) → docs 2 and 3
+      // cross the 8 and 16 boundaries
+      assert(straddlers == 2L)
+      assert(r.getAs[Long]("docs_per_bin_x1000") == 4000L / 3L)
+    }
+    assertDeterministic(Pipeline.tokenPacking(d, budget = 8L))
+  }
+
+  test("domainQuota keeps exactly k docs per source, by md5 priority, " +
+    "through the bounded-heap TopKPerKey operator") {
+    graft.plans.TopKInstall.install(spark)
+    val d = docs((0L until 90L).map(i => (i, s"doc number $i")): _*)
+    val q = Pipeline.domainQuota(d, k = 7)
+    val rows0 = q.collect()
+    assert(rows0.length == 21, "3 sources x 7 kept")
+    val bySrc = rows0.groupBy(_.getAs[String]("source"))
+    bySrc.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 7))
+    }
+    // the rewrite swapped the row_number window for the heap operator
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      q.queryExecution.executedPlan.toString.take(600))
+    // priority is md5(doc_id): independent of input order
+    assertDeterministic(Pipeline.domainQuota(d.orderBy(rand()), k = 7))
+  }
 }
