@@ -117,6 +117,9 @@ object SparkEntry {
     // bottom-k-by-hash reservoir (≤ k pairs of state per group, no
     // 10%-sample sort anywhere — q47's scale path)
     "q60_quantile_sketch" -> ((s, d) => Sketches.quantileSketch(lineitem(s, d))),
+    // one-pass per-column profiler: null counts + KMV distinct, one read
+    // of the table, |cols|·k longs of agg state
+    "q64_table_profile" -> ((s, d) => Sketches.tableProfile(lineitem(s, d))),
     // training-data curation tier (all row-local / broadcast shaped)
     "q50_pii_scrub" -> ((s, d) => Pipeline.piiScrub(documents(s, d))),
     "q51_repetition" -> ((s, d) => Pipeline.repetitionFilter(documents(s, d))),
@@ -198,6 +201,7 @@ object SparkEntry {
     "q59_dup_clusters" -> Dedup.dupClustersOracle,
     "q61_dedup_keepers" -> Dedup.dedupKeepersOracle,
     "q62_token_packing" -> Pipeline.tokenPackingOracle,
-    "q63_domain_quota" -> Pipeline.domainQuotaOracle
+    "q63_domain_quota" -> Pipeline.domainQuotaOracle,
+    "q64_table_profile" -> Sketches.tableProfileOracle
   )
 }

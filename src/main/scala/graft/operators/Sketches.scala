@@ -127,4 +127,69 @@ object Sketches {
       |       m.median_qty, m.cnt
       |FROM med m JOIN kmv k USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------------
+  // One-pass table profiler: per-column null counts + KMV approximate
+  // distinct over the whole table — the data-quality step a pipeline
+  // runs before training. ONE aggregation pass (map-side combined, ≤ k
+  // longs of state per column per partition), then a stack() to one row
+  // per column; at 100 TB the table is read once and only |cols|·k longs
+  // ever cross the shuffle.
+  // --------------------------------------------------------------------
+  /** Per-column (name, Spark hash-key SQL, DuckDB hash-key SQL) — ONE
+    * list drives engine and oracle so the canonical key encoding cannot
+    * drift. Doubles are quantized to integer cents (their string forms
+    * differ across engines); timestamps formatted explicitly. NULL is
+    * coalesced to a sentinel BEFORE hashing (so the distinct count is
+    * total and the typed aggregator never sees a null input). */
+  val lineitemProfileKeys: Seq[(String, String, String)] = Seq(
+    ("l_orderkey", "CAST(l_orderkey AS STRING)", "CAST(l_orderkey AS VARCHAR)"),
+    ("l_partkey", "CAST(l_partkey AS STRING)", "CAST(l_partkey AS VARCHAR)"),
+    ("l_linenumber", "CAST(l_linenumber AS STRING)", "CAST(l_linenumber AS VARCHAR)"),
+    ("l_returnflag", "l_returnflag", "l_returnflag"),
+    ("l_quantity",
+      "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS STRING)",
+      "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)"),
+    ("l_extendedprice",
+      "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING)",
+      "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)"),
+    ("l_shipdate",
+      "date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss')",
+      "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')"))
+
+  def tableProfile(table: DataFrame,
+                   keys: Seq[(String, String, String)] = lineitemProfileKeys,
+                   k: Int = 256): DataFrame = {
+    val kmv = udaf(new KmvSketchAgg(k), Encoders.scalaLong)
+    val aggCols = keys.flatMap { case (name, sk, _) =>
+      Seq(
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"${name}__nulls"),
+        kmv(expr(h32sql(s"coalesce($sk, '<NULL>')"))).as(s"${name}__dv"))
+    }
+    val all = count(lit(1)).as("n_rows") +: aggCols
+    val stackArgs = keys
+      .map { case (name, _, _) => s"'$name', ${name}__nulls, ${name}__dv" }
+      .mkString(", ")
+    table.agg(all.head, all.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${keys.size}, $stackArgs) AS (col_name, n_nulls, approx_distinct)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("approx_distinct"))
+      .orderBy(col("col_name"))
+  }
+
+  val tableProfileOracle: String = tableProfileOracleAt(256)
+
+  /** Oracle builder on the SAME k and key list as the engine function. */
+  def tableProfileOracleAt(k: Int): String =
+    lineitemProfileKeys.map { case (name, _, dk) =>
+      s"""SELECT '$name' AS col_name, CAST(cnt AS BIGINT) AS n_rows,
+        |       CAST(nn AS BIGINT) AS n_nulls,
+        |       CASE WHEN len(hs) < $k THEN CAST(len(hs) AS DOUBLE)
+        |            ELSE ${k - 1}.0 * 4294967296.0 / CAST(hs[$k] AS DOUBLE) END AS approx_distinct
+        |FROM (SELECT list_sort(list(DISTINCT CAST(concat('0x', substr(md5(coalesce($dk, '<NULL>')), 1, 8)) AS BIGINT))) AS hs,
+        |             COUNT(*) AS cnt,
+        |             SUM(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS nn
+        |      FROM lineitem)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 }
