@@ -133,7 +133,10 @@ object SparkEntry {
     "q63_domain_quota" -> ((s, d) => {
       plans.TopKInstall.install(s)
       Pipeline.domainQuota(documents(s, d))
-    })
+    }),
+    // incremental-recrawl diff: fingerprints-only full outer join —
+    // 16 bytes/doc cross the shuffle, payloads never move
+    "q65_snapshot_delta" -> ((s, d) => Pipeline.snapshotDelta(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -202,6 +205,7 @@ object SparkEntry {
     "q61_dedup_keepers" -> Dedup.dedupKeepersOracle,
     "q62_token_packing" -> Pipeline.tokenPackingOracle,
     "q63_domain_quota" -> Pipeline.domainQuotaOracle,
-    "q64_table_profile" -> Sketches.tableProfileOracle
+    "q64_table_profile" -> Sketches.tableProfileOracle,
+    "q65_snapshot_delta" -> Pipeline.snapshotDeltaOracle
   )
 }

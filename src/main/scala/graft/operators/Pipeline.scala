@@ -301,6 +301,54 @@ object Pipeline {
       .select(col("source"), col("rk"), col("doc_id"), col("tok"))
   }
 
+  // --------------------------------------------------------------------
+  // Snapshot delta: the incremental-recrawl update step — diff two
+  // corpus snapshots into added / removed / changed / unchanged.
+  // Snapshots are deterministic views of the fixture corpus (yesterday
+  // misses doc_id%7==0, today misses doc_id%5==0, and doc_id%11==0 was
+  // re-crawled with different content), so both engines derive the same
+  // pair. Scale: ONLY md5 fingerprints join (16 bytes/doc,
+  // co-partitioned full outer on doc_id) — document payloads never
+  // shuffle, and the diff of a 100 TB recrawl moves gigabytes, not
+  // terabytes.
+  // --------------------------------------------------------------------
+  def snapshotDelta(documents: DataFrame): DataFrame = {
+    val yesterday = documents.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val today = documents.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp_new"))
+    yesterday.join(today, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("status"))
+  }
+
+  val snapshotDeltaOracle: String =
+    """WITH yesterday AS (
+      |  SELECT doc_id, md5(text) AS fp_old FROM documents WHERE doc_id % 7 <> 0),
+      |today AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp_new
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |delta AS (
+      |  SELECT COALESCE(y.doc_id, t.doc_id) AS doc_id,
+      |         CASE WHEN y.fp_old IS NULL THEN 'added'
+      |              WHEN t.fp_new IS NULL THEN 'removed'
+      |              WHEN y.fp_old <> t.fp_new THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM yesterday y FULL OUTER JOIN today t ON y.doc_id = t.doc_id)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM delta GROUP BY status ORDER BY status""".stripMargin
+
   val domainQuotaOracle: String = domainQuotaOracleAt(20)
 
   /** Oracle builder on the SAME k as the engine function. */

@@ -108,4 +108,29 @@ class PipelineSpec extends SparkSpec {
     // priority is md5(doc_id): independent of input order
     assertDeterministic(Pipeline.domainQuota(d.orderBy(rand()), k = 7))
   }
+
+  test("snapshotDelta classifies added/removed/changed/unchanged " +
+    "against an independent reference computation") {
+    val ids = 0L until 70L
+    val d = docs(ids.map(i => (i, s"document body $i")): _*)
+    // reference: yesterday misses %7==0, today misses %5==0, %11==0
+    // recrawled with different content
+    val expected = ids.flatMap { i =>
+      val inY = i % 7 != 0
+      val inT = i % 5 != 0
+      if (!inY && !inT) None
+      else if (!inY) Some(i -> "added")
+      else if (!inT) Some(i -> "removed")
+      else if (i % 11 == 0) Some(i -> "changed")
+      else Some(i -> "unchanged")
+    }.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val out = Pipeline.snapshotDelta(d).collect()
+      .map(r => r.getAs[String]("status") -> r).toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (status, docIds) =>
+      assert(out(status).getAs[Long]("n_docs") == docIds.size.toLong, status)
+      assert(out(status).getAs[Long]("min_doc") == docIds.min, status)
+      assert(out(status).getAs[Long]("max_doc") == docIds.max, status)
+    }
+  }
 }
