@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, ParsedStatement}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, ParsedStatement, UnresolvedWith}
 
 /** The SAFE analog of the reference's dynamic task submission
   * (`POST /submit` with Python source, master.py:41–74, exec()'d on every
@@ -48,22 +49,59 @@ object SqlGate {
       load(spark, dir).createOrReplaceTempView(name)
     }
 
+  /** Functions whose EXECUTION is arbitrary host code even inside a pure
+    * SELECT: `reflect`/`java_method` (and the try_ variant) call any
+    * static JVM method via CallMethodViaReflection. */
+  private val deniedFunctions = Set("reflect", "java_method", "try_reflect")
+
   /** Submit a SQL task against the fixture tables; also registers the
     * graft extension functions so submitted text can use them.
     *
-    * @throws IllegalArgumentException for any non-query statement. */
+    * Three checks, all on the PARSED plan before anything executes, all
+    * traversing subquery expressions too (a plan nested in a scalar
+    * subquery is invisible to a plain `collect`):
+    *  1. statements: anything beyond a pure query (DDL/DML/command);
+    *  2. relations: a strict allow-list of the fixture tables plus CTEs
+    *     the text itself defines — this closes the file-source escape,
+    *     where `` SELECT * FROM text.`/any/host/path` `` parses to a
+    *     plain UnresolvedRelation that `spark.sql.runSQLOnFiles` (on by
+    *     default) would read straight off the host filesystem;
+    *  3. expressions: the reflection functions above.
+    *
+    * @throws IllegalArgumentException for any rejected statement. */
   def submit(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    val offender = parsed.collectFirst {
+    val offender = parsed.collectWithSubqueries {
       case c: Command => c.nodeName
       case i: InsertIntoStatement => i.nodeName
       // INSERT OVERWRITE DIRECTORY parses to a plain UnaryNode, not a
       // Command — deny it explicitly
       case d: InsertIntoDir => d.nodeName
       case s: ParsedStatement => s.nodeName
-    }
+    }.headOption
     require(offender.isEmpty,
       s"SqlGate accepts queries only; rejected statement: ${offender.getOrElse("")}")
+    val cteNames = parsed.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    val allowed = tableNames.map(_.toLowerCase).toSet ++ cteNames
+    val badRel = parsed.collectWithSubqueries {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.length != 1 ||
+            !allowed.contains(r.multipartIdentifier.head.toLowerCase) =>
+        r.multipartIdentifier.mkString(".")
+    }.headOption
+    require(badRel.isEmpty,
+      s"SqlGate: relation is not a fixture table or local CTE: ${badRel.getOrElse("")}")
+    val badFn = parsed.collectWithSubqueries { case p =>
+      p.expressions.flatMap(_.collect {
+        case f: UnresolvedFunction
+            if deniedFunctions.contains(f.nameParts.last.toLowerCase) =>
+          f.nameParts.mkString(".")
+      })
+    }.flatten.headOption
+    require(badFn.isEmpty,
+      s"SqlGate: denied function: ${badFn.getOrElse("")}")
     graft.functions.GraftFunctions.register(spark)
     register(spark, dir)
     spark.sql(sql)

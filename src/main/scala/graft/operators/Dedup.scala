@@ -163,22 +163,42 @@ object Dedup {
 
   private final class Slot {
     @volatile private var df: DataFrame = _
+    // set lock-free on eviction/clear; a build that completes after its
+    // entry was evicted unpersists its own result, so evicted entries
+    // never pin blocks
+    @volatile private var dead = false
     def get(build: => DataFrame): DataFrame = {
       val v = df
       if (v != null) v
       else synchronized {
-        if (df == null)
-          df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (df == null) {
+          val built = build
+          // a build may persist-and-materialize itself (componentLabels
+          // does, to free its round-loop RDDs) — don't re-persist those
+          df = if (built.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else built
+        }
+        if (dead) unpersistQuietly(df)
         df
       }
     }
-    def unpersistIfBuilt(): Unit = synchronized {
-      // a stopped session throws from unpersist — eviction of a dead
-      // session's entry must not break the live caller inserting
-      if (df != null)
-        try df.unpersist()
-        catch { case scala.util.control.NonFatal(_) => () }
+    def unpersistIfBuilt(): Unit = {
+      // deliberately NOT synchronized: callers hold pairsMemo's monitor
+      // (eviction / clearStageCache), while a builder holds this Slot's
+      // monitor and re-enters pairsMemo via nested memoized stages
+      // ("labels" builds on "pairs") — taking the Slot monitor here
+      // would be an ABBA deadlock. `dead` hands the unpersist duty to an
+      // in-flight builder instead; a double unpersist is harmless.
+      dead = true
+      val v = df
+      if (v != null) unpersistQuietly(v)
     }
+    // a stopped session throws from unpersist — eviction of a dead
+    // session's entry must not break the live caller inserting
+    private def unpersistQuietly(d: DataFrame): Unit =
+      try { d.unpersist(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private type MemoKey = (org.apache.spark.sql.SparkSession, String, Int, Double)
@@ -198,7 +218,8 @@ object Dedup {
     }
     // build outside the map lock; concurrent same-key callers share the
     // slot's own monitor (an evicted-mid-build slot still returns a valid
-    // DataFrame — its blocks just stop being tracked, bounded by one)
+    // DataFrame and unpersists it as soon as the build lands — see
+    // Slot.unpersistIfBuilt)
     slot.get(build)
   }
 
@@ -381,7 +402,14 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dupClusters did not converge in $maxIters rounds — with pointer " +
         s"doubling that needs component diameter > ~2^$maxIters; raise maxIters")
-    labels.toDF("v", "lbl")
+    // persist + materialize HERE (Slot.get skips already-persisted
+    // builds) so the final round's cached RDD can be freed — otherwise
+    // every clustered corpus pins its label RDD for the session lifetime
+    val out = labels.toDF("v", "lbl")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labels.unpersist(false)
+    out
   }
 
   /** The keep/drop decision the whole dedup tier exists for: every

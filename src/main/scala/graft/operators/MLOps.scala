@@ -219,7 +219,15 @@ object MLOps {
     * |L|²/2 pairs (|L| is small — the driver-side collect is the label
     * DISTINCT, never the vectors) while each fit() distributes its
     * gradient aggregation over the cached feature Dataset. */
-  def trainPairClassifiers(embeddings: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** The ONE per-pair fit loop behind [[trainPairClassifiers]] and
+    * [[persistPairModels]] — a single training configuration (feature
+    * projection, y-encoding, solver params), two consumers that differ
+    * only in what they emit per fitted pair. Keeping this shared means
+    * the persisted weights are always trained under exactly the settings
+    * the reported train_accuracy was measured with. */
+  private def fitPairModels[A](embeddings: DataFrame, maxIter: Int)(
+      emit: (Int, Int, Map[Int, Long],
+             org.apache.spark.ml.classification.LogisticRegressionModel) => A): Seq[A] = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
@@ -232,7 +240,7 @@ object MLOps {
       val counts = feats.groupBy(col("label")).agg(count(lit(1)).as("n"))
         .as[(Int, Long)].collect().toMap
       val labels = counts.keys.toArray.sorted
-      val results = for {
+      for {
         i <- labels.indices
         j <- (i + 1) until labels.length
       } yield {
@@ -243,11 +251,18 @@ object MLOps {
           .setMaxIter(maxIter).setRegParam(0.01)
           .setLabelCol("y").setFeaturesCol("features")
           .fit(train)
-        (la, lb, counts(la) + counts(lb), model.summary.accuracy)
+        emit(la, lb, counts, model)
       }
-      results.toDF("la", "lb", "n_train", "train_accuracy")
-        .orderBy(col("la"), col("lb"))
     } finally { feats.unpersist(); () }
+  }
+
+  def trainPairClassifiers(embeddings: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    fitPairModels(embeddings, maxIter) { (la, lb, counts, model) =>
+      (la, lb, counts(la) + counts(lb), model.summary.accuracy)
+    }.toDF("la", "lb", "n_train", "train_accuracy")
+      .orderBy(col("la"), col("lb"))
   }
 
   /** Train one binary LogisticRegression per label pair and PERSIST the
@@ -258,34 +273,13 @@ object MLOps {
     * as written. */
   def persistPairModels(embeddings: DataFrame, path: String,
                         maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val feats = embeddings
-      .select(expr("CAST(label AS INT)").as("label"),
-        array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      .cache()
-    try {
-      val labels = feats.select(col("label")).distinct()
-        .as[Int].collect().sorted
-      val rows = for {
-        i <- labels.indices
-        j <- (i + 1) until labels.length
-      } yield {
-        val (la, lb) = (labels(i), labels(j))
-        val train = feats.filter(col("label").isin(la, lb))
-          .withColumn("y", when(col("label") === lb, 1.0).otherwise(0.0))
-        val model = new LogisticRegression()
-          .setMaxIter(maxIter).setRegParam(0.01)
-          .setLabelCol("y").setFeaturesCol("features")
-          .fit(train)
-        (la, lb, model.coefficients.toArray, model.intercept)
-      }
-      val weights = rows.toDF("la", "lb", "weights", "intercept")
-      weights.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    } finally { feats.unpersist(); () }
+    val weights = fitPairModels(embeddings, maxIter) { (la, lb, _, model) =>
+      (la, lb, model.coefficients.toArray, model.intercept)
+    }.toDF("la", "lb", "weights", "intercept")
+    weights.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
   }
 
   /** One-vs-one ensemble voting with the TRAINED classifiers reloaded
@@ -301,6 +295,10 @@ object MLOps {
     import spark.implicits._
     val models = weights.select(col("la"), col("lb"), col("weights"), col("intercept"))
       .as[(Int, Int, Array[Double], Double)].collect().sortBy(m => (m._1, m._2))
+    // an empty weights table (e.g. trained on <2 labels) would otherwise
+    // surface as an executor-side ArrayIndexOutOfBounds on every row
+    require(models.nonEmpty,
+      "ensembleFromModels: weights table is empty — training needs ≥2 labels (≥1 pair)")
     val labels = models.flatMap(m => Seq(m._1, m._2)).distinct.sorted
     val labelIdx = labels.zipWithIndex.toMap
     val bc = spark.sparkContext.broadcast((models, labels, labelIdx))

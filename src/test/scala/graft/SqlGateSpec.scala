@@ -61,6 +61,30 @@ class SqlGateSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") != "1")
   }
 
+  test("file-source relations are rejected — even nested in a subquery") {
+    val bad = Seq(
+      "SELECT * FROM text.`/etc/hostname`",
+      "SELECT * FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`",
+      "SELECT (SELECT first(value) FROM text.`/etc/hostname`) AS leak",
+      "SELECT * FROM spark_catalog.default.whatever")
+    bad.foreach { s =>
+      val e = intercept[IllegalArgumentException](SqlGate.submit(spark, sf, s))
+      assert(e.getMessage.contains("not a fixture table"), s)
+    }
+  }
+
+  test("reflection functions are rejected — even nested in a subquery") {
+    val bad = Seq(
+      "SELECT java_method('java.lang.System', 'getenv', 'HOME') AS x",
+      "SELECT reflect('java.lang.System', 'exit', 1) AS x",
+      "SELECT (SELECT java_method('java.lang.System', 'getProperty', 'user.dir')) AS x",
+      "SELECT n_name FROM nation WHERE n_name = reflect('java.lang.String', 'valueOf', 1)")
+    bad.foreach { s =>
+      val e = intercept[IllegalArgumentException](SqlGate.submit(spark, sf, s))
+      assert(e.getMessage.contains("denied function"), s)
+    }
+  }
+
   test("CTE, set-op and subquery queries still pass the gate") {
     val out = SqlGate.submit(spark, sf,
       """WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 100)

@@ -55,4 +55,15 @@ class MLTrainSpec extends SparkSpec {
       r.getAs[Double]("accuracy") == 1.0),
       acc.mkString(";"))
   }
+
+  test("an empty weights table fails fast on the driver, not per-row in tasks") {
+    val single = emb.where($"label" === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_models_e").toString
+    // a single-label corpus yields zero pairs → empty weights sink
+    val weights = MLOps.persistPairModels(single, s"$dir/pair_models")
+    assert(weights.count() == 0)
+    val e = intercept[IllegalArgumentException](
+      MLOps.ensembleFromModels(emb, weights))
+    assert(e.getMessage.contains("weights table is empty"))
+  }
 }
