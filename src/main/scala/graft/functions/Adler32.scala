@@ -51,6 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.adler32Descriptor)
     ext.injectFunction(SortedIntersectSize.descriptor)
     ext.injectFunction(DotLongExpression.descriptor)
+    ext.injectFunction(H32Expression.descriptor)
   }
 }
 
@@ -64,7 +65,7 @@ object GraftFunctions {
     * used by Verify/Bench/tests and the query lambdas that need them). */
   def register(spark: SparkSession): Unit =
     Seq(adler32Descriptor, SortedIntersectSize.descriptor,
-        DotLongExpression.descriptor).foreach { d =>
+        DotLongExpression.descriptor, H32Expression.descriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
 }

@@ -45,7 +45,7 @@ object Dedup {
   /** doc_id + distinct 3-word shingle set; docs with <3 tokens have no
     * shingles and are excluded (cannot near-dup match). */
   private[operators] def shingled(documents: DataFrame): DataFrame =
-    documents
+    Widen.widen(documents)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shingleSetUdf(col("toks")).as("sset"))

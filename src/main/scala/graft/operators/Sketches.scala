@@ -24,15 +24,17 @@ import graft.functions.KmvSketchAgg
 object Sketches {
 
   /** 32-bit md5-derived hash of an expression, as SQL (matches the
-    * DuckDB `CAST(concat('0x', substr(md5(e),1,8)) AS BIGINT)` idiom). */
-  private def h32sql(e: String): String =
-    s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)"
+    * DuckDB `CAST(concat('0x', substr(md5(e),1,8)) AS BIGINT)` idiom) —
+    * via the native [[graft.functions.H32Expression]], which skips the
+    * md5-hex → substr → conv allocation chain (~25× per value). */
+  private def h32sql(e: String): String = s"graft_h32($e)"
 
   /** Per return-flag: KMV approximate distinct parts, exact median
     * quantity over a deterministic 10% row sample, exact row count. */
   def sketchStats(lineitem: DataFrame, k: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(lineitem.sparkSession)
     val kmv = udaf(new KmvSketchAgg(k), Encoders.scalaLong)
-    lineitem
+    Widen.widen(lineitem)
       .select(col("l_returnflag"), col("l_quantity"),
         expr(h32sql("CAST(l_partkey AS STRING)")).as("h"),
         expr(h32sql(
@@ -160,21 +162,35 @@ object Sketches {
   def tableProfile(table: DataFrame,
                    keys: Seq[(String, String, String)] = lineitemProfileKeys,
                    k: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(table.sparkSession)
     val kmv = udaf(new KmvSketchAgg(k), Encoders.scalaLong)
-    val aggCols = keys.flatMap { case (name, sk, _) =>
-      Seq(
-        sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"${name}__nulls"),
-        kmv(expr(h32sql(s"coalesce($sk, '<NULL>')"))).as(s"${name}__dv"))
+    // UNPIVOT first, aggregate after. The obvious shape — one wide agg
+    // with per-column {null-sum, kmv} pairs — generates a 15-function
+    // ObjectHashAggregate whose one-time codegen/plan cost ran ~40×
+    // longer than the data pass (5.8 s cold vs 0.13 s warm at sf0.1).
+    // Inlining (col_name, value) entries feeds ONE kmv instance through
+    // one small md5 expression; partial aggregation still collapses
+    // every partition to |keys| rows before the single shuffle, so the
+    // scale shape is unchanged (map-side CPU identical, shuffle rows
+    // |keys| × partitions either way).
+    // The md5→h32 hashing must happen INSIDE the codegen'd generate
+    // stage, not as an aggregate-input expression: ObjectHashAggregate
+    // evaluates its input projection interpreted, and an interpreted
+    // md5/conv/substr chain per entry measured ~10× the compiled cost
+    // (47.7 s vs ~5 s CPU at sf0.1). Here each entry arrives as a plain
+    // (name, null-flag, hash-long) struct and the aggregate touches
+    // only primitives. `sk` is null iff its source column is null
+    // (casts/formats of the one column), so the null flag is exact.
+    val entries = keys.map { case (name, sk, _) =>
+      s"named_struct('c', '$name', 'nul', CAST(($name IS NULL) AS BIGINT), " +
+        s"'h', ${h32sql(s"coalesce(CAST(($sk) AS STRING), '<NULL>')")})"
     }
-    val all = count(lit(1)).as("n_rows") +: aggCols
-    val stackArgs = keys
-      .map { case (name, _, _) => s"'$name', ${name}__nulls, ${name}__dv" }
-      .mkString(", ")
-    table.agg(all.head, all.tail: _*)
-      .selectExpr("n_rows",
-        s"stack(${keys.size}, $stackArgs) AS (col_name, n_nulls, approx_distinct)")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("approx_distinct"))
+    Widen.widen(table)
+      .selectExpr(s"inline(array(${entries.mkString(", ")}))")
+      .groupBy(col("c").as("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("nul")).as("n_nulls"),
+        kmv(col("h")).as("approx_distinct"))
       .orderBy(col("col_name"))
   }
 

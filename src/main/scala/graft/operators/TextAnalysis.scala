@@ -31,7 +31,7 @@ object TextAnalysis {
     *   volume; AQE's skew handling covers stopword keys). */
   def langId(documents: DataFrame, broadcastProfile: Boolean = true,
              maxProfileRows: Long = 10000000L): DataFrame = {
-    val toks = documents.select(col("doc_id"), col("lang"),
+    val toks = Widen.widen(documents).select(col("doc_id"), col("lang"),
       explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
     // The raw token stream is zipfian on `w` — a shuffle keyed by the token

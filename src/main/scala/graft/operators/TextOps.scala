@@ -22,7 +22,7 @@ object TextOps {
   /** B1–B7: lower, whitespace-split, strip non-alphanumerics, drop
     * empties, count per word. */
   def wordcount(documents: DataFrame): DataFrame =
-    documents
+    Widen.widen(documents)
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
       .select(regexp_replace(col("tok"), "[^a-z0-9]", "").as("word"))
       .filter(length(col("word")) > 0)
@@ -41,7 +41,7 @@ object TextOps {
     * `graft_adler32`). The oracle recomputes adler32 arithmetically
     * (A = 1+Σd mod 65521, B = n+Σ(n−i+1)·dᵢ mod 65521, B·65536+A). */
   def adlerPartition(documents: DataFrame): DataFrame =
-    documents
+    Widen.widen(documents)
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
       .select(regexp_replace(col("tok"), "[^a-z0-9]", "").as("word"))
       .filter(length(col("word")) > 0)
