@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, ParsedStatement, UnresolvedWith}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedHaving, UnresolvedInlineTable, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTVFAliases, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** The SAFE analog of the reference's dynamic task submission
   * (`POST /submit` with Python source, master.py:41–74, exec()'d on every
@@ -54,13 +54,47 @@ object SqlGate {
     * static JVM method via CallMethodViaReflection. */
   private val deniedFunctions = Set("reflect", "java_method", "try_reflect")
 
+  /** The ONLY logical plan node types a submitted query may contain — a
+    * strict allow-list, checked against the exact parsed class. A
+    * deny-list is the wrong shape for this gate: Spark's parser grows new
+    * node types (and several "plain query" UnaryNodes execute host code —
+    * `SELECT TRANSFORM ... USING '<shell cmd>'` parses to
+    * [[ScriptTransformation]], `EXECUTE IMMEDIATE '<sql>'` to an
+    * UnresolvedLeafNode that re-parses embedded text AFTER any check on
+    * the outer plan), so anything unrecognized must fail closed.
+    *
+    * Everything here is pure relational algebra over already-allowed
+    * relations: project/filter/agg/window/join/set-op/limit/sort, CTEs,
+    * lateral + generate (explode), pivot/unpivot, sample, inline VALUES,
+    * builtin table functions (range etc.), and hints. Commands, DDL/DML,
+    * script transforms and nested-SQL nodes are all absent — rejected by
+    * construction, including types added in future Spark versions. */
+  private val allowedNodes: Set[Class[_]] = Set(
+    classOf[Project], classOf[Filter], classOf[Aggregate], classOf[Sort],
+    classOf[Join], classOf[LateralJoin], classOf[Generate],
+    classOf[Union], classOf[Intersect], classOf[Except],
+    classOf[Distinct], classOf[Deduplicate],
+    classOf[GlobalLimit], classOf[LocalLimit], classOf[Offset], classOf[Tail],
+    classOf[SubqueryAlias], classOf[UnresolvedSubqueryColumnAliases],
+    classOf[UnresolvedWith], classOf[UnresolvedHaving],
+    classOf[WithWindowDefinition], classOf[UnresolvedHint],
+    classOf[Pivot], classOf[Unpivot], classOf[Sample],
+    classOf[Repartition], classOf[RepartitionByExpression],
+    classOf[OneRowRelation], classOf[UnresolvedRelation],
+    // all-literal VALUES folds to LocalRelation at parse time; mixed ones
+    // stay UnresolvedInlineTable — both are pure in-memory literal rows
+    classOf[LocalRelation], classOf[UnresolvedInlineTable],
+    classOf[UnresolvedTableValuedFunction], classOf[UnresolvedTVFAliases])
+
   /** Submit a SQL task against the fixture tables; also registers the
     * graft extension functions so submitted text can use them.
     *
     * Three checks, all on the PARSED plan before anything executes, all
     * traversing subquery expressions too (a plan nested in a scalar
     * subquery is invisible to a plain `collect`):
-    *  1. statements: anything beyond a pure query (DDL/DML/command);
+    *  1. plan nodes: every node must be on [[allowedNodes]] — DDL/DML/
+    *     commands, `SELECT TRANSFORM` script execution, `EXECUTE
+    *     IMMEDIATE` nested SQL, and anything unrecognized fail closed;
     *  2. relations: a strict allow-list of the fixture tables plus CTEs
     *     the text itself defines — this closes the file-source escape,
     *     where `` SELECT * FROM text.`/any/host/path` `` parses to a
@@ -72,15 +106,10 @@ object SqlGate {
   def submit(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
     val offender = parsed.collectWithSubqueries {
-      case c: Command => c.nodeName
-      case i: InsertIntoStatement => i.nodeName
-      // INSERT OVERWRITE DIRECTORY parses to a plain UnaryNode, not a
-      // Command — deny it explicitly
-      case d: InsertIntoDir => d.nodeName
-      case s: ParsedStatement => s.nodeName
+      case p if !allowedNodes.contains(p.getClass) => p.nodeName
     }.headOption
     require(offender.isEmpty,
-      s"SqlGate accepts queries only; rejected statement: ${offender.getOrElse("")}")
+      s"SqlGate accepts queries only; rejected plan node: ${offender.getOrElse("")}")
     val cteNames = parsed.collectWithSubqueries {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet

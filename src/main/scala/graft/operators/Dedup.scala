@@ -335,7 +335,11 @@ object Dedup {
     * session-memoized stage behind [[dupClusters]] and [[dedupKeepers]]. */
   private def componentLabels(documents: DataFrame, threshold: Double,
                               maxIters: Int): DataFrame =
-    memoized(documents, "labels", threshold) {
+    // maxIters is folded into the stage key: a memoized unconverged build
+    // can never exist (non-convergence throws), but a later call with a
+    // LARGER maxIters must not silently inherit the smaller setting's
+    // cache entry if that invariant ever changes
+    memoized(documents, s"labels:$maxIters", threshold) {
     val spark = documents.sparkSession
     import spark.implicits._
     // The ROUND LOOP runs on co-partitioned RDDs, not DataFrames — the

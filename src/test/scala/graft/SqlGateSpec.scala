@@ -85,6 +85,42 @@ class SqlGateSpec extends SparkSpec {
     }
   }
 
+  test("script transforms are rejected — ScriptTransformation is a plain " +
+    "UnaryNode, not a Command, but executes an arbitrary shell pipeline") {
+    val e = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+      "SELECT TRANSFORM (n_name) USING 'cat /etc/passwd' AS (line STRING) FROM nation"))
+    assert(e.getMessage.contains("queries only"), e.getMessage)
+  }
+
+  test("EXECUTE IMMEDIATE is rejected — its embedded SQL text would be " +
+    "parsed and run AFTER any check on the outer plan") {
+    val bad = Seq(
+      "EXECUTE IMMEDIATE 'SET spark.sql.shuffle.partitions=1'",
+      "EXECUTE IMMEDIATE 'SELECT * FROM text.`/etc/hostname`'")
+    bad.foreach { s =>
+      val e = intercept[IllegalArgumentException](SqlGate.submit(spark, sf, s))
+      assert(e.getMessage.contains("queries only"), s)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "1")
+  }
+
+  test("the allow-list admits the full pure-query surface: window " +
+    "functions, VALUES, range(), lateral explode, pivot, having, sample") {
+    val ok = Seq(
+      // window over a named WINDOW definition
+      """SELECT n_name, rank() OVER w AS r FROM nation
+        |WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name)""".stripMargin,
+      "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, s)",
+      "SELECT COUNT(*) AS n FROM range(10)",
+      "SELECT x FROM nation LATERAL VIEW explode(array(1, 2)) t AS x LIMIT 3",
+      """SELECT * FROM (SELECT n_regionkey, n_nationkey FROM nation)
+        |PIVOT (COUNT(*) FOR n_regionkey IN (0, 1))""".stripMargin,
+      "SELECT n_regionkey FROM nation GROUP BY 1 HAVING COUNT(*) > 1",
+      "SELECT COUNT(*) AS n FROM nation TABLESAMPLE (100 PERCENT)",
+      "SELECT DISTINCT n_regionkey FROM nation ORDER BY 1 LIMIT 2 OFFSET 1")
+    ok.foreach { s => assert(SqlGate.submit(spark, sf, s).collect() != null, s) }
+  }
+
   test("CTE, set-op and subquery queries still pass the gate") {
     val out = SqlGate.submit(spark, sf,
       """WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 100)
