@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedHaving, UnresolvedInlineTable, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTVFAliases, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** The SAFE analog of the reference's dynamic task submission
@@ -86,12 +87,54 @@ object SqlGate {
     classOf[LocalRelation], classOf[UnresolvedInlineTable],
     classOf[UnresolvedTableValuedFunction], classOf[UnresolvedTVFAliases])
 
+  /** Table-valued functions a submitted query may call BY NAME. The class
+    * check above admits [[UnresolvedTableValuedFunction]] as a node type,
+    * but the node is resolved to an arbitrary registered TVF by name
+    * AFTER parsing — so the name needs its own allow-list, or a future
+    * file-reading builtin TVF would slip through the class check. All of
+    * these generate rows purely from their literal arguments. */
+  private val allowedTvfs = Set(
+    "range", "explode", "explode_outer", "posexplode", "posexplode_outer",
+    "inline", "inline_outer", "stack")
+
+  /** EVERY logical plan reachable from `root` — children, CTE bodies, and
+    * plans nested inside subquery expressions. This is the one traversal
+    * all three checks run over.
+    *
+    * `collect`/`collectWithSubqueries` are NOT enough: in Spark 4.x a
+    * CTE's body lives in `UnresolvedWith.cteRelations`, which the node
+    * exposes only through `innerChildren` (its `children` is just the
+    * main query), and TreeNode traversal follows `children` only. A
+    * `WITH t AS (<anything>) SELECT * FROM t` would otherwise hide
+    * `<anything>` — script transforms, file-source relations, reflect()
+    * — from every check while `spark.sql` still inlines and executes it.
+    * So the worklist explicitly expands `children`, every `LogicalPlan`
+    * in `innerChildren` (CTE bodies, nested arbitrarily), and every
+    * `SubqueryExpression.plan` inside each node's expressions. */
+  private def allPlans(root: LogicalPlan): Seq[LogicalPlan] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    def visit(p: LogicalPlan): Unit = {
+      out += p
+      p.children.foreach(visit)
+      p.innerChildren.foreach {
+        case lp: LogicalPlan => visit(lp)
+        case _ => ()
+      }
+      p.expressions.foreach(_.foreach {
+        case sq: SubqueryExpression => visit(sq.plan)
+        case _ => ()
+      })
+    }
+    visit(root)
+    out.toSeq
+  }
+
   /** Submit a SQL task against the fixture tables; also registers the
     * graft extension functions so submitted text can use them.
     *
-    * Three checks, all on the PARSED plan before anything executes, all
-    * traversing subquery expressions too (a plan nested in a scalar
-    * subquery is invisible to a plain `collect`):
+    * Four checks, all on the PARSED plan before anything executes, all
+    * running over [[allPlans]] — which reaches subquery-expression plans
+    * AND CTE bodies (innerChildren), both invisible to a plain `collect`:
     *  1. plan nodes: every node must be on [[allowedNodes]] — DDL/DML/
     *     commands, `SELECT TRANSFORM` script execution, `EXECUTE
     *     IMMEDIATE` nested SQL, and anything unrecognized fail closed;
@@ -100,35 +143,46 @@ object SqlGate {
     *     where `` SELECT * FROM text.`/any/host/path` `` parses to a
     *     plain UnresolvedRelation that `spark.sql.runSQLOnFiles` (on by
     *     default) would read straight off the host filesystem;
-    *  3. expressions: the reflection functions above.
+    *  3. table-valued functions: name must be on [[allowedTvfs]];
+    *  4. expressions: the reflection functions above.
     *
     * @throws IllegalArgumentException for any rejected statement. */
   def submit(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    val offender = parsed.collectWithSubqueries {
+    val plans = allPlans(parsed)
+    val offender = plans.collectFirst {
       case p if !allowedNodes.contains(p.getClass) => p.nodeName
-    }.headOption
+    }
     require(offender.isEmpty,
       s"SqlGate accepts queries only; rejected plan node: ${offender.getOrElse("")}")
-    val cteNames = parsed.collectWithSubqueries {
+    val cteNames = plans.flatMap {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
+      case _ => Nil
+    }.toSet
     val allowed = tableNames.map(_.toLowerCase).toSet ++ cteNames
-    val badRel = parsed.collectWithSubqueries {
+    val badRel = plans.collectFirst {
       case r: UnresolvedRelation
           if r.multipartIdentifier.length != 1 ||
             !allowed.contains(r.multipartIdentifier.head.toLowerCase) =>
         r.multipartIdentifier.mkString(".")
-    }.headOption
+    }
     require(badRel.isEmpty,
       s"SqlGate: relation is not a fixture table or local CTE: ${badRel.getOrElse("")}")
-    val badFn = parsed.collectWithSubqueries { case p =>
+    val badTvf = plans.collectFirst {
+      case t: UnresolvedTableValuedFunction
+          if t.name.length != 1 ||
+            !allowedTvfs.contains(t.name.head.toLowerCase) =>
+        t.name.mkString(".")
+    }
+    require(badTvf.isEmpty,
+      s"SqlGate: table-valued function is not allow-listed: ${badTvf.getOrElse("")}")
+    val badFn = plans.flatMap { p =>
       p.expressions.flatMap(_.collect {
         case f: UnresolvedFunction
             if deniedFunctions.contains(f.nameParts.last.toLowerCase) =>
           f.nameParts.mkString(".")
       })
-    }.flatten.headOption
+    }.headOption
     require(badFn.isEmpty,
       s"SqlGate: denied function: ${badFn.getOrElse("")}")
     graft.functions.GraftFunctions.register(spark)

@@ -118,7 +118,46 @@ class SqlGateSpec extends SparkSpec {
       "SELECT n_regionkey FROM nation GROUP BY 1 HAVING COUNT(*) > 1",
       "SELECT COUNT(*) AS n FROM nation TABLESAMPLE (100 PERCENT)",
       "SELECT DISTINCT n_regionkey FROM nation ORDER BY 1 LIMIT 2 OFFSET 1")
-    ok.foreach { s => assert(SqlGate.submit(spark, sf, s).collect() != null, s) }
+    ok.foreach { s => assert(SqlGate.submit(spark, sf, s).collect().nonEmpty, s) }
+  }
+
+  test("CTE bodies are traversed: attacks hidden inside WITH are rejected " +
+    "(cteRelations are innerChildren — a children-only collect misses them)") {
+    // node check: shell pipeline inside the CTE body
+    val transform = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+      """WITH t AS (SELECT TRANSFORM (n_name) USING 'cat /etc/passwd'
+        |AS (line STRING) FROM nation) SELECT * FROM t""".stripMargin))
+    assert(transform.getMessage.contains("queries only"), transform.getMessage)
+    // relation check: host file read inside the CTE body
+    val file = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+      "WITH t AS (SELECT * FROM text.`/etc/hostname`) SELECT * FROM t"))
+    assert(file.getMessage.contains("not a fixture table"), file.getMessage)
+    // function check: reflection inside the CTE body
+    val refl = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+      """WITH t AS (SELECT java_method('java.lang.System', 'getenv', 'HOME') AS x)
+        |SELECT * FROM t""".stripMargin))
+    assert(refl.getMessage.contains("denied function"), refl.getMessage)
+    // nested CTE: attack two WITH levels down
+    val nested = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+      """WITH a AS (WITH b AS (SELECT * FROM text.`/etc/hostname`)
+        |SELECT * FROM b) SELECT * FROM a""".stripMargin))
+    assert(nested.getMessage.contains("not a fixture table"), nested.getMessage)
+    // CTE body inside a subquery expression
+    val sub = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+      """SELECT (WITH t AS (SELECT first(value) AS v FROM text.`/etc/hostname`)
+        |SELECT v FROM t) AS leak""".stripMargin))
+    assert(sub.getMessage.contains("not a fixture table"), sub.getMessage)
+  }
+
+  test("table-valued functions are name-checked: unknown TVFs fail closed " +
+    "even though the node class is admitted") {
+    val e = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+      "SELECT * FROM some_future_file_reading_tvf('/etc/passwd')"))
+    assert(e.getMessage.contains("table-valued function"), e.getMessage)
+    // allow-listed TVFs still pass, including inside a CTE
+    val ok = SqlGate.submit(spark, sf,
+      "WITH t AS (SELECT id FROM range(5)) SELECT COUNT(*) AS n FROM t").collect()
+    assert(ok.head.getLong(0) == 5L)
   }
 
   test("CTE, set-op and subquery queries still pass the gate") {
