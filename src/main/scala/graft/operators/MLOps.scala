@@ -50,6 +50,16 @@ object MLOps {
     * ‖ca − cb‖² = Σ_d (sa_d·n_b − sb_d·n_a)² / (n_a·n_b)², where sa/sb
     * are integer component sums of the quantized embeddings.
     *
+    * The integer form needs 128-bit arithmetic: a cross term
+    * sa_d·n_b ≈ n²·10⁴ squares to ~n⁴·10⁸, which silently wraps a
+    * 64-bit long once a label has O(10³) members (the same cliff
+    * characterized for [[ensembleClassify]] below). So the lambda runs
+    * in DECIMAL(38,0) — Spark's int128, the exact mirror of the
+    * oracle's HUGEINT — exact to ~4·10⁷ members/label, and only the
+    * final sqrt/divide/round happens in double (the identical IEEE ops
+    * on the identical exact integer, in both engines). The pair stage is
+    * |labels|²/2 rows, so the interpreted decimal lambda costs nothing.
+    *
     * Scale shape: the per-dimension reduction is a (label, dim)-keyed
     * partial aggregation (explode → sum), the pair stage joins the tiny
     * per-label summary with itself — the O(n²) pair work runs on
@@ -69,8 +79,10 @@ object MLOps {
       .select(col("x.label").as("la"), col("y.label").as("lb"),
         col("x.n").as("n_a"), col("y.n").as("n_b"),
         expr(
-          """round(sqrt(CAST(aggregate(zip_with(x.sv, y.sv, (a, b) -> a*y.n - b*x.n),
-            |                           0L, (acc, v) -> acc + v*v) AS DOUBLE))
+          """round(sqrt(CAST(aggregate(zip_with(x.sv, y.sv,
+            |                    (a, b) -> CAST(a AS DECIMAL(19,0)) * y.n
+            |                            - CAST(b AS DECIMAL(19,0)) * x.n),
+            |                  CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v * v) AS DOUBLE))
             |      / (x.n * y.n), 6)""".stripMargin).as("centroid_dist"))
       .orderBy(col("la"), col("lb"))
   }
@@ -355,9 +367,12 @@ object MLOps {
       |  FROM bydim b JOIN (SELECT label, count(*) AS n FROM q GROUP BY 1) c ON c.label = b.label
       |  GROUP BY b.label, n),
       |pairs AS (
+      |  -- HUGEINT (int128) mirrors the engine's DECIMAL(38,0) lambda:
+      |  -- (sa_d·nb − sb_d·na)² ~ n⁴·10⁸ wraps BIGINT near 10³ members/label
       |  SELECT x.label AS la, y.label AS lb, x.n AS n_a, y.n AS n_b,
       |         round(sqrt(CAST(list_sum(list_transform(range(1, 65), d ->
-      |                  (x.sv[d]*y.n - y.sv[d]*x.n) * (x.sv[d]*y.n - y.sv[d]*x.n))) AS DOUBLE))
+      |                  (CAST(x.sv[d] AS HUGEINT)*y.n - CAST(y.sv[d] AS HUGEINT)*x.n)
+      |                * (CAST(x.sv[d] AS HUGEINT)*y.n - CAST(y.sv[d] AS HUGEINT)*x.n))) AS DOUBLE))
       |               / (x.n * y.n), 6) AS centroid_dist
       |  FROM sums x JOIN sums y ON x.label < y.label)
       |SELECT la, lb, n_a, n_b, centroid_dist FROM pairs ORDER BY la, lb""".stripMargin

@@ -22,6 +22,23 @@ class EnsembleVoteSpec extends SparkSpec {
       s"clusters at ±0.1 must classify perfectly at 10⁵ scale, got: $out")
   }
 
+  test("pairSeparation survives 1.2·10⁵ members per label (old Long lambda " +
+    "wrapped: (sa_d·nb − sb_d·na)² ≈ 2·10²⁸ ≫ 2⁶³)") {
+    // constant vectors → the analytic answer is exact: per-dim centroid
+    // gap is 10⁴ quantized units, over 16 dims → sqrt(16·10⁸) = 40000
+    val emb = spark.range(240000).selectExpr(
+      "id AS vec_id",
+      "CAST(id % 2 AS INT) AS label",
+      """transform(sequence(1, 16), d ->
+           CASE WHEN id % 2 = 0 THEN 0.5 ELSE -0.5 END) AS embedding""")
+    val out = MLOps.pairSeparation(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq((0, 1, 120000L, 120000L, 40000.0)),
+      s"cross terms are ~1.44·10¹⁴, squares ~2·10²⁸ — must compute in " +
+        s"DECIMAL(38,0), got: $out")
+  }
+
   test("exact-tie vectors take the BigInt fallback and vote the smaller label") {
     import spark.implicits._
     // label-0 centroid = +0.1·1⃗, label-1 centroid = −0.1·1⃗; the zero
