@@ -225,18 +225,59 @@ object Pipeline {
   // token stream in a deterministic document order and cuts it every
   // `budget` tokens. Report the packing layout per source — bins
   // produced, boundary straddlers, fill density — all exact integers.
-  // Scale: ONE shuffle on source + an in-partition ordered cumsum
-  // (running window, no second pass). A 100 TB corpus keys the window by
-  // (source, shard) so no single source serializes into one partition;
-  // the per-shard semantics are identical.
+  //
+  // Scale: the global cumsum is computed as a (source, shard) TWO-PASS —
+  // a hot source must never serialize into one task. Shards are
+  // CONTIGUOUS doc_id ranges (`doc_id DIV shardDocs` is monotone in the
+  // packing order), so pass 1's per-shard local cumsum plus pass 2's
+  // exclusive per-shard token offset IS the exact per-source running
+  // total: cum(doc) = lcum(doc within shard) + Σ tok(earlier shards).
+  // Pass 2 runs on the |sources|·|shards| aggregate (bytes per 64k docs,
+  // never the docs), and the offset join is keyed (source, shard) — the
+  // same partitioning pass 1 just shuffled to, with AQE free to
+  // broadcast the tiny offsets side. Bin boundaries are bit-identical to
+  // the single-window form for ANY shardDocs by construction.
   // --------------------------------------------------------------------
-  def tokenPacking(documents: DataFrame, budget: Long = 4096L): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
+  def tokenPacking(documents: DataFrame, budget: Long = 4096L,
+                   shardDocs: Long = 65536L): DataFrame = {
+    // ONE explicit (source, shard) shuffle that pass 1's window, pass 2's
+    // aggregate, and the offset join all consume: each requires exactly
+    // this clustering, so Catalyst inserts no further exchange and
+    // ReuseExchange collapses the two branches onto a single scan.
+    val parted = documents
       .select(col("source"), col("doc_id"),
+        expr(s"doc_id DIV ${shardDocs}L").as("shard"),
         size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("tok"))
-      .withColumn("cum", sum(col("tok")).over(w))
+      .repartition(col("source"), col("shard"))
+    // pass 1: local running total inside each contiguous shard
+    val wLocal = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pass 2: exclusive prefix of shard totals — a per-source window over
+    // |shards| rows, not |docs|
+    val wShards = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("lcum", sum(col("tok")).over(wLocal))
+    // Shard totals come from max(lcum) of the SAME windowed plan — not a
+    // separate sum over the scan — so both join branches share one
+    // canonical Exchange(Project(scan)) subtree and ReuseExchange keeps
+    // the corpus to a single scan + single shuffle (the offsets branch
+    // re-reads the shuffle output, never the source). The aggregate then
+    // runs exchange-free on the clustering it inherits.
+    val offsets = local.groupBy(col("source"), col("shard"))
+      .agg(max(col("lcum")).as("shard_tok"))
+      .select(col("source"), col("shard"),
+        coalesce(sum(col("shard_tok")).over(wShards), lit(0L)).as("off"))
+    // null-safe join keys: plain equi-keys would infer IsNotNull filters
+    // into ONE branch's scan, de-canonicalizing the two identical
+    // repartition exchanges and silently doubling the corpus scan; `<=>`
+    // infers nothing (keys are never null here) and keeps ReuseExchange
+    // eligible. Pinned by the hot-source spec.
+    local.as("l")
+      .join(offsets.as("r"),
+        col("l.source") <=> col("r.source") && col("l.shard") <=> col("r.shard"))
+      .select(col("l.source").as("source"), col("l.tok").as("tok"),
+        (col("l.lcum") + col("r.off")).as("cum"))
       // a doc occupies token offsets [cum-tok, cum): its first and last
       // bins are exact integer divisions of those offsets
       .select(col("source"), col("tok"),

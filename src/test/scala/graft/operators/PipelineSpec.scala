@@ -91,6 +91,40 @@ class PipelineSpec extends SparkSpec {
     assertDeterministic(Pipeline.tokenPacking(d, budget = 8L))
   }
 
+  test("tokenPacking shards a hot source: the doc-level cumsum window is " +
+    "keyed (source, shard), never one task per source, and any shardDocs " +
+    "gives bit-identical bins") {
+    // one source holds 90% of the corpus; token counts vary per doc
+    val d = spark.range(1000).selectExpr(
+      "id AS doc_id",
+      "array_join(transform(sequence(1, CAST(id % 7 + 1 AS INT)), i -> 'w'), ' ') AS text",
+      "'en' AS lang",
+      "CASE WHEN id % 10 = 0 THEN concat('cold', CAST(id % 3 AS STRING)) " +
+        "ELSE 'hot' END AS source",
+      "CAST(13 AS BIGINT) AS n_chars")
+    val sharded = Pipeline.tokenPacking(d, budget = 8L, shardDocs = 64L)
+    val single = Pipeline.tokenPacking(d, budget = 8L, shardDocs = Long.MaxValue)
+    assert(rows(sharded) == rows(single),
+      "shard size must not change bin boundaries")
+    // the hot source really does split: 900 docs over doc_id range 0..999
+    // at 64 docs/shard → ≥14 distinct (source, shard) groups
+    val hotShards = d.filter(col("source") === "hot")
+      .selectExpr("doc_id DIV 64 AS shard").distinct().count()
+    assert(hotShards >= 14L, s"expected ≥14 hot shards, got $hotShards")
+    // and the doc-level window's exchange is keyed (source, shard) — the
+    // serial per-source sort never materializes
+    sharded.collect()
+    val plan = sharded.queryExecution.executedPlan.toString
+    val partLines = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(partLines.exists(l => l.contains("source") && l.contains("shard")),
+      s"no (source, shard)-keyed exchange in:\n${partLines.mkString("\n")}")
+    // the offsets branch must read the shuffle output, not re-scan the
+    // corpus: its repartition exchange is a ReusedExchange
+    assert(plan.contains("ReusedExchange"),
+      s"offsets branch re-scans the corpus (no ReusedExchange):\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("domainQuota keeps exactly k docs per source, by md5 priority, " +
     "through the bounded-heap TopKPerKey operator") {
     graft.plans.TopKInstall.install(spark)
