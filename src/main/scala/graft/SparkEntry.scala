@@ -136,7 +136,13 @@ object SparkEntry {
     }),
     // incremental-recrawl diff: fingerprints-only full outer join —
     // 16 bytes/doc cross the shuffle, payloads never move
-    "q65_snapshot_delta" -> ((s, d) => Pipeline.snapshotDelta(documents(s, d)))
+    "q65_snapshot_delta" -> ((s, d) => Pipeline.snapshotDelta(documents(s, d))),
+    // the hardened dynamic-submission path end-to-end (§2.A1): the same
+    // histogram as q20, but arriving as SQL TEXT through SqlGate's
+    // allow-list checks — proving the gated path plans and executes
+    // identically under the same oracle
+    "q66_sqlgate_roundtrip" -> ((s, d) => SqlGate.submit(s, d,
+      "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -206,6 +212,7 @@ object SparkEntry {
     "q62_token_packing" -> Pipeline.tokenPackingOracle,
     "q63_domain_quota" -> Pipeline.domainQuotaOracle,
     "q64_table_profile" -> Sketches.tableProfileOracle,
-    "q65_snapshot_delta" -> Pipeline.snapshotDeltaOracle
+    "q65_snapshot_delta" -> Pipeline.snapshotDeltaOracle,
+    "q66_sqlgate_roundtrip" -> SetAggOps.langHistogramOracle
   )
 }

@@ -342,6 +342,74 @@ object MLOps {
       .orderBy(col("label"))
   }
 
+  /** Mean-probability ensemble scoring — the reference's SECOND scoring
+    * mode (scripts/plants_CNN_classifier.py:96–111: average the
+    * predicted probability vectors, argmax the mean), re-expressed over
+    * the persisted pair-LR weights: each pair model contributes its
+    * sigmoid σ(w·x+b) to lb and 1−σ to la, the per-label sums are
+    * averaged over the |L|²/2 classifiers, and argmax predicts.
+    * Output per true class: per-sample mean-prob accuracy (the
+    * reference's first accuracy_score) AND `group_predicted` — argmax of
+    * the probability vector averaged over the whole class (its
+    * group-level accuracy_score twin). Ties argmax to the smaller label.
+    *
+    * Probabilities are quantized to 1e-9 before any cross-row
+    * aggregation — the group mean must be an integer sum (order-
+    * independent) to stay deterministic across partitionings; argmax of
+    * the quantized sum equals argmax of the mean since n is constant
+    * within a class.
+    *
+    * Scale shape: identical to [[ensembleFromModels]] — broadcast
+    * weights, one narrow compiled pass over the vectors, then a
+    * |labels|-row aggregate where only |labels|·|labels| longs cross the
+    * shuffle (map-side combined by [[graft.functions.VectorSumAgg]]). */
+  def ensembleMeanProb(embeddings: DataFrame, weights: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val models = weights.select(col("la"), col("lb"), col("weights"), col("intercept"))
+      .as[(Int, Int, Array[Double], Double)].collect().sortBy(m => (m._1, m._2))
+    require(models.nonEmpty,
+      "ensembleMeanProb: weights table is empty — training needs ≥2 labels (≥1 pair)")
+    val labels = models.flatMap(m => Seq(m._1, m._2)).distinct.sorted
+    val labelIdx = labels.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast((models, labels, labelIdx))
+    val scored = embeddings
+      .select(expr("CAST(label AS INT)").as("label"),
+        col("embedding").cast("array<double>").as("x"))
+      .as[(Int, Array[Double])]
+      .mapPartitions { it =>
+        val (ms, lbls, idx) = bc.value
+        it.map { case (trueLabel, x) =>
+          val acc = new Array[Double](lbls.length)
+          ms.foreach { case (la, lb, w, b0) =>
+            var m = b0; var i = 0
+            while (i < w.length) { m += w(i) * x(i); i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-m))
+            acc(idx(lb)) += p; acc(idx(la)) += 1.0 - p
+          }
+          val q = acc.map(v => math.round(v / ms.length * 1e9))
+          var best = 0
+          var i = 1
+          while (i < q.length) { if (q(i) > q(best)) best = i; i += 1 }
+          (trueLabel, lbls(best), q)
+        }
+      }
+      .toDF("label", "predicted", "qprobs")
+    val vsum = udaf(graft.functions.VectorSumAgg)
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L)).as("correct"),
+        vsum(col("qprobs")).as("psum"))
+      .select(col("label"), col("n"), col("correct"),
+        round(col("correct") / col("n").cast("double"), 4).as("accuracy"),
+        // argmax of the class-mean probability vector; array_position
+        // returns the FIRST max → ties resolve to the smaller label
+        element_at(array(labels.map(lit(_)): _*),
+          expr("CAST(array_position(psum, array_max(psum)) AS INT)"))
+          .as("group_predicted"))
+      .orderBy(col("label"))
+  }
+
   /** Shared per-label vector aggregation (also used by pairSeparation):
     * the typed [[graft.functions.VectorSumAgg]] Aggregator as a DataFrame
     * UDAF — partial (map-side) combining of the embedding vectors, so only

@@ -56,6 +56,29 @@ class MLTrainSpec extends SparkSpec {
       acc.mkString(";"))
   }
 
+  test("train → persist → mean-probability vote: per-sample and group " +
+    "accuracies agree with the majority-vote path on separable clusters " +
+    "(plants_CNN_classifier.py:96–111)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_models_mp").toString
+    MLOps.persistPairModels(emb, s"$dir/pair_models")
+    val reloaded = spark.read.parquet(s"$dir/pair_models")
+    val mp = MLOps.ensembleMeanProb(emb, reloaded).collect()
+    assert(mp.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    mp.foreach { r =>
+      assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("correct") == 20L &&
+        r.getAs[Double]("accuracy") == 1.0, r.toString)
+      // the reference's group-level score: argmax of the class-mean
+      // probability vector must recover the class itself
+      assert(r.getAs[Int]("group_predicted") == r.getInt(0), r.toString)
+    }
+    // cross-check: same per-class accuracies as the majority-vote path
+    val mv = MLOps.ensembleFromModels(emb, reloaded).collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("accuracy"))).toSeq
+    assert(mp.map(r => (r.getInt(0), r.getAs[Double]("accuracy"))).toSeq == mv)
+    assertDeterministic(MLOps.ensembleMeanProb(emb, reloaded)
+      .selectExpr("label", "n", "correct", "accuracy", "group_predicted"))
+  }
+
   test("an empty weights table fails fast on the driver, not per-row in tasks") {
     val single = emb.where($"label" === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_models_e").toString
