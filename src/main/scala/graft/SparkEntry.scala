@@ -142,7 +142,13 @@ object SparkEntry {
     // allow-list checks — proving the gated path plans and executes
     // identically under the same oracle
     "q66_sqlgate_roundtrip" -> ((s, d) => SqlGate.submit(s, d,
-      "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang"))
+      "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang")),
+    // the whole curation tier COMPOSED in one plan: quality (q51
+    // thresholds) → dedup keeper (q61 decision, shared memoized labels)
+    // → per-source quota (q63's md5 priority, fused into the one
+    // aggregation pass as a bounded top-k Aggregator) — per-source
+    // funnel counts + final token budget, one corpus scan end to end
+    "q67_curation_funnel" -> ((s, d) => Pipeline.curationFunnel(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,6 +219,7 @@ object SparkEntry {
     "q63_domain_quota" -> Pipeline.domainQuotaOracle,
     "q64_table_profile" -> Sketches.tableProfileOracle,
     "q65_snapshot_delta" -> Pipeline.snapshotDeltaOracle,
-    "q66_sqlgate_roundtrip" -> SetAggOps.langHistogramOracle
+    "q66_sqlgate_roundtrip" -> SetAggOps.langHistogramOracle,
+    "q67_curation_funnel" -> Pipeline.curationFunnelOracle
   )
 }

@@ -276,7 +276,7 @@ object Dedup {
     * oracle and the q59 clustering oracle; final table `mp(a, b, jac)`
     * holds verified pairs at jaccard ≥ threshold). Banding derives from
     * the same threshold the engine function receives. */
-  private def oracleMinhashPairsCtes(threshold: Double): String = {
+  private[operators] def oracleMinhashPairsCtes(threshold: Double): String = {
     val (b, r) = lshBanding(threshold)
     val bandCols = (1 to r).map(k => s"sig[band*$r+$k]").mkString(", ")
     s"""$oracleShingled,
@@ -333,7 +333,7 @@ object Dedup {
 
   /** Connected-component label per matched vertex (v, lbl) — the shared,
     * session-memoized stage behind [[dupClusters]] and [[dedupKeepers]]. */
-  private def componentLabels(documents: DataFrame, threshold: Double,
+  private[operators] def componentLabels(documents: DataFrame, threshold: Double,
                               maxIters: Int): DataFrame =
     // maxIters is folded into the stage key: a memoized unconverged build
     // can never exist (non-convergence throws), but a later call with a

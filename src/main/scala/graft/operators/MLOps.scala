@@ -227,35 +227,50 @@ object MLOps {
     * diffable). The *pipeline* is deterministic and spec-gated: pair
     * enumeration, train-set sizes, and separability on disjoint clusters.
     *
-    * Orchestration matches the reference: the driver loops over the
+    * Orchestration generalizes the reference's: the driver enumerates the
     * |L|²/2 pairs (|L| is small — the driver-side collect is the label
-    * DISTINCT, never the vectors) while each fit() distributes its
-    * gradient aggregation over the cached feature Dataset. */
+    * DISTINCT, never the vectors) and runs the fits CONCURRENTLY from a
+    * bounded thread pool. Each fit() is an independent Spark job over the
+    * one cached feature Dataset, so a pool of `parallelism` driver
+    * threads keeps that many jobs in flight at once — the scheduler
+    * interleaves their stages across executors instead of draining the
+    * cluster between sequential fits (the reference's workers trained
+    * their pair lists concurrently for the same reason,
+    * plants_classifier.py:222–231). Results come back in deterministic
+    * (la, lb) order regardless of completion order, and L-BFGS on a fixed
+    * train set is deterministic, so the parallel and sequential loops
+    * emit identical models (MLTrainSpec pins this). */
   /** The ONE per-pair fit loop behind [[trainPairClassifiers]] and
     * [[persistPairModels]] — a single training configuration (feature
     * projection, y-encoding, solver params), two consumers that differ
     * only in what they emit per fitted pair. Keeping this shared means
     * the persisted weights are always trained under exactly the settings
     * the reported train_accuracy was measured with. */
-  private def fitPairModels[A](embeddings: DataFrame, maxIter: Int)(
+  private def fitPairModels[A](embeddings: DataFrame, maxIter: Int,
+                               parallelism: Int)(
       emit: (Int, Int, Map[Int, Long],
              org.apache.spark.ml.classification.LogisticRegressionModel) => A): Seq[A] = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val spark = embeddings.sparkSession
     import spark.implicits._
     val feats = embeddings
       .select(expr("CAST(label AS INT)").as("label"),
         array_to_vector(col("embedding").cast("array<double>")).as("features"))
       .cache()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, parallelism))
     try {
       val counts = feats.groupBy(col("label")).agg(count(lit(1)).as("n"))
         .as[(Int, Long)].collect().toMap
       val labels = counts.keys.toArray.sorted
-      for {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fits = for {
         i <- labels.indices
         j <- (i + 1) until labels.length
-      } yield {
+      } yield Future {
         val (la, lb) = (labels(i), labels(j))
         val train = feats.filter(col("label").isin(la, lb))
           .withColumn("y", when(col("label") === lb, 1.0).otherwise(0.0))
@@ -265,13 +280,17 @@ object MLOps {
           .fit(train)
         emit(la, lb, counts, model)
       }
-    } finally { feats.unpersist(); () }
+      // Future.sequence preserves enumeration order — the output is
+      // (la, lb)-sorted no matter which fits finish first
+      Await.result(Future.sequence(fits), Duration.Inf)
+    } finally { pool.shutdown(); feats.unpersist(); () }
   }
 
-  def trainPairClassifiers(embeddings: DataFrame, maxIter: Int = 50): DataFrame = {
+  def trainPairClassifiers(embeddings: DataFrame, maxIter: Int = 50,
+                           parallelism: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    fitPairModels(embeddings, maxIter) { (la, lb, counts, model) =>
+    fitPairModels(embeddings, maxIter, parallelism) { (la, lb, counts, model) =>
       (la, lb, counts(la) + counts(lb), model.summary.accuracy)
     }.toDF("la", "lb", "n_train", "train_accuracy")
       .orderBy(col("la"), col("lb"))
@@ -284,10 +303,10 @@ object MLOps {
     * and broadcastable at inference time. Returns the weights DataFrame
     * as written. */
   def persistPairModels(embeddings: DataFrame, path: String,
-                        maxIter: Int = 50): DataFrame = {
+                        maxIter: Int = 50, parallelism: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val weights = fitPairModels(embeddings, maxIter) { (la, lb, _, model) =>
+    val weights = fitPairModels(embeddings, maxIter, parallelism) { (la, lb, _, model) =>
       (la, lb, model.coefficients.toArray, model.intercept)
     }.toDF("la", "lb", "weights", "intercept")
     weights.write.mode("overwrite").parquet(path)

@@ -390,6 +390,121 @@ object Pipeline {
       |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM delta GROUP BY status ORDER BY status""".stripMargin
 
+  // --------------------------------------------------------------------
+  // End-to-end curation FUNNEL: the whole tier composed into one query —
+  // per source, how many docs enter, pass repetition-quality, survive
+  // near-dup dedup (component keeper), and make the per-source quota,
+  // plus the final token budget. This is the shape a real pretraining
+  // ingest runs nightly; it exists to prove the operators COMPOSE in one
+  // plan, not just pass in isolation.
+  //
+  // Stage semantics (each evaluated on the full corpus, quota on the
+  // survivor set): quality = the q51 thresholds; dedup keep = the q61
+  // keeper decision (component min doc_id — shares the session-memoized
+  // minhash pairs/labels stages with q25/q59/q61); quota = q63's
+  // md5-priority cap among quality∧keeper survivors.
+  //
+  // Scale shape: ONE corpus scan → row-local quality flags → one narrow
+  // left join against the (small, persisted) component labels → ONE
+  // per-source aggregation computing stage counts AND the quota in the
+  // same pass: [[graft.functions.QuotaTopKAgg]] keeps the k first rows
+  // in (surv DESC, pri, doc_id) order — survivors sort first, so the
+  // kept set is exactly min(k, |survivors|) survivors — as a ≤ k-row
+  // buffer per (partition, source). The partial/final aggregation ships
+  // only counts + bounded buffers (|sources|·k rows per partition), so
+  // no window, no per-source sort, and no second corpus scan exist
+  // anywhere in the plan; a hot source costs what any source costs.
+  // (A window/TopK two-branch form was measured and rejected: per-branch
+  // column pruning de-canonicalizes the shared exchange, doubling the
+  // scan — fusing the quota into the aggregate is both the smaller plan
+  // and the smaller shuffle.)
+  // --------------------------------------------------------------------
+  def curationFunnel(documents: DataFrame, k: Int = 20,
+                     threshold: Double = Dedup.DefaultThreshold,
+                     maxDupBigramPpm: Long = 300000L,
+                     maxTopWordPpm: Long = 200000L,
+                     maxIters: Int = 25): DataFrame = {
+    val labels = Dedup.componentLabels(documents, threshold, maxIters)
+    val flagged = documents
+      .select(col("source"), col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("tok"),
+        when(size(col("toks")) >= 2, repStatsUdf(col("toks"))).as("s"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .select(col("source"), col("doc_id"), col("tok"),
+        (col("s").isNotNull &&
+          col("s._2") < maxDupBigramPpm &&
+          col("s._3") < maxTopWordPpm).as("qual"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .as("pri"),
+        (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("keep"))
+      .withColumn("surv", col("qual") && col("keep"))
+    val fk = udaf(new graft.functions.QuotaTopKAgg(k))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("qual"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("surv"), 1L).otherwise(0L)).as("n_unique"),
+        fk(col("surv"), col("pri"), col("doc_id"), col("tok")).as("fin"))
+      .select(col("source"), col("n_total"), col("n_quality"), col("n_unique"),
+        col("fin._1").as("n_final"), col("fin._2").as("tok_final"))
+      .orderBy(col("source"))
+  }
+
+  val curationFunnelOracle: String = curationFunnelOracleAt(20, Dedup.DefaultThreshold)
+
+  /** Oracle builder on the SAME k/threshold as the engine function. */
+  def curationFunnelOracleAt(k: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${Dedup.oracleMinhashPairsCtes(threshold)},
+      |edges AS (
+      |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
+      |reach(v, w) AS (
+      |  SELECT DISTINCT a AS v, a AS w FROM edges
+      |  UNION
+      |  SELECT r.v, e.b AS w FROM reach r JOIN edges e ON e.a = r.w),
+      |comp AS (
+      |  SELECT v, MIN(w) AS component FROM reach GROUP BY v),
+      |ftoks AS (
+      |  SELECT source, doc_id,
+      |         string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |  FROM documents),
+      |flags AS (
+      |  SELECT source, doc_id, CAST(len(ts) AS BIGINT) AS tok,
+      |         COALESCE(len(ts) >= 2
+      |           AND (len(ts) - 1
+      |                - len(list_distinct([ts[i] || ' ' || ts[i+1]
+      |                                     for i in range(1, len(ts))]))) * 1000000
+      |               // NULLIF(len(ts) - 1, 0) < 300000
+      |           AND list_max(list_transform(list_distinct(ts),
+      |                 w -> len(list_filter(ts, t -> t = w)))) * 1000000
+      |               // len(ts) < 200000, FALSE) AS qual
+      |  FROM ftoks),
+      |kf AS (
+      |  SELECT f.source, f.doc_id, f.tok, f.qual,
+      |         f.qual AND COALESCE(c.component, f.doc_id) = f.doc_id AS surv
+      |  FROM flags f LEFT JOIN comp c ON c.v = f.doc_id),
+      |ranked AS (
+      |  SELECT source, tok, qual, surv,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY surv DESC,
+      |           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |           doc_id) AS rk
+      |  FROM kf),
+      |fin AS (
+      |  SELECT source,
+      |         CAST(SUM(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+      |         CAST(SUM(CASE WHEN surv THEN tok ELSE 0 END) AS BIGINT) AS tok_final
+      |  FROM ranked WHERE rk <= $k GROUP BY source),
+      |stages AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |         CAST(SUM(CASE WHEN qual THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |         CAST(SUM(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      |  FROM kf GROUP BY source)
+      |SELECT s.source, s.n_total, s.n_quality, s.n_unique,
+      |       CAST(COALESCE(f.n_final, 0) AS BIGINT) AS n_final,
+      |       CAST(COALESCE(f.tok_final, 0) AS BIGINT) AS tok_final
+      |FROM stages s LEFT JOIN fin f ON f.source = s.source
+      |ORDER BY s.source""".stripMargin
+
   val domainQuotaOracle: String = domainQuotaOracleAt(20)
 
   /** Oracle builder on the SAME k as the engine function. */

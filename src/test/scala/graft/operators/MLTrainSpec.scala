@@ -79,6 +79,24 @@ class MLTrainSpec extends SparkSpec {
       .selectExpr("label", "n", "correct", "accuracy", "group_predicted"))
   }
 
+  test("concurrent fits equal the sequential loop bit-for-bit (the pool " +
+    "only overlaps independent Spark jobs; L-BFGS on a fixed train set " +
+    "is deterministic)") {
+    val seqDir = java.nio.file.Files.createTempDirectory("graft_models_s").toString
+    val parDir = java.nio.file.Files.createTempDirectory("graft_models_p").toString
+    val seqW = MLOps.persistPairModels(emb, s"$seqDir/m", parallelism = 1)
+      .orderBy("la", "lb").collect()
+    val parW = MLOps.persistPairModels(emb, s"$parDir/m", parallelism = 8)
+      .orderBy("la", "lb").collect()
+    assert(seqW.length == parW.length && seqW.length == 3)
+    seqW.zip(parW).foreach { case (s, p) =>
+      assert(s.getInt(0) == p.getInt(0) && s.getInt(1) == p.getInt(1))
+      assert(s.getSeq[Double](2).toList == p.getSeq[Double](2).toList,
+        s"weights diverge for pair (${s.getInt(0)}, ${s.getInt(1)})")
+      assert(s.getDouble(3) == p.getDouble(3))
+    }
+  }
+
   test("an empty weights table fails fast on the driver, not per-row in tasks") {
     val single = emb.where($"label" === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_models_e").toString

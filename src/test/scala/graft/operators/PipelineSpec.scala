@@ -143,6 +143,79 @@ class PipelineSpec extends SparkSpec {
     assertDeterministic(Pipeline.domainQuota(d.orderBy(rand()), k = 7))
   }
 
+  test("curationFunnel composes quality → dedup keeper → quota with " +
+    "hand-checkable per-source counts") {
+    val t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t1 = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val t2 = "red orange yellow green blue indigo violet cyan magenta black"
+    val t4 = "north south east west up down left right front back"
+    val looped = Seq.fill(20)("spam eggs").mkString(" ")
+    val d = docs(
+      (0L, t0), (3L, t0),              // src0: dup pair, keeper 0
+      (6L, looped), (9L, "one"),       // src0: quality failures
+      (1L, t1), (4L, t4),              // src1: two unique keepers
+      (2L, t2), (5L, t2),              // src2: dup pair, keeper 2
+      (8L, looped))                    // src2: quality failure
+    val out = Pipeline.curationFunnel(d, k = 1).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet == Set("src0", "src1", "src2"))
+    val s0 = out("src0")
+    assert(s0.getAs[Long]("n_total") == 4L && s0.getAs[Long]("n_quality") == 2L &&
+      s0.getAs[Long]("n_unique") == 1L && s0.getAs[Long]("n_final") == 1L &&
+      s0.getAs[Long]("tok_final") == 10L, s0.toString)
+    val s1 = out("src1")
+    assert(s1.getAs[Long]("n_total") == 2L && s1.getAs[Long]("n_quality") == 2L &&
+      s1.getAs[Long]("n_unique") == 2L && s1.getAs[Long]("n_final") == 1L &&
+      s1.getAs[Long]("tok_final") == 10L, s1.toString)
+    val s2 = out("src2")
+    assert(s2.getAs[Long]("n_total") == 3L && s2.getAs[Long]("n_quality") == 2L &&
+      s2.getAs[Long]("n_unique") == 1L && s2.getAs[Long]("n_final") == 1L &&
+      s2.getAs[Long]("tok_final") == 10L, s2.toString)
+    // funnel stages only ever shrink, and the quota caps the final stage
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_total") >= r.getAs[Long]("n_quality"))
+      assert(r.getAs[Long]("n_quality") >= r.getAs[Long]("n_unique"))
+      assert(r.getAs[Long]("n_unique") >= r.getAs[Long]("n_final"))
+      assert(r.getAs[Long]("n_final") <= 1L)
+    }
+    assertDeterministic(Pipeline.curationFunnel(d.orderBy(rand()), k = 1))
+  }
+
+  test("curationFunnel plan: counts and quota ride ONE partial-aggregated " +
+    "pass — single corpus scan, no window, no per-source sort") {
+    // parquet-backed corpus (a LocalRelation would constant-fold the
+    // flag projections at plan time and hide the scan shape), with a dup
+    // pair so the labels join is real
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs(((0L until 300L).map(i => (i, s"w$i x$i y$i z$i v$i")) ++
+      Seq((300L, base), (303L, base))): _*)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val q = Pipeline.curationFunnel(d, k = 5)
+    q.collect()
+    // AQE's toString appends an "== Initial Plan ==" copy — assert on
+    // the final plan section only
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the quota is fused into the aggregation (typed Aggregator →
+    // ObjectHashAggregate with a partial pass), not a window
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_"),
+      "no map-side partial aggregation:\n" + plan.take(800))
+    assert(!plan.contains("Window"),
+      "a window (full per-source sort) crept back in:\n" +
+        plan.linesIterator.filter(l => l.contains("Window") || l.contains("Sort"))
+          .mkString("\n"))
+    // exactly one scan of the corpus parquet feeds the whole funnel (the
+    // dedup labels stage is session-memoized and CACHED — it reads as an
+    // InMemoryRelation here, its own build scans pinned by DedupSpec)
+    val scans = plan.linesIterator
+      .filter(_.contains("Scan parquet")).map(_.trim).toSet
+    assert(scans.size == 1, s"expected 1 corpus scan, found " +
+      s"${scans.size}:\n${scans.mkString("\n")}")
+  }
+
   test("snapshotDelta classifies added/removed/changed/unchanged " +
     "against an independent reference computation") {
     val ids = 0L until 70L
