@@ -148,7 +148,11 @@ object SparkEntry {
     // → per-source quota (q63's md5 priority, fused into the one
     // aggregation pass as a bounded top-k Aggregator) — per-source
     // funnel counts + final token budget, one corpus scan end to end
-    "q67_curation_funnel" -> ((s, d) => Pipeline.curationFunnel(documents(s, d)))
+    "q67_curation_funnel" -> ((s, d) => Pipeline.curationFunnel(documents(s, d))),
+    // CCNet-style LM quality filter: corpus-trained unigram LM, per-doc
+    // mean log-likelihood, exact int128 below-corpus-mean flag; global
+    // sums derive from the |V|-row word table (no second corpus pass)
+    "q68_lm_score" -> ((s, d) => TextAnalysis.lmScore(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,6 +224,7 @@ object SparkEntry {
     "q64_table_profile" -> Sketches.tableProfileOracle,
     "q65_snapshot_delta" -> Pipeline.snapshotDeltaOracle,
     "q66_sqlgate_roundtrip" -> SetAggOps.langHistogramOracle,
-    "q67_curation_funnel" -> Pipeline.curationFunnelOracle
+    "q67_curation_funnel" -> Pipeline.curationFunnelOracle,
+    "q68_lm_score" -> TextAnalysis.lmScoreOracle
   )
 }

@@ -168,6 +168,102 @@ object TextAnalysis {
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------
+  // LM quality scoring (CCNet-style perplexity filter): train a corpus
+  // unigram LM with add-one smoothing, score every doc by its mean
+  // per-token log-likelihood, and flag docs below the corpus-wide mean —
+  // the "drop what the LM finds surprising" stage of web curation.
+  //
+  // Scale shape mirrors langId: the zipfian token stream collapses
+  // map-side behind a (doc, word) key before ANY shuffle; the profile is
+  // |V| rows (guarded broadcast with join fallback). The global mean
+  // needs NO second corpus pass: Σ_docs Σ_w n·lp ≡ Σ_w cw·lp exactly
+  // (the LM is trained on the same corpus — no OOV), so both global
+  // sums derive from the |V|-row word table.
+  //
+  // Determinism: log-probs are integer micro-nats; every cross-row sum
+  // is integer. The below-mean test is the exact cross-multiplied
+  // rational compare s·gn < gs·nt in DECIMAL(38,0) ↔ HUGEINT — per-doc
+  // ll and the corpus mean are never divided before comparison, and the
+  // int128 form does not wrap at any corpus size a 38-digit product
+  // holds (≈10³⁸; a yotta-token corpus is ~10²⁴·10⁷ = 10³¹).
+  // --------------------------------------------------------------------
+  /** @param broadcastProfile see [[langId]] — same guard, same fallback. */
+  def lmScore(documents: DataFrame, broadcastProfile: Boolean = true,
+              maxProfileRows: Long = 10000000L): DataFrame = {
+    val toks = Widen.widen(documents).select(col("doc_id"), col("source"),
+      explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    // map-side collapse of the raw token stream (see langId): no exchange
+    // is ever keyed by the zipfian token alone
+    val docWords = toks.groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val counts = docWords.groupBy(col("w")).agg(sum(col("n")).as("cw"))
+    val stats = counts.agg(count(lit(1)).as("v"), sum(col("cw")).as("tot"))
+    val profile = counts.crossJoin(stats)
+      .select(col("w"), col("cw"),
+        expr("CAST(round(ln((cw + 1.0) / (tot + v)) * 1000000) AS BIGINT)").as("lp"))
+    // the corpus-level totals come from the word table, not the corpus:
+    // gs = Σ cw·lp (exact ≡ Σ_docs s), gn = Σ cw = total tokens
+    val glob = profile.agg(
+      sum(expr("CAST(cw AS DECIMAL(38,0)) * lp")).as("gs"),
+      sum(col("cw")).as("gn"))
+    val profileSide =
+      if (!broadcastProfile) profile.select(col("w"), col("lp"))
+      else {
+        val cnt = profile.agg(count(lit(1)).as("profile_rows"))
+        broadcast(profile.crossJoin(cnt).select(col("w"),
+          expr(Guards.guardedSql("profile_rows", maxProfileRows,
+            "lmScore profile", "lp", "BIGINT",
+            "call lmScore with broadcastProfile = false")).as("lp")))
+      }
+    val perDoc = docWords.join(profileSide, "w")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n") * col("lp")).as("s"), sum(col("n")).as("nt"))
+    perDoc.crossJoin(glob)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("nt")).as("total_tokens"),
+        (sum(col("s")).cast("double") / sum(col("nt")).cast("double") / 1e6)
+          .as("avg_ll"),
+        sum(when(expr("CAST(s AS DECIMAL(38,0)) * gn < gs * nt"), 1L)
+          .otherwise(0L)).as("n_below"))
+      .orderBy(col("source"))
+  }
+
+  val lmScoreOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, t.w FROM documents,
+      |       unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+      |  WHERE len(t.w) > 0),
+      |docwords AS (
+      |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS n
+      |  FROM toks GROUP BY 1, 2, 3),
+      |counts AS (
+      |  SELECT w, CAST(SUM(n) AS BIGINT) AS cw FROM docwords GROUP BY w),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v, CAST(SUM(cw) AS BIGINT) AS tot
+      |  FROM counts),
+      |profile AS (
+      |  SELECT w, cw,
+      |         CAST(round(ln((cw + 1.0) / (tot + v)) * 1000000) AS BIGINT) AS lp
+      |  FROM counts, stats),
+      |corpus_ll AS (
+      |  SELECT SUM(CAST(cw AS HUGEINT) * lp) AS gs,
+      |         CAST(SUM(cw) AS HUGEINT) AS gn
+      |  FROM profile),
+      |perdoc AS (
+      |  SELECT d.doc_id, d.source,
+      |         CAST(SUM(d.n * p.lp) AS BIGINT) AS s,
+      |         CAST(SUM(d.n) AS BIGINT) AS nt
+      |  FROM docwords d JOIN profile p USING (w) GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(s) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE) / 1000000.0 AS avg_ll,
+      |       CAST(SUM(CASE WHEN CAST(s AS HUGEINT) * gn < gs * nt
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+      |FROM perdoc, corpus_ll GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
   // Token counting: whitespace tokens vs a BPE-ish regex segmentation
   // ([a-z]+ | digit | other-symbol), per-lang totals.
   // --------------------------------------------------------------------

@@ -29,6 +29,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("rich") > out("poor"))
   }
 
+  test("lmScore: repetitive common-word docs score above the corpus mean, " +
+    "rare-vocabulary docs below, and totals are exact") {
+    // 8 docs of common shared vocabulary + 2 docs of words seen nowhere
+    // else: the rare docs' tokens have near-minimum P(w), so their mean
+    // log-likelihood must sit below the corpus mean (n_below flags them)
+    val common = (1L to 8L).map(i =>
+      (i, "the cat sat on the mat and the dog sat too", "en", "common"))
+    val rare = Seq(
+      (9L, "zyxqv wqjkx mbfpz qqvnz lpwxk", "en", "rare"),
+      (10L, "aardvark quixotic zephyr bumblebee catastrophe", "en", "rare"))
+    val out = TextAnalysis.lmScore(docs(common ++ rare: _*)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("common", "rare"))
+    val c = out("common")
+    assert(c.getAs[Long]("docs") == 8L)
+    assert(c.getAs[Long]("total_tokens") == 8L * 11L)
+    val r = out("rare")
+    assert(r.getAs[Long]("docs") == 2L && r.getAs[Long]("total_tokens") == 10L)
+    // the rare source scores strictly worse and is entirely below mean
+    assert(r.getAs[Double]("avg_ll") < c.getAs[Double]("avg_ll"))
+    assert(r.getAs[Long]("n_below") == 2L)
+    assert(c.getAs[Long]("n_below") == 0L)
+    assertDeterministic(TextAnalysis.lmScore(docs(common ++ rare: _*)))
+  }
+
+  test("lmScore broadcast guard: join fallback equals the broadcast path") {
+    val d = docs(
+      (1L, "alpha beta gamma delta", "en", "a"),
+      (2L, "alpha beta epsilon zeta", "en", "b"),
+      (3L, "eta theta iota kappa", "en", "c"))
+    val bcast = TextAnalysis.lmScore(d, broadcastProfile = true)
+    val join = TextAnalysis.lmScore(d, broadcastProfile = false)
+    assert(rows(bcast) == rows(join))
+  }
+
   test("tokenCounts: whitespace vs BPE-ish segmentation counts") {
     val d = docs((1L, "hello world42 foo-bar", "en", "s"))
     val r = TextAnalysis.tokenCounts(d).collect().head
