@@ -144,6 +144,32 @@ class PlanSpec extends SparkSpec {
         offenders.map(_.treeString).mkString("\n"))
   }
 
+  test("q68: lmScore inherits langId's shape — profile broadcast, and no " +
+    "exchange keyed by the raw token column below a partial aggregate") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q68_lm_score")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      df.queryExecution.executedPlan.toString.take(1200))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("q68_lm_score")(spark, sf).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val offenders = plan.collect { case e: ShuffleExchangeExec => e }.filter { e =>
+      val tokenOnly = e.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.flatMap(_.references.toSeq).map(_.name).toSet == Set("w")
+        case _ => false
+      }
+      tokenOnly && !e.child.exists(_.isInstanceOf[BaseAggregateExec])
+    }
+    assert(offenders.isEmpty,
+      "raw token stream shuffled on the token key:\n" +
+        offenders.map(_.treeString).mkString("\n"))
+  }
+
   test("q51: repetition stats never shuffle a doc-word stream — the only " +
     "exchange is the final presentation sort") {
     val p = formatted(SparkEntry.queries("q51_repetition")(spark, sf))
