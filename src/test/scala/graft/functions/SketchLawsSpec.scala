@@ -38,6 +38,34 @@ class SketchLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("quota top-k: any partitioning finishes identically, and equals " +
+    "the brute-force 'rank by (surv DESC, pri, doc) then count survivors " +
+    "in the first k' reference") {
+    val rnd = new scala.util.Random(303)
+    for (trial <- 0 until 50) {
+      val k = 1 + rnd.nextInt(6)
+      val agg = new QuotaTopKAgg(k)
+      val n = 1 + rnd.nextInt(80)
+      // tiny pri domain forces ties; doc ids unique (the query invariant)
+      val xs = rnd.shuffle((0 until n).map(i =>
+        (rnd.nextBoolean(), rnd.nextInt(5).toLong, i.toLong,
+          rnd.nextInt(50).toLong)).toSeq)
+      val serial = xs.foldLeft(agg.zero)(agg.reduce)
+      val pieces = rnd.shuffle(xs).grouped(1 + rnd.nextInt(7)).toSeq
+      val partials = pieces.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == agg.finish(serial),
+        s"trial $trial partition-independence")
+      // brute force: sort all rows by (surv desc, pri, doc), keep k,
+      // count/sum the survivors among them
+      val kept = xs.sortBy { case (s, p, d, _) => (if (s) 0L else 1L, p, d) }
+        .take(k)
+      val expect = (kept.count(_._1).toLong,
+        kept.filter(_._1).map(_._4).sum)
+      assert(agg.finish(serial) == expect, s"trial $trial reference")
+    }
+  }
+
   test("bottom-k sample: any partitioning finishes identically, and " +
     "equals the brute-force k-smallest (hash, value) pairs") {
     val rnd = new scala.util.Random(202)
