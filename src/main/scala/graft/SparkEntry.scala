@@ -152,7 +152,11 @@ object SparkEntry {
     // CCNet-style LM quality filter: corpus-trained unigram LM, per-doc
     // mean log-likelihood, exact int128 below-corpus-mean flag; global
     // sums derive from the |V|-row word table (no second corpus pass)
-    "q68_lm_score" -> ((s, d) => TextAnalysis.lmScore(documents(s, d)))
+    "q68_lm_score" -> ((s, d) => TextAnalysis.lmScore(documents(s, d))),
+    // window-granular exact-substring boilerplate detection: per-doc
+    // distinct fingerprint windows matched across the corpus on ONE
+    // reused window-keyed exchange; shared-fraction flags in exact ppm
+    "q69_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -225,6 +229,7 @@ object SparkEntry {
     "q65_snapshot_delta" -> Pipeline.snapshotDeltaOracle,
     "q66_sqlgate_roundtrip" -> SetAggOps.langHistogramOracle,
     "q67_curation_funnel" -> Pipeline.curationFunnelOracle,
-    "q68_lm_score" -> TextAnalysis.lmScoreOracle
+    "q68_lm_score" -> TextAnalysis.lmScoreOracle,
+    "q69_boilerplate" -> TextAnalysis.boilerplateOracle
   )
 }

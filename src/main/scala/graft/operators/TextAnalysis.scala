@@ -334,6 +334,95 @@ object TextAnalysis {
         size(col("hs")).as("n_windows"))
       .orderBy(col("doc_id"))
 
+  // --------------------------------------------------------------------
+  // Cross-document boilerplate detection: the window-granular form of
+  // exact-substring dedup — a doc's 32-char windows (stride 8, the q34
+  // fingerprint windows, per-doc distinct) are matched across the corpus;
+  // windows appearing in ≥2 docs are "shared" (headers, footers, nav
+  // chrome, license blocks), and docs whose shared fraction exceeds the
+  // threshold are flagged for removal or trimming.
+  //
+  // Scale shape: ONE window-keyed exchange that both consumers reuse —
+  // the per-window doc count is `countDistinct(doc_id)` (not count(1))
+  // PRECISELY so the aggregate branch needs the same (doc_id, h) columns
+  // as the join branch: identical pruning keeps the two subtrees
+  // canonically equal and ReuseExchange collapses them onto one shuffle
+  // (PlanSpec pins it). The count aggregate is partial-combined; the
+  // doc-count join back is h-keyed with AQE skew-split covering hot
+  // boilerplate windows; the final source attach moves only
+  // (doc_id, nw, ns) — payloads never shuffle twice. Flags compare
+  // ns·10⁶ ≥ ppm·nw in exact integers (no division).
+  // --------------------------------------------------------------------
+  def boilerplate(documents: DataFrame, flagPpm: Long = 300000L): DataFrame = {
+    val docWin = documents
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .filter(length(col("norm")) >= 32)
+      .select(col("doc_id"),
+        explode(array_distinct(windowHashesUdf(col("norm")))).as("h"))
+      // exchange barrier: the exploded window stream shuffles ONCE by h;
+      // the doc-count aggregate and the join both consume this exchange
+      .repartition(col("h"))
+    val winDocs = docWin.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = docWin.join(winDocs, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("ns"))
+      .withColumnRenamed("doc_id", "pd_doc")
+    // null-safe source-attach key: a plain equi-key would infer
+    // IsNotNull(doc_id) into ONLY the join branch of the window stream,
+    // de-canonicalizing the two identical repartition exchanges and
+    // silently doubling the corpus scan + window hashing (the q62
+    // tokenPacking trap); `<=>` infers nothing (doc_id is never null
+    // here) and keeps ReuseExchange eligible. Pinned by the plan spec.
+    documents.select(col("doc_id"), col("source"))
+      .join(perDoc, col("doc_id") <=> col("pd_doc"), "left")
+      .select(col("source"),
+        coalesce(col("nw"), lit(0L)).as("nw"),
+        coalesce(col("ns"), lit(0L)).as("ns"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("nw")).as("total_windows"),
+        sum(col("ns")).as("shared_windows"),
+        sum(when(col("nw") > 0 && col("ns") * lit(1000000L) >= lit(flagPpm) * col("nw"),
+          1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
+  val boilerplateOracle: String = boilerplateOracleAt(300000L)
+
+  /** Oracle builder on the SAME flag threshold as the engine function. */
+  def boilerplateOracleAt(flagPpm: Long): String =
+    s"""WITH norm AS (
+      |  SELECT doc_id, source,
+      |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(
+      |           range(0, CAST(floor((length(norm) - 32) / 8) AS INT) + 1),
+      |           i -> CAST(concat('0x', substr(md5(substr(norm, i*8 + 1, 32)), 1, 8)) AS BIGINT))) AS hs
+      |  FROM norm WHERE length(norm) >= 32),
+      |docwin AS (
+      |  SELECT doc_id, t.h FROM wins, unnest(hs) AS t(h)),
+      |windocs AS (
+      |  SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      |  FROM docwin GROUP BY h),
+      |perdoc AS (
+      |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+      |         CAST(SUM(CASE WHEN w.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+      |  FROM docwin d JOIN windocs w USING (h) GROUP BY d.doc_id),
+      |scored AS (
+      |  SELECT doc.source, COALESCE(p.nw, 0) AS nw, COALESCE(p.ns, 0) AS ns
+      |  FROM documents doc LEFT JOIN perdoc p ON p.doc_id = doc.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |       CAST(SUM(nw) AS BIGINT) AS total_windows,
+      |       CAST(SUM(ns) AS BIGINT) AS shared_windows,
+      |       CAST(SUM(CASE WHEN nw > 0 AND ns * 1000000 >= $flagPpm * nw
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   val fingerprintOracle: String =
     """WITH norm AS (
       |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm

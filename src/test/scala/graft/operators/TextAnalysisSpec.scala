@@ -72,6 +72,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("bpe_tokens") == 7L)
   }
 
+  test("boilerplate: docs sharing windows are flagged, unique docs are " +
+    "not, short docs count with zero windows") {
+    // docs 1 and 2 share their full text → every window shared in both;
+    // doc 3 is unique; doc 4 is too short to window (< 32 chars)
+    val shared = "this is the exact same boilerplate footer text repeated " * 2
+    val d = docs(
+      (1L, shared, "en", "a"),
+      (2L, shared, "en", "a"),
+      (3L, "completely unique document content with its own words here", "en", "b"),
+      (4L, "too short", "en", "b"))
+    val out = TextAnalysis.boilerplate(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("docs") == 2L)
+    assert(a.getAs[Long]("total_windows") > 0L)
+    // identical docs: every window appears in both → all shared, both flagged
+    assert(a.getAs[Long]("shared_windows") == a.getAs[Long]("total_windows"))
+    assert(a.getAs[Long]("n_flagged") == 2L)
+    val b = out("b")
+    assert(b.getAs[Long]("docs") == 2L)
+    assert(b.getAs[Long]("shared_windows") == 0L && b.getAs[Long]("n_flagged") == 0L)
+    assert(b.getAs[Long]("total_windows") > 0L, "unique doc still windows")
+    assertDeterministic(TextAnalysis.boilerplate(d))
+  }
+
+  test("boilerplate plan: the window stream shuffles ONCE — the doc-count " +
+    "aggregate and the join reuse the same h-keyed exchange") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    docs((0L until 60L).map(i =>
+      (i, s"document number $i with plenty of distinctive content words " +
+        s"making windows w$i x$i y$i z$i", "en", s"s${i % 3}")): _*)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val q = TextAnalysis.boilerplate(d)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"),
+      "doc-count branch re-derives the window stream (no ReusedExchange):\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // the corpus parquet is scanned at most twice: once for windows, once
+    // for the final source attach (payload-free doc_id/source projection)
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet"))
+      .map(l => l.substring(l.indexOf("FileScan"))).toSet
+    assert(scans.size <= 2, s"expected ≤2 distinct scans:\n${scans.mkString("\n")}")
+  }
+
   test("fingerprint is identical for identical docs, differs for different") {
     val t1 = "abcdefghij " * 10
     val d = docs((1L, t1, "en", "s"), (2L, t1, "en", "s"),
