@@ -156,7 +156,10 @@ object SparkEntry {
     // window-granular exact-substring boilerplate detection: per-doc
     // distinct fingerprint windows matched across the corpus on ONE
     // reused window-keyed exchange; shared-fraction flags in exact ppm
-    "q69_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(documents(s, d)))
+    "q69_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(documents(s, d))),
+    // sliding context-window chunk economics (chunks/overlap/padding per
+    // source at a given maxLen+stride) — row-local closed-form integers
+    "q70_chunk_layout" -> ((s, d) => Pipeline.chunkLayout(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -230,6 +233,7 @@ object SparkEntry {
     "q66_sqlgate_roundtrip" -> SetAggOps.langHistogramOracle,
     "q67_curation_funnel" -> Pipeline.curationFunnelOracle,
     "q68_lm_score" -> TextAnalysis.lmScoreOracle,
-    "q69_boilerplate" -> TextAnalysis.boilerplateOracle
+    "q69_boilerplate" -> TextAnalysis.boilerplateOracle,
+    "q70_chunk_layout" -> Pipeline.chunkLayoutOracle
   )
 }

@@ -505,6 +505,68 @@ object Pipeline {
       |FROM stages s LEFT JOIN fin f ON f.source = s.source
       |ORDER BY s.source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Context-window chunk layout: the sliding-window split every LM
+  // pipeline sizes before training — each doc's token stream cut into
+  // windows of `maxLen` advancing by `stride` (overlap = maxLen −
+  // stride), the final window padded to maxLen. Reports, per source, the
+  // exact chunk/overlap/padding economics of those (maxLen, stride)
+  // choices: chunks emitted, tokens emitted after overlap duplication,
+  // and pad waste. Complements q62's concat-and-chunk packing (the
+  // alternative layout that trades doc boundaries for zero padding).
+  //
+  // Entirely row-local closed-form integer arithmetic — n_chunks =
+  // 1 + ceil(max(0, n−maxLen)/stride), emitted = n + (n_chunks−1)·
+  // (maxLen−stride), pad = maxLen − (n − (n_chunks−1)·stride) — then
+  // one partial-aggregated per-source rollup: no shuffle carries more
+  // than |sources| rows. Scale cost is the corpus scan, nothing else.
+  // --------------------------------------------------------------------
+  def chunkLayout(documents: DataFrame, maxLen: Long = 512L,
+                  stride: Long = 384L): DataFrame = {
+    require(stride >= 1 && stride <= maxLen,
+      s"chunkLayout needs 1 <= stride <= maxLen, got stride=$stride maxLen=$maxLen")
+    documents
+      .select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n"))
+      .select(col("source"), col("n"),
+        expr(s"1L + (greatest(0L, n - ${maxLen}L) + ${stride - 1}L) DIV ${stride}L")
+          .as("n_chunks"))
+      .select(col("source"), col("n"), col("n_chunks"),
+        (col("n") + (col("n_chunks") - 1L) * lit(maxLen - stride)).as("emitted"),
+        (lit(maxLen) - (col("n") - (col("n_chunks") - 1L) * lit(stride))).as("pad"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("n_chunks")).as("total_chunks"),
+        sum(col("emitted")).as("emitted_tokens"),
+        sum(col("pad")).as("pad_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val chunkLayoutOracle: String = chunkLayoutOracleAt(512L, 384L)
+
+  /** Oracle builder on the SAME (maxLen, stride) as the engine function. */
+  def chunkLayoutOracleAt(maxLen: Long, stride: Long): String =
+    s"""WITH toks AS (
+      |  SELECT source,
+      |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT source, n,
+      |         1 + (greatest(0, n - $maxLen) + ${stride - 1}) // $stride AS n_chunks
+      |  FROM toks),
+      |layout AS (
+      |  SELECT source, n, n_chunks,
+      |         n + (n_chunks - 1) * ${maxLen - stride} AS emitted,
+      |         $maxLen - (n - (n_chunks - 1) * $stride) AS pad
+      |  FROM chunks)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |       CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+      |       CAST(SUM(emitted) AS BIGINT) AS emitted_tokens,
+      |       CAST(SUM(pad) AS BIGINT) AS pad_tokens
+      |FROM layout GROUP BY source ORDER BY source""".stripMargin
+
   val domainQuotaOracle: String = domainQuotaOracleAt(20)
 
   /** Oracle builder on the SAME k as the engine function. */

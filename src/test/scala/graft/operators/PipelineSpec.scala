@@ -216,6 +216,46 @@ class PipelineSpec extends SparkSpec {
       s"${scans.size}:\n${scans.mkString("\n")}")
   }
 
+  test("chunkLayout: closed-form window counts match a brute-force " +
+    "sliding-window simulation, including padding and overlap") {
+    // doc lengths straddling every regime: shorter than one window,
+    // exactly one window, one token over, and many windows
+    val lens = Seq(1, 3, 8, 9, 17, 24, 25, 100)
+    val d = docs(lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" ")) }: _*)
+    val (maxLen, stride) = (8L, 5L)
+    val out = Pipeline.chunkLayout(d, maxLen, stride).collect()
+    // brute force: emit windows [i*stride, i*stride+maxLen) while the
+    // previous window did not reach the end
+    def sim(n: Long): (Long, Long, Long) = {
+      var start = 0L
+      var chunks = 0L
+      var emitted = 0L
+      var lastLen = 0L
+      var done = false
+      while (!done) {
+        val len = math.min(maxLen, n - start)
+        chunks += 1; emitted += math.min(maxLen, n - start); lastLen = len
+        if (start + maxLen >= n) done = true else start += stride
+      }
+      (chunks, emitted, maxLen - lastLen)
+    }
+    // aggregate expectations per source (doc i → src{i%3})
+    val bySrc = lens.zipWithIndex.groupBy { case (_, i) => s"src${i % 3}" }
+    out.foreach { r =>
+      val docs0 = bySrc(r.getAs[String]("source")).map(_._1.toLong)
+      val sims = docs0.map(sim)
+      assert(r.getAs[Long]("docs") == docs0.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == docs0.sum)
+      assert(r.getAs[Long]("total_chunks") == sims.map(_._1).sum,
+        s"${r.getAs[String]("source")}: chunks")
+      assert(r.getAs[Long]("emitted_tokens") == sims.map(_._2).sum,
+        s"${r.getAs[String]("source")}: emitted")
+      assert(r.getAs[Long]("pad_tokens") == sims.map(_._3).sum,
+        s"${r.getAs[String]("source")}: pad")
+    }
+  }
+
   test("snapshotDelta classifies added/removed/changed/unchanged " +
     "against an independent reference computation") {
     val ids = 0L until 70L
