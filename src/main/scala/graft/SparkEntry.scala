@@ -159,7 +159,12 @@ object SparkEntry {
     "q69_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(documents(s, d))),
     // sliding context-window chunk economics (chunks/overlap/padding per
     // source at a given maxLen+stride) — row-local closed-form integers
-    "q70_chunk_layout" -> ((s, d) => Pipeline.chunkLayout(documents(s, d)))
+    "q70_chunk_layout" -> ((s, d) => Pipeline.chunkLayout(documents(s, d))),
+    // int8 scalar-quantization audit over the embeddings: per-dim corpus
+    // min/max -> 255-code affine quantization -> exact integer
+    // reconstruction error per label (the 4x-memory decision for a
+    // 100 TB vector index)
+    "q71_int8_quant" -> ((s, d) => Similarity.int8QuantStats(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -234,6 +239,7 @@ object SparkEntry {
     "q67_curation_funnel" -> Pipeline.curationFunnelOracle,
     "q68_lm_score" -> TextAnalysis.lmScoreOracle,
     "q69_boilerplate" -> TextAnalysis.boilerplateOracle,
-    "q70_chunk_layout" -> Pipeline.chunkLayoutOracle
+    "q70_chunk_layout" -> Pipeline.chunkLayoutOracle,
+    "q71_int8_quant" -> Similarity.int8QuantStatsOracle
   )
 }

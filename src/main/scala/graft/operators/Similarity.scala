@@ -306,6 +306,83 @@ object Similarity {
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // Int8 scalar quantization audit: per-dimension (min, max) over the
+  // corpus → 255-code affine quantization of each vector → exact
+  // reconstruction error. The memory-side complement of the ANN tier: a
+  // 100 TB float32 index is 4× the RAM of its int8 twin, and this audit
+  // is how you decide the compression is safe (avg/max error per label).
+  //
+  // Exactness: built on the engine's ×10⁴ integer representation, so the
+  // code, the dequantized value and the squared error are ALL integer
+  // arithmetic — the half-up rational rounding round(p/q) is computed as
+  // (2p+q) DIV 2q on nonnegative integers (identical to DuckDB's //).
+  // No float op exists anywhere, so no cross-engine rounding surface.
+  //
+  // Scale shape: pass 1 is a posexplode + (dim)-keyed partial aggregate
+  // (64 rows out); the one-row (mins, maxs) summary broadcasts; pass 2
+  // is row-local. Two scans of the vectors table by construction
+  // (min/max must complete before coding starts — the same two-pass
+  // shape as any corpus-statistics quantizer).
+  // --------------------------------------------------------------------
+  /** Per-element squared reconstruction error in (10⁻⁴)² units:
+    * a = qv[i]−mn, b = mx−mn, code = round(254a/b), err = (a −
+    * round(code·b/254))². The SQL lambda is shared by engine and oracle
+    * modulo 0- vs 1-based indexing. */
+  private def int8ErrLambda(v: String, mn: String, mx: String): String =
+    s"""CASE WHEN $mx > $mn THEN
+       |  ($v - $mn - (2L * ((2L * ($v - $mn) * 254L + ($mx - $mn)) DIV (2L * ($mx - $mn))) * ($mx - $mn) + 254L) DIV 508L)
+       |  * ($v - $mn - (2L * ((2L * ($v - $mn) * 254L + ($mx - $mn)) DIV (2L * ($mx - $mn))) * ($mx - $mn) + 254L) DIV 508L)
+       |ELSE 0L END""".stripMargin
+
+  def int8QuantStats(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(expr("CAST(label AS INT)").as("label"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+    val dims = q.select(posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // one-row (mins, maxs) summary — in-plan, broadcast (q53 pattern);
+    // array_sort on (d, mn, mx) structs orders by the leading int d
+    val statsRow = dims
+      .agg(expr("array_sort(collect_list(struct(d, mn, mx)))").as("s"))
+      .select(expr("transform(s, e -> e.mn)").as("mns"),
+        expr("transform(s, e -> e.mx)").as("mxs"))
+    q.crossJoin(broadcast(statsRow))
+      .select(col("label"),
+        expr(s"""aggregate(transform(qv, (v, i) ->
+          |  ${int8ErrLambda("v", "mns[i]", "mxs[i]")}),
+          |  0L, (acc, e) -> acc + e)""".stripMargin).as("err"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err")).as("total_err_q8"),
+        expr("CAST(sum(err) DIV count(1) AS BIGINT)").as("avg_err_q8"),
+        max(col("err")).as("max_err_q8"))
+      .orderBy(col("label"))
+  }
+
+  val int8QuantStatsOracle: String = {
+    val errExpr = int8ErrLambda("qv[i]", "mns[i]", "mxs[i]")
+      .replace("DIV", "//").replace("254L", "254").replace("508L", "508")
+      .replace("2L", "2").replace("0L", "0")
+    s"""WITH q AS (
+      |  SELECT CAST(label AS INT) AS label,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT d, MIN(qv[d]) AS mn, MAX(qv[d]) AS mx
+      |  FROM q, range(1, 65) AS t(d) GROUP BY d),
+      |stats AS (
+      |  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dims),
+      |pervec AS (
+      |  SELECT label,
+      |         CAST(list_sum([$errExpr for i in range(1, 65)]) AS BIGINT) AS err
+      |  FROM q, stats)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |       CAST(SUM(err) AS BIGINT) AS total_err_q8,
+      |       CAST(SUM(err) // COUNT(*) AS BIGINT) AS avg_err_q8,
+      |       CAST(MAX(err) AS BIGINT) AS max_err_q8
+      |FROM pervec GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val annLshTopKOracle: String =
     s"""WITH $oracleQuantized,
       |bucketed AS (

@@ -45,4 +45,30 @@ class SimilaritySpec extends SparkSpec {
       (i, Seq.fill(16)(rnd.nextFloat() - 0.5f), 0)): _*)
     assertDeterministic(Similarity.annBruteTopK(d, k = 5, nQueries = 5))
   }
+
+  test("int8QuantStats: error is zero when a dimension has <=255 distinct " +
+    "steps it can hit exactly, bounded by (step/2)^2 per dim otherwise") {
+    // dim 0 spans [0, 0.0254] in 1e-4 steps → range 254 in qv units: every
+    // value lands exactly on a code → zero reconstruction error
+    val exact = (0 until 255).map(i =>
+      (i.toLong, Seq(i * 0.0001f, 0f), 0))
+    val outExact = Similarity.int8QuantStats(emb(exact: _*)).collect()
+    assert(outExact.length == 1)
+    assert(outExact.head.getAs[Long]("total_err_q8") == 0L,
+      outExact.head.toString)
+    // a wide range quantizes with error ≤ (ceil(range/254)/2)^2 per dim
+    val rnd = new scala.util.Random(7)
+    val wide = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextFloat() * 2f - 1f), i % 3))
+    val out = Similarity.int8QuantStats(emb(wide: _*)).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    // range ≤ 20000 qv units → step ≤ ceil(20000/254) = 79 → per-dim err
+    // ≤ (79/2 + 1)^2 < 1681; 4 dims → < 6724 per vector
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_err_q8") < 4L * 1681L, r.toString)
+      assert(r.getAs[Long]("avg_err_q8") <= r.getAs[Long]("max_err_q8"))
+      assert(r.getAs[Long]("total_err_q8") >= 0L)
+    }
+    assertDeterministic(Similarity.int8QuantStats(emb(wide: _*)))
+  }
 }
