@@ -164,7 +164,11 @@ object SparkEntry {
     // min/max -> 255-code affine quantization -> exact integer
     // reconstruction error per label (the 4x-memory decision for a
     // 100 TB vector index)
-    "q71_int8_quant" -> ((s, d) => Similarity.int8QuantStats(embeddings(s, d)))
+    "q71_int8_quant" -> ((s, d) => Similarity.int8QuantStats(embeddings(s, d))),
+    // BPE first-merge statistics: top-k adjacent character pairs by
+    // corpus frequency — the distinct-word table absorbs the corpus
+    // before the pair explosion, top-k is TakeOrderedAndProject
+    "q72_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,6 +244,7 @@ object SparkEntry {
     "q68_lm_score" -> TextAnalysis.lmScoreOracle,
     "q69_boilerplate" -> TextAnalysis.boilerplateOracle,
     "q70_chunk_layout" -> Pipeline.chunkLayoutOracle,
-    "q71_int8_quant" -> Similarity.int8QuantStatsOracle
+    "q71_int8_quant" -> Similarity.int8QuantStatsOracle,
+    "q72_bpe_pairs" -> TextAnalysis.bpePairsOracle
   )
 }

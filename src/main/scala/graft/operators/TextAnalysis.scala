@@ -292,6 +292,44 @@ object TextAnalysis {
       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
   // --------------------------------------------------------------------
+  // BPE first-merge statistics: the adjacent-character-pair frequency
+  // table a byte-pair-encoding tokenizer trains its first merge from —
+  // top-k pairs by corpus frequency (weighted by word occurrences).
+  //
+  // Scale shape: the corpus collapses to the DISTINCT-word frequency
+  // table first (partial+final HashAggregate over the zipfian word key —
+  // the q02 shape), so the character-pair explosion runs on |V| rows,
+  // never on the corpus; the pair aggregate is |pairs| ≤ |alphabet|²
+  // rows, and the top-k is TakeOrderedAndProject (never a full sort).
+  // --------------------------------------------------------------------
+  def bpePairs(documents: DataFrame, k: Int = 30): DataFrame =
+    documents
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
+  val bpePairsOracle: String = bpePairsOracleAt(30)
+
+  /** Oracle builder on the SAME k as the engine function. */
+  def bpePairsOracleAt(k: Int): String =
+    s"""WITH words AS (
+      |  SELECT t.w AS word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(w)
+      |  WHERE len(t.w) >= 2 GROUP BY t.w),
+      |pairs AS (
+      |  SELECT p.pair, CAST(SUM(cnt) AS BIGINT) AS cnt
+      |  FROM words, unnest([substr(word, i, 2) for i in range(1, len(word))]) AS p(pair)
+      |  GROUP BY p.pair)
+      |SELECT pair, cnt FROM pairs
+      |ORDER BY cnt DESC, pair ASC LIMIT $k""".stripMargin
+
+  // --------------------------------------------------------------------
   // Document fingerprinting (winnowing-lite): hash 32-char windows at
   // stride 8 over the normalized text, fingerprint = (min, second-min)
   // window hashes — robust to small edits, one row per doc, no shuffle

@@ -120,6 +120,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scans.size <= 2, s"expected ≤2 distinct scans:\n${scans.mkString("\n")}")
   }
 
+  test("bpePairs counts weighted adjacent character pairs with a " +
+    "deterministic top-k") {
+    // "abab" x3 occurrences: pairs ab(x2),ba(x1) per occurrence
+    // "abc" x2: ab, bc per occurrence; single-char words contribute nothing
+    val d = docs(
+      (1L, "abab abab abc", "en", "s"),
+      (2L, "abab abc x", "en", "s"))
+    val out = TextAnalysis.bpePairs(d, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ab: 3 occurrences of "abab" x 2 + 2 of "abc" x 1 = 8
+    assert(out("ab") == 8L)
+    assert(out("ba") == 3L)
+    assert(out("bc") == 2L)
+    assert(!out.contains("x"))
+    // top-1 is the first BPE merge
+    val top = TextAnalysis.bpePairs(d, k = 1).collect().head
+    assert(top.getString(0) == "ab" && top.getLong(1) == 8L)
+    // the top-k plans as TakeOrderedAndProject, never a global sort
+    val q = TextAnalysis.bpePairs(d, k = 5)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      q.queryExecution.executedPlan.toString.take(600))
+  }
+
   test("fingerprint is identical for identical docs, differs for different") {
     val t1 = "abcdefghij " * 10
     val d = docs((1L, t1, "en", "s"), (2L, t1, "en", "s"),
