@@ -168,7 +168,11 @@ object SparkEntry {
     // BPE first-merge statistics: top-k adjacent character pairs by
     // corpus frequency — the distinct-word table absorbs the corpus
     // before the pair explosion, top-k is TakeOrderedAndProject
-    "q72_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(documents(s, d)))
+    "q72_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(documents(s, d))),
+    // deterministic train/val/test split generation (D12's notebook
+    // split): md5-bucketed assignment, per-(label, split) counts and
+    // exact basis-point fractions — the class-balance audit
+    "q73_split_audit" -> ((s, d) => MLOps.trainValTestSplit(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,6 +249,7 @@ object SparkEntry {
     "q69_boilerplate" -> TextAnalysis.boilerplateOracle,
     "q70_chunk_layout" -> Pipeline.chunkLayoutOracle,
     "q71_int8_quant" -> Similarity.int8QuantStatsOracle,
-    "q72_bpe_pairs" -> TextAnalysis.bpePairsOracle
+    "q72_bpe_pairs" -> TextAnalysis.bpePairsOracle,
+    "q73_split_audit" -> MLOps.trainValTestSplitOracle
   )
 }

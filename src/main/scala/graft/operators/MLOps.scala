@@ -439,6 +439,50 @@ object MLOps {
       .agg(vsum(col("qv")).as("sv"), count(lit(1)).as("n"))
   }
 
+  /** Deterministic train/val/test split (SURVEY D12's split generation,
+    * scripts/plants_dataset.ipynb's 0.8/0.1/0.1 per-class shuffle-split):
+    * each vector lands in a split by md5(vec_id) bucket — train < 80,
+    * val < 90, test otherwise — so the assignment is a pure function of
+    * the row (stable across clusters, partitionings, and in the oracle;
+    * the notebook's random.seed(0) made determinism an explicit goal).
+    * Output: per (label, split) counts + per-label split fractions in
+    * exact basis points — the class-balance audit of the generated
+    * split. Row-local + one tiny aggregation; nothing else moves. */
+  def trainValTestSplit(embeddings: DataFrame, trainPct: Int = 80,
+                        valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need train + val < 100, got $trainPct + $valPct")
+    embeddings
+      .select(expr("CAST(label AS INT)").as("label"),
+        (expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          % 100).as("bucket"))
+      .select(col("label"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("label"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label"))))
+      .select(col("label"), col("split"), col("n"),
+        expr("CAST(n * 10000L DIV label_total AS BIGINT)").as("frac_bp"))
+      .orderBy(col("label"), col("split"))
+  }
+
+  val trainValTestSplitOracle: String =
+    """WITH assigned AS (
+      |  SELECT CAST(label AS INT) AS label,
+      |         CASE WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+      |              WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM embeddings),
+      |counts AS (
+      |  SELECT label, split, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY 1, 2)
+      |SELECT label, split, n,
+      |       CAST(n * 10000 // SUM(n) OVER (PARTITION BY label) AS BIGINT) AS frac_bp
+      |FROM counts ORDER BY label, split""".stripMargin
+
   /** quantized() lives in Similarity; the oracle must re-derive it. */
   val pairSeparationOracle: String =
     """WITH q AS (

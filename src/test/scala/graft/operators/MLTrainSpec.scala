@@ -97,6 +97,29 @@ class MLTrainSpec extends SparkSpec {
     }
   }
 
+  test("trainValTestSplit: assignment is a pure function of vec_id, " +
+    "splits partition each class, fractions near 80/10/10") {
+    val big = (0 until 900).map { i =>
+      (i.toLong, Seq.fill(4)(0.1f), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val out = MLOps.trainValTestSplit(big).collect()
+    val byLabel = out.groupBy(_.getInt(0))
+    assert(byLabel.keySet == Set(0, 1, 2))
+    byLabel.foreach { case (_, rs) =>
+      // splits partition the class: counts sum to the class size
+      assert(rs.map(_.getAs[Long]("n")).sum == 300L)
+      // fractions in basis points sum to ≤ 10000 (floor division)
+      val bps = rs.map(_.getAs[Long]("frac_bp")).sum
+      assert(bps >= 9997L && bps <= 10000L, s"bps=$bps")
+      val train = rs.find(_.getString(1) == "train").get.getAs[Long]("n")
+      // md5-Bernoulli at 80%: 300 draws stay well within ±8 pp
+      assert(train >= 216L && train <= 264L, s"train=$train")
+    }
+    // determinism: same rows chosen regardless of input order
+    assertDeterministic(MLOps.trainValTestSplit(
+      big.orderBy(org.apache.spark.sql.functions.rand())))
+  }
+
   test("an empty weights table fails fast on the driver, not per-row in tasks") {
     val single = emb.where($"label" === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_models_e").toString
