@@ -61,17 +61,30 @@ class QuotaTopKAgg(k: Int)
       val mid = (lo + hi) >>> 1
       if (cmp(ss(mid), ps(mid), ds(mid), s, p, d) <= 0) lo = mid + 1 else hi = mid
     }
-    val n = math.min(n0 + 1, k)
-    val (os, op, od, ot) = (new Array[Long](n), new Array[Long](n),
-      new Array[Long](n), new Array[Long](n))
-    System.arraycopy(ss, 0, os, 0, lo); System.arraycopy(ps, 0, op, 0, lo)
-    System.arraycopy(ds, 0, od, 0, lo); System.arraycopy(ts, 0, ot, 0, lo)
-    os(lo) = s; op(lo) = p; od(lo) = d; ot(lo) = t
-    System.arraycopy(ss, lo, os, lo + 1, n - lo - 1)
-    System.arraycopy(ps, lo, op, lo + 1, n - lo - 1)
-    System.arraycopy(ds, lo, od, lo + 1, n - lo - 1)
-    System.arraycopy(ts, lo, ot, lo + 1, n - lo - 1)
-    (os, op, od, ot)
+    if (n0 == k) {
+      // steady state: shift-insert IN PLACE, dropping the last row — the
+      // Aggregator contract allows mutating and returning the buffer, so
+      // the per-row cost after saturation is one shift, zero allocation
+      System.arraycopy(ss, lo, ss, lo + 1, k - lo - 1)
+      System.arraycopy(ps, lo, ps, lo + 1, k - lo - 1)
+      System.arraycopy(ds, lo, ds, lo + 1, k - lo - 1)
+      System.arraycopy(ts, lo, ts, lo + 1, k - lo - 1)
+      ss(lo) = s; ps(lo) = p; ds(lo) = d; ts(lo) = t
+      buf
+    } else {
+      // growth path (≤ k times per partial): allocate one row larger
+      val n = n0 + 1
+      val (os, op, od, ot) = (new Array[Long](n), new Array[Long](n),
+        new Array[Long](n), new Array[Long](n))
+      System.arraycopy(ss, 0, os, 0, lo); System.arraycopy(ps, 0, op, 0, lo)
+      System.arraycopy(ds, 0, od, 0, lo); System.arraycopy(ts, 0, ot, 0, lo)
+      os(lo) = s; op(lo) = p; od(lo) = d; ot(lo) = t
+      System.arraycopy(ss, lo, os, lo + 1, n0 - lo)
+      System.arraycopy(ps, lo, op, lo + 1, n0 - lo)
+      System.arraycopy(ds, lo, od, lo + 1, n0 - lo)
+      System.arraycopy(ts, lo, ot, lo + 1, n0 - lo)
+      (os, op, od, ot)
+    }
   }
 
   override def merge(a: (Array[Long], Array[Long], Array[Long], Array[Long]),

@@ -283,7 +283,16 @@ object MLOps {
       // Future.sequence preserves enumeration order — the output is
       // (la, lb)-sorted no matter which fits finish first
       Await.result(Future.sequence(fits), Duration.Inf)
-    } finally { pool.shutdown(); feats.unpersist(); () }
+    } finally {
+      // shutdownNow, not shutdown: when a fit fails, Await throws while
+      // the rest of the pairs are still QUEUED — plain shutdown would let
+      // every one of them launch its full training job (against a by-then
+      // unpersisted dataset) only to discard the result. On the success
+      // path all futures are already complete and this interrupts nothing.
+      pool.shutdownNow()
+      feats.unpersist()
+      ()
+    }
   }
 
   def trainPairClassifiers(embeddings: DataFrame, maxIter: Int = 50,
@@ -470,11 +479,14 @@ object MLOps {
       .orderBy(col("label"), col("split"))
   }
 
-  val trainValTestSplitOracle: String =
-    """WITH assigned AS (
+  val trainValTestSplitOracle: String = trainValTestSplitOracleAt(80, 10)
+
+  /** Oracle builder on the SAME split percentages as the engine function. */
+  def trainValTestSplitOracleAt(trainPct: Int, valPct: Int): String =
+    s"""WITH assigned AS (
       |  SELECT CAST(label AS INT) AS label,
-      |         CASE WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
-      |              WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+      |         CASE WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $trainPct THEN 'train'
+      |              WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < ${trainPct + valPct} THEN 'val'
       |              ELSE 'test' END AS split
       |  FROM embeddings),
       |counts AS (

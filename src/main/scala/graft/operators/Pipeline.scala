@@ -399,10 +399,13 @@ object Pipeline {
   // plan, not just pass in isolation.
   //
   // Stage semantics (each evaluated on the full corpus, quota on the
-  // survivor set): quality = the q51 thresholds; dedup keep = the q61
-  // keeper decision (component min doc_id — shares the session-memoized
-  // minhash pairs/labels stages with q25/q59/q61); quota = q63's
-  // md5-priority cap among quality∧keeper survivors.
+  // survivor set): quality = the q51 thresholds applied to the TRIMMED
+  // tokenization (q62/q63's token convention, so tok counts and quality
+  // flags share one split; q51 itself tokenizes untrimmed — a doc with
+  // leading/trailing whitespace can flag differently there, by design);
+  // dedup keep = the q61 keeper decision (component min doc_id — shares
+  // the session-memoized minhash pairs/labels stages with q25/q59/q61);
+  // quota = q63's md5-priority cap among quality∧keeper survivors.
   //
   // Scale shape: ONE corpus scan → row-local quality flags → one narrow
   // left join against the (small, persisted) component labels → ONE

@@ -219,12 +219,15 @@ object TextAnalysis {
     val perDoc = docWords.join(profileSide, "w")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("n") * col("lp")).as("s"), sum(col("n")).as("nt"))
+    // per-source Σs gets the same DECIMAL(38,0) widening as gs: a source
+    // of ~10¹² tokens at ~-10⁷ micro-nats/token already exceeds 2⁶³
+    // (per-DOC sums stay long-safe — a doc would need ~10¹¹ tokens)
     perDoc.crossJoin(glob)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
         sum(col("nt")).as("total_tokens"),
-        (sum(col("s")).cast("double") / sum(col("nt")).cast("double") / 1e6)
-          .as("avg_ll"),
+        (sum(expr("CAST(s AS DECIMAL(38,0))")).cast("double")
+          / sum(col("nt")).cast("double") / 1e6).as("avg_ll"),
         sum(when(expr("CAST(s AS DECIMAL(38,0)) * gn < gs * nt"), 1L)
           .otherwise(0L)).as("n_below"))
       .orderBy(col("source"))
@@ -258,7 +261,7 @@ object TextAnalysis {
       |  FROM docwords d JOIN profile p USING (w) GROUP BY 1, 2)
       |SELECT source, CAST(count(*) AS BIGINT) AS docs,
       |       CAST(SUM(nt) AS BIGINT) AS total_tokens,
-      |       CAST(SUM(s) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE) / 1000000.0 AS avg_ll,
+      |       CAST(SUM(CAST(s AS HUGEINT)) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE) / 1000000.0 AS avg_ll,
       |       CAST(SUM(CASE WHEN CAST(s AS HUGEINT) * gn < gs * nt
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below
       |FROM perdoc, corpus_ll GROUP BY source ORDER BY source""".stripMargin
