@@ -181,6 +181,22 @@ class PipelineSpec extends SparkSpec {
     assertDeterministic(Pipeline.curationFunnel(d.orderBy(rand()), k = 1))
   }
 
+  test("curationFunnel: a source with zero survivors reports n_final = 0 " +
+    "(the quota buffer holds only filler non-survivors)") {
+    val looped = Seq.fill(20)("spam eggs").mkString(" ")
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // src0 (docs 0, 3): every doc fails quality; src1 (doc 1): passes
+    val d = docs((0L, looped), (3L, looped), (1L, good))
+    val out = Pipeline.curationFunnel(d, k = 5).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s0 = out("src0")
+    assert(s0.getAs[Long]("n_total") == 2L && s0.getAs[Long]("n_quality") == 0L)
+    assert(s0.getAs[Long]("n_final") == 0L && s0.getAs[Long]("tok_final") == 0L,
+      s0.toString)
+    val s1 = out("src1")
+    assert(s1.getAs[Long]("n_final") == 1L && s1.getAs[Long]("tok_final") == 10L)
+  }
+
   test("curationFunnel plan: counts and quota ride ONE partial-aggregated " +
     "pass — single corpus scan, no window, no per-source sort") {
     // parquet-backed corpus (a LocalRelation would constant-fold the

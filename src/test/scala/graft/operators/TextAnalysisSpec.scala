@@ -54,6 +54,19 @@ class TextAnalysisSpec extends SparkSpec {
     assertDeterministic(TextAnalysis.lmScore(docs(common ++ rare: _*)))
   }
 
+  test("lmScore: token-less docs (empty/whitespace text) are excluded " +
+    "from the scored population, not scored as zero") {
+    val d = docs(
+      (1L, "alpha beta gamma delta", "en", "a"),
+      (2L, "", "en", "a"),
+      (3L, "   ", "en", "a"))
+    val out = TextAnalysis.lmScore(d).collect()
+    assert(out.length == 1)
+    // only doc 1 has tokens: docs counts the scored population
+    assert(out.head.getAs[Long]("docs") == 1L)
+    assert(out.head.getAs[Long]("total_tokens") == 4L)
+  }
+
   test("lmScore broadcast guard: join fallback equals the broadcast path") {
     val d = docs(
       (1L, "alpha beta gamma delta", "en", "a"),
