@@ -72,8 +72,12 @@ object EventOps {
     * regex, try-cast, default 0 — exactly the reference's
     * float(...)-except-default semantics, expressed null-safely. */
   def propsKeyStats(events: DataFrame): DataFrame = {
+    // try_cast, NOT cast: regexp_extract yields '' when props has no
+    // numeric "k", and under Spark 4's default ANSI mode cast('' AS
+    // LONG) throws [CAST_INVALID_INPUT] — the oracle's TRY_CAST (and
+    // the reference's float-except-default) return 0 instead
     val k = coalesce(
-      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"),
+      expr("""try_cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS LONG)"""),
       lit(0L))
     events
       .select(col("event_type"), k.as("k"))

@@ -79,9 +79,10 @@ object Joins {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
 
-  /** TPC-H Q5-shaped 5-way star join: revenue per nation for one region
-    * and an order-date range. customer/nation/region broadcast; the only
-    * real shuffle is lineitem⋈orders (both hash on orderkey) + final agg. */
+  /** TPC-H Q5-shaped 5-way star join: revenue per nation for a region
+    * subset (ASIA/EUROPE/AMERICA) and an order-date range.
+    * customer/nation/region broadcast; the only real shuffle is
+    * lineitem⋈orders (both hash on orderkey) + final agg. */
   def revenueByNation(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
     lineitem

@@ -58,9 +58,15 @@ object Sketches {
     * pure function of the input multiset, so the DuckDB oracle
     * reproduces it row-for-row (ORDER BY hash, value LIMIT k). */
   def quantileSketch(lineitem: DataFrame, k: Int = 256): DataFrame = {
+    // register graft_h32 here too — without this the operator only
+    // resolves when some OTHER query already registered it on the shared
+    // session (standalone/filtered runs threw UNRESOLVED_ROUTINE); and
+    // widen like sketchStats/tableProfile so the per-row hashing doesn't
+    // serialize onto one core for single-row-group inputs
+    graft.functions.GraftFunctions.register(lineitem.sparkSession)
     val bks = udaf(new graft.functions.BottomKSampleAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
-    lineitem
+    Widen.widen(lineitem)
       .select(col("l_returnflag"),
         col("l_quantity").cast("double").as("qty"),
         expr(h32sql(

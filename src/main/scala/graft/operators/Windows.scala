@@ -25,12 +25,15 @@ object Windows {
       .filter(col("rn") <= k)
   }
 
-  val topPartsPerBrandOracle: String =
-    """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+  val topPartsPerBrandOracle: String = topPartsPerBrandOracleAt(3)
+
+  /** Oracle builder on the SAME k as the engine function. */
+  def topPartsPerBrandOracleAt(k: Int): String =
+    s"""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
       |  SELECT p_brand, p_partkey, p_retailprice,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
       |              ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rn
-      |  FROM part) WHERE rn <= 3""".stripMargin
+      |  FROM part) WHERE rn <= $k""".stripMargin
 
   /** Running (cumulative) total per customer over order date. The measure
     * is summed as DECIMAL so the cumulative value is exact regardless of
@@ -77,11 +80,14 @@ object Windows {
         count(lit(1)).as("events"))
   }
 
-  val sessionsPerUserOracle: String =
-    """WITH flagged AS (
+  val sessionsPerUserOracle: String = sessionsPerUserOracleAt(30)
+
+  /** Oracle builder on the SAME gap as the engine function. */
+  def sessionsPerUserOracleAt(gapMinutes: Int): String =
+    s"""WITH flagged AS (
       |  SELECT user_id,
       |         CASE WHEN prev_ts IS NULL
-      |                OR epoch(ts) - epoch(prev_ts) > 1800.0
+      |                OR epoch(ts) - epoch(prev_ts) > ${gapMinutes * 60}.0
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM (SELECT user_id, ts,
       |               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts

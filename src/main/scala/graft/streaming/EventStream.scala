@@ -17,6 +17,11 @@ final case class UserRunning(user_id: Long, events_seen: Long, total_value: Doub
   * the DuckDB oracle checks (`withWatermark` is a no-op in batch). This
   * is the Spark-native answer to the reference's lack of any streaming
   * (SURVEY.md §2.E "Streaming"): same declarative plan, two runtimes.
+  * Two exceptions are called out on their methods: [[sessionStats]]'s
+  * second (non-windowed) aggregation makes that COMPOSITE batch-only —
+  * its [[sessionWindows]] stage is the streaming-capable part — and
+  * [[dedupedEvents]] branches on `isStreaming` because Spark reserves
+  * `dropDuplicatesWithinWatermark` for streams.
   *
   * Scale: watermark bounds state (late events beyond 1h are dropped);
   * the windowed aggregation is a standard partial/final HashAggregate
@@ -60,15 +65,23 @@ object EventStream {
       |       CAST(COUNT(*) AS BIGINT) AS cnt
       |FROM expanded GROUP BY 1, 2""".stripMargin
 
-  /** Session windows (5-minute gap) per user: Spark's native
-    * `session_window` merges adjacent events server-side — in streaming
-    * mode this is incremental state-merging; the batch twin is checked
-    * against a lag/island-detection oracle. */
-  def sessionStats(events: DataFrame): DataFrame =
+  /** Session windows (5-minute gap) per user — the STREAMING-capable
+    * stage: one watermarked `session_window` aggregation, incremental
+    * state-merging across micro-batches. */
+  def sessionWindows(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Per-user session rollup over [[sessionWindows]] — a BATCH
+    * composite: Spark rejects a second, non-windowed aggregation after a
+    * streaming session_window (chained stateful aggregations), so in
+    * streaming mode land the sessionWindows stream in a sink and roll it
+    * up downstream; on a batch read this is the q39 query, checked
+    * against a lag/island-detection oracle. */
+  def sessionStats(events: DataFrame): DataFrame =
+    sessionWindows(events)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
@@ -79,11 +92,15 @@ object EventStream {
     * watermark bounding the dedup state — ids older than 1 hour are
     * evicted, so state is O(events/hour), not O(all history). At-least-
     * once sources (Kafka replays, retried batches) become exactly-once
-    * downstream. */
+    * downstream. Spark reserves `dropDuplicatesWithinWatermark` for
+    * streams, so the batch twin is plain id-exact `dropDuplicates` (no
+    * eviction horizon needed when the whole input is present). */
   def dedupedEvents(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Custom streaming state (`flatMapGroupsWithState`): a running
     * per-user event counter + value total that survives micro-batch

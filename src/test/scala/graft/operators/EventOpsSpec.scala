@@ -24,4 +24,19 @@ class EventOpsSpec extends SparkSpec {
     // a: parsed {12, 34}; b: parsed {7}
     assert(out == Seq(("a", 2L, 46L), ("b", 1L, 7L)), out.toString)
   }
+
+  test("propsKeyStats defaults k to 0 on props without a numeric key — " +
+    "no ANSI cast crash on the regexp_extract empty-string miss") {
+    val events = Seq(
+      ("a", """{"k": 12}"""),
+      ("a", "{}"),        // no k: regexp_extract yields '' → k = 0
+      ("a", "not json"),  // malformed: k = 0
+      ("b", """{"k": 5}"""))
+      .toDF("event_type", "props")
+    val out = EventOps.propsKeyStats(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("a") == ((3L, 12L, 12L)), out.toString) // cnt, sum_k, max_k
+    assert(out("b") == ((1L, 5L, 5L)))
+  }
 }

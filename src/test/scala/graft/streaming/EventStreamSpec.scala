@@ -89,6 +89,40 @@ class EventStreamSpec extends SparkSpec {
     assert(out(12L) == ((1L, 1L, 1L)))
   }
 
+  test("sessionWindows (the streaming-capable stage) runs as a real " +
+    "streaming query and its final state equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.sessionWindows(streamDf)
+      .writeStream.format("memory").queryName("session_win_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sample.take(3))
+      q.processAllAvailable()
+      mem.addData(sample.drop(3))
+      q.processAllAvailable()
+      val streamed = rows(spark.table("session_win_test")
+        .select(col("session_window.start"), col("user_id"), col("n_events"))
+        .orderBy("start", "user_id"))
+      val batch = rows(EventStream.sessionWindows(toDf(sample))
+        .select(col("session_window.start"), col("user_id"), col("n_events"))
+        .orderBy("start", "user_id"))
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("dedupedEvents on a BATCH read is the id-exact dedup twin " +
+    "(dropDuplicatesWithinWatermark is streams-only in Spark)") {
+    val replayed = sample ++ sample.take(3)
+    val out = EventStream.dedupedEvents(toDf(replayed))
+    assert(out.count() == sample.length.toLong)
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      sample.map(_._1).sorted)
+  }
+
   test("dedupedEvents drops replayed ids across micro-batches (at-least-once → exactly-once)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
