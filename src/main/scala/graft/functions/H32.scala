@@ -24,6 +24,17 @@ object H32Helper {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** String overload for driver-side builders (LSH hyperplane weights,
+    * stub-codec oracles) — the ONE implementation of the engine's
+    * canonical 32-bit hash; duplicating this arithmetic elsewhere risks
+    * the cross-engine determinism anchor silently diverging. */
+  def h32(s: String): Long = {
+    val md = tl.get(); md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 }
 
 /** Native Catalyst expression: `graft_h32(str) -> bigint`.

@@ -403,9 +403,14 @@ object Dedup {
     edgesBySrc.unpersist(false)
     // an unconverged exit would silently return WRONG components (the
     // oracle computes the exact transitive closure) — fail loudly instead
-    if (!converged) throw new IllegalStateException(
-      s"dupClusters did not converge in $maxIters rounds — with pointer " +
-        s"doubling that needs component diameter > ~2^$maxIters; raise maxIters")
+    // (unpersisting the final round's cached labels first: the throw path
+    // must not leak a MEMORY_AND_DISK RDD for the session lifetime)
+    if (!converged) {
+      labels.unpersist(false)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters rounds — with pointer " +
+          s"doubling that needs component diameter > ~2^$maxIters; raise maxIters")
+    }
     // persist + materialize HERE (Slot.get skips already-persisted
     // builds) so the final round's cached RDD can be freed — otherwise
     // every clustered corpus pins its label RDD for the session lifetime
@@ -498,12 +503,32 @@ object Dedup {
     fp
   }
 
+  /** Per-band (index, bit offset, width) for a 32-bit fingerprint split
+    * into maxHamming+1 contiguous slices — the pigeonhole guarantee:
+    * hamming ≤ maxHamming flips fewer bits than there are bands, so at
+    * least one band is untouched and the pair shares that band_key.
+    * Shared by the engine and the oracle builder so the banding can
+    * never drift. For the default maxHamming=3 this is exactly the
+    * original 4×8-bit byte banding. */
+  private def simhashBands(maxHamming: Int): Seq[(Int, Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"simhash banding needs 0 <= maxHamming <= 31, got $maxHamming")
+    val nBands = maxHamming + 1
+    val widths = Array.tabulate(nBands)(i => 32 / nBands + (if (i < 32 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nBands).map(i => (i, offsets(i), widths(i)))
+  }
+
   def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // band count DERIVES from maxHamming (bands = maxHamming+1): a fixed
+    // byte banding would silently miss pairs once maxHamming > 3 (all
+    // four bytes touched, no shared band, pair never a candidate)
+    val keyExprs = simhashBands(maxHamming).map { case (i, off, w) =>
+      s"concat_ws(':', $i, shiftright(fp, $off) & ${(1L << w) - 1})"
+    }
     val fps = shingled(documents).select(col("doc_id"), simhashUdf(col("sset")).as("fp"))
     val banded = fps.select(col("doc_id"), col("fp"),
-      explode(expr("sequence(0, 3)")).as("band"))
-      .select(col("doc_id"), col("fp"),
-        expr("concat_ws(':', band, shiftright(fp, band*8) & 255)").as("band_key"))
+      explode(expr(s"array(${keyExprs.mkString(", ")})")).as("band_key"))
       // exchange barrier: materialize fingerprints once; both self-join
       // branches read the same shuffle output (ReusedExchange) instead of
       // re-deriving the whole md5 pipeline per branch
@@ -512,12 +537,22 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         expr("bit_count(x.fp ^ y.fp)").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a function of (a, b), so the
+      // reorder is identity — but the distinct's exchange now carries
+      // only plausible pairs instead of every random band collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("a"), col("b"))
   }
 
-  val simhashDedupOracle: String =
+  val simhashDedupOracle: String = simhashDedupOracleAt(3)
+
+  /** Oracle builder on the SAME maxHamming (and derived banding) as the
+    * engine function. */
+  def simhashDedupOracleAt(maxHamming: Int): String = {
+    val bandExprs = simhashBands(maxHamming).map { case (i, off, w) =>
+      s"concat_ws(':', $i, (fp >> $off) & ${(1L << w) - 1})"
+    }
     s"""WITH $oracleShingled,
       |fps AS (
       |  SELECT doc_id,
@@ -528,19 +563,26 @@ object Dedup {
       |                THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS fp
       |  FROM sh),
       |banded AS (
-      |  SELECT doc_id, fp, concat_ws(':', band, (fp >> (band*8)) & 255) AS band_key
-      |  FROM fps, range(0, 4) AS t(band)),
+      |  SELECT doc_id, fp, t.band_key
+      |  FROM fps, unnest([${bandExprs.mkString(", ")}]) AS t(band_key)),
       |pairs AS (
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
       |         CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
       |  FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
-      |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+      |SELECT a, b, hamming FROM pairs WHERE hamming <= $maxHamming ORDER BY a, b""".stripMargin
+  }
 
   // --------------------------------------------------------------------
   // Direct n-gram Jaccard, blocked on (length bucket ∧ minhash band).
-  // Staggered length buckets (width 16, offset 8) alone are exact for
-  // near-dups but go QUADRATIC at corpus scale — document lengths
-  // concentrate, so hot buckets hold O(corpus) docs. Conjoining each
+  // Staggered length buckets (width 16, offset 8) are exact for
+  // SIMILAR-LENGTH near-dups (edit-style edits, boilerplate variants —
+  // any pair within 8 chars of each other always shares a bucket) but
+  // deliberately exclude containment-style dups whose lengths differ by
+  // more than the bucket width (a doc plus a long appended suffix) —
+  // those are [[minhashDedup]]'s domain, which has no length blocking.
+  // Length buckets alone would also go QUADRATIC at corpus scale —
+  // document lengths concentrate, so hot buckets hold O(corpus) docs.
+  // Conjoining each
   // length bucket with a threshold-derived minhash band key subdivides
   // every hot bucket by content: unrelated same-length docs land in
   // different bands (random band collision ~ 1/P per row), while a pair
@@ -601,7 +643,10 @@ object Dedup {
     // stage is a compiled UDF — measured ~1.8× the SQL expression chain,
     // and this derivation runs three times (banding scan + both verify
     // joins), so the saving triples.
-    val sh = documents
+    // widen like shingled(): the md5+TreeSet hashing pass runs three
+    // times (banding scan + both verify joins) and must not serialize
+    // onto one core for single-row-group inputs
+    val sh = Widen.widen(documents)
       .select(col("doc_id"), col("n_chars"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("n_chars"), hsetUdf(col("toks")).as("hset"))

@@ -63,10 +63,9 @@ object Multimodal {
       md.reset()
       md.digest(b).map(x => f"$x%02x").mkString
     }
-    /** First 8 md5 hex chars as unsigned int — same as the SQL-side
-      * `conv(substr(md5(s),1,8),16,10)` used across the engine. */
-    def h32(s: String): Long =
-      java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).substring(0, 8), 16)
+    /** The engine's canonical 32-bit hash — delegated to the ONE
+      * implementation ([[graft.functions.H32Helper]]). */
+    def h32(s: String): Long = graft.functions.H32Helper.h32(s)
   }
 
   /** REAL image codec on JDK `javax.imageio` — zero extra dependencies.
@@ -166,16 +165,18 @@ object Multimodal {
   }
 
   /** Distributed real audio decode: WAV payloads → per-clip PCM stats;
-    * undecodable rows dropped (skip-on-error, like the image path). */
+    * undecodable rows dropped (skip-on-error, like the image path).
+    * Reads ONLY (doc_id, payload) — audio tables don't carry the image
+    * metadata columns, and routing through [[MediaRow]] forced callers
+    * to fabricate declared_w/declared_h just to satisfy the encoder. */
   def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload"), col("fmt"),
-        col("declared_w"), col("declared_h")).as[MediaRow]
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val codec = new WavCodec // per-partition init
-        rows.flatMap { m =>
-          codec.decodeStats(m.payload).map { case (sr, ch, ns, peak, rms) =>
-            DecodedAudio(m.doc_id, sr, ch, ns, peak, rms)
+        rows.flatMap { case (docId, payload) =>
+          codec.decodeStats(payload).map { case (sr, ch, ns, peak, rms) =>
+            DecodedAudio(docId, sr, ch, ns, peak, rms)
           }
         }
       }.toDF().orderBy(col("doc_id"))

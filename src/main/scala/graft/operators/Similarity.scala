@@ -24,13 +24,34 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** md5-derived 32-bit unsigned hash — the JVM twin of the SQL
-    * `conv(substr(md5(s),1,8),16,10)` used across the engine; computed
-    * driver-side only (hyperplane weights), never per row. */
-  private def h32(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex, 16)
+  /** md5-derived 32-bit unsigned hash — the engine's canonical hash,
+    * delegated to the ONE implementation in [[graft.functions.H32Helper]]
+    * (a local copy here would be a silent-divergence risk for the
+    * cross-engine determinism anchor). */
+  private def h32(s: String): Long = graft.functions.H32Helper.h32(s)
+
+  /** LSH hyperplane weights w(p, d) = h32("p:d") − 2³¹, grown lazily to
+    * whatever dimensionality the data actually has and cached per JVM —
+    * a fixed-width table would crash (ArrayIndexOutOfBounds per task) on
+    * embeddings wider than its guess. The weights are a pure function of
+    * (p, d), so late growth is always consistent with earlier reads. */
+  private object LshWeights {
+    @volatile private var table: Array[Array[Long]] = Array.empty
+    def upTo(planes: Int, dims: Int): Array[Array[Long]] = {
+      val t = table
+      if (t.length >= planes && (t.length == 0 || t(0).length >= dims)) t
+      else synchronized {
+        val cur = table
+        if (cur.length >= planes && (cur.length == 0 || cur(0).length >= dims)) cur
+        else {
+          val np = math.max(planes, cur.length)
+          val nd = math.max(dims, if (cur.isEmpty) 0 else cur(0).length)
+          val fresh = Array.tabulate(np, nd)((p, d) => h32(s"$p:$d") - 2147483648L)
+          table = fresh
+          fresh
+        }
+      }
+    }
   }
 
   /** (vec_id, qv: array<bigint> quantized, n2: bigint squared norm). */
@@ -50,9 +71,15 @@ object Similarity {
       |         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2
       |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) > 0)""".stripMargin
 
-  /** Exact quantized cosine between two (qv, n2) pairs as a SQL snippet. */
+  /** Exact quantized cosine between two (qv, n2) pairs as a SQL snippet.
+    * The dot product is the codegen'd [[graft.functions.DotLongExpression]]
+    * reading both Tungsten arrays in place — the higher-order
+    * aggregate(zip_with(...)) form is CodegenFallback (every element
+    * evaluates interpreted, ~20× slower), which matters at the ANN
+    * functions' candidate volumes. Callers must have run
+    * `GraftFunctions.register`. */
   private val cosExpr =
-    """CAST(aggregate(zip_with(x.qv, y.qv, (p, q) -> p*q), 0L, (a, v) -> a + v) AS DOUBLE)
+    """CAST(graft_dot_long(x.qv, y.qv) AS DOUBLE)
       |  / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))""".stripMargin
 
   private val oracleCosExpr =
@@ -122,6 +149,7 @@ object Similarity {
   // baseline every ANN variant is measured against.
   // --------------------------------------------------------------------
   def annBruteTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = quantized(embeddings)
     val queries = q.filter(col("vec_id") < nQueries)
     queries.as("x").join(q.as("y"), col("x.vec_id") =!= col("y.vec_id"))
@@ -161,13 +189,15 @@ object Similarity {
   // --------------------------------------------------------------------
   def annLshTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
                  planes: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = quantized(embeddings)
-    // Hyperplane weights are row-independent: precompute them once on
-    // the driver (same md5 formula the oracle recomputes in SQL) and
-    // close over them in a compiled UDF — no per-row hashing.
-    val wts: Array[Array[Long]] =
-      Array.tabulate(planes, 512)((p, d) => h32(s"$p:$d") - 2147483648L)
+    // Hyperplane weights are row-independent and a pure function of
+    // (plane, dim) — the same md5 formula the oracle recomputes in SQL.
+    // [[LshWeights]] grows the cached table to the data's actual
+    // dimensionality on first touch per executor; the steady-state cost
+    // per row is one volatile read.
     val bucketUdf = udf { qv: Seq[Long] =>
+      val wts = LshWeights.upTo(planes, qv.length)
       var bucket = 0
       var p = 0
       while (p < planes) {
@@ -217,11 +247,12 @@ object Similarity {
                  centroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val q = quantized(embeddings)
     // C centroids, cheapest-md5-hash-first, fully deterministic. The
-    // collect here is the C×dims SUMMARY (16×512 longs ≈ 64 KB), never
-    // the table — the same legitimate driver-side broadcast build as the
-    // LSH hyperplane weights; inlining it as a plan subtree instead was
+    // collect here is the C×dims SUMMARY (a few KB), never the table —
+    // the same legitimate driver-side broadcast build as the LSH
+    // hyperplane weights; inlining it as a plan subtree instead was
     // measured to re-run the centroid scan once per consumer (3 scans).
     val cents: Array[(Array[Long], Long)] = q
       .withColumn("h", expr(

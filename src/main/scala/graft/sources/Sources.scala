@@ -42,7 +42,10 @@ object Sources {
     spark.read.option("sep", sep).option("header", "true")
       .schema(schema).csv(path)
 
-  /** JSON lines with schema inference capped to sane defaults. */
+  /** JSON lines via Spark's standard reader. Schema inference runs a
+    * full extra pass over the files — fine for fixtures; at scale pass
+    * an explicit schema (`spark.read.schema(...).json(path)`) or set
+    * `samplingRatio` to bound the inference scan. */
   def readJsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 

@@ -46,6 +46,37 @@ class DedupSpec extends SparkSpec {
       r.getAs[Number]("hamming").intValue)).toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("simhashDedup banding derives from maxHamming: every pair at " +
+    "hamming <= maxHamming is found regardless of WHICH bits differ " +
+    "(the fixed 4-byte banding missed cross-byte flip patterns)") {
+    // exhaustively: maxHamming+1 bands of a 32-bit fp; any <=maxHamming
+    // flips leave >=1 band untouched — brute-check the band-key logic
+    // against random fingerprints and flip patterns at several settings
+    val rnd = new scala.util.Random(11)
+    for (maxHamming <- Seq(3, 5, 7)) {
+      val nBands = maxHamming + 1
+      val widths = Array.tabulate(nBands)(i =>
+        32 / nBands + (if (i < 32 % nBands) 1 else 0))
+      val offsets = widths.scanLeft(0)(_ + _)
+      def keys(fp: Long): Seq[(Int, Long)] =
+        (0 until nBands).map(i => (i, (fp >> offsets(i)) & ((1L << widths(i)) - 1)))
+      for (_ <- 0 until 200) {
+        val fp = rnd.nextLong() & 0xffffffffL
+        // worst case for byte banding: flips spread across distinct bytes
+        val nFlips = 1 + rnd.nextInt(maxHamming)
+        val bits = rnd.shuffle((0 until 32).toList).take(nFlips)
+        val fp2 = bits.foldLeft(fp)((f, b) => f ^ (1L << b))
+        assert(keys(fp).toSet.intersect(keys(fp2).toSet).nonEmpty,
+          s"maxHamming=$maxHamming flips=$bits: no shared band")
+      }
+    }
+    // and the guard fails closed on an unservable setting
+    val d = docs((1L, base, base.length.toLong))
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashDedup(d, maxHamming = 32).collect())
+    assert(e.getMessage.contains("maxHamming"))
+  }
+
   test("ngramJaccard staggered buckets catch length-close near-dups") {
     val d = docs((1L, base, base.length.toLong),
       (2L, nearDup, nearDup.length.toLong))

@@ -79,12 +79,13 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodeAudio: real WAV round-trip — rate, length, peak, RMS") {
-    // constant amplitude 1000 → RMS = 1000, peak = 1000
+    // constant amplitude 1000 → RMS = 1000, peak = 1000; the audio path
+    // needs only (doc_id, payload) — no fabricated image metadata
     val tone = wav(Array.fill(8000)(1000.toShort), 8000f)
     val media = Seq(
-      (0L, tone, "wav", 0, 0),
-      (1L, "not audio".getBytes("UTF-8"), "wav", 0, 0))
-      .toDF("doc_id", "payload", "fmt", "declared_w", "declared_h")
+      (0L, tone),
+      (1L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
     val out = Multimodal.decodeAudio(spark, media).collect()
     assert(out.length == 1 && out.head.getLong(0) == 0L)
     val r = out.head
