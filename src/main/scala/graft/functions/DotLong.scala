@@ -15,8 +15,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * higher-order `aggregate(zip_with(...))` alternative is interpreted
   * (CodegenFallback) and ~20× slower. */
 object DotOps {
+  /** Precondition: equal-length, null-free arrays (the engine only calls
+    * this on its own quantized vectors). Unequal lengths fail loudly —
+    * a min-length truncation would silently return a PARTIAL dot product
+    * for a corrupt row and quietly corrupt downstream similarity
+    * rankings, the worst failure mode for a ranking primitive. */
   def dotLong(x: ArrayData, y: ArrayData): Long = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"graft_dot_long: vector length mismatch ($n vs ${y.numElements()})")
     var i = 0
     var acc = 0L
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }

@@ -27,8 +27,14 @@ object ArrayOps {
 }
 
 /** `graft_sorted_intersect_size(array<bigint>, array<bigint>) -> int`.
-  * Both inputs must be sorted ascending and distinct (the caller builds
-  * them with `sort_array(array_distinct(...))`). */
+  * Both inputs must be sorted ascending, distinct, and NULL-FREE (the
+  * caller builds them with `sort_array(array_distinct(...))` over
+  * non-null hashes). The type check accepts a nullable element schema
+  * because Catalyst marks most derived arrays containsNull=true even
+  * when no null can occur — but an actual null element would read as the
+  * raw 0 word through `getLong` and silently match a genuine 0, so the
+  * null-free precondition is part of the contract, not enforced per
+  * element in the hot path (same contract as [[DotOps.dotLong]]). */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType

@@ -20,6 +20,12 @@ object VectorSumAgg extends Aggregator[Array[Long], Array[Long], Seq[Long]] {
     if (v == null) buf
     else if (buf == null) v.clone()
     else {
+      // fail LOUDLY on ragged vectors: without this, a short row seen
+      // first silently truncates every later vector's tail (wrong sums),
+      // while the reverse order crashes — arrival-order-dependent either
+      // way. A corrupt row should be an error, not a partitioning lottery.
+      require(v.length == buf.length,
+        s"VectorSumAgg: ragged input vectors (${v.length} vs ${buf.length})")
       var i = 0
       while (i < buf.length) { buf(i) += v(i); i += 1 }
       buf

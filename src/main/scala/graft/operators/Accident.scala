@@ -40,19 +40,34 @@ object Accident {
   }
 
   /** Duration in hours (accident_analysis.py:78–87): parse first 19 chars
-    * as '%Y-%m-%d %H:%M:%S'; ANY failure → 0; negative durations kept. */
+    * as '%Y-%m-%d %H:%M:%S'; ANY failure → 0; negative durations kept.
+    * Both ends parse with an EXPLICIT +00:00 offset: the reference
+    * subtracts NAIVE datetimes, so the session time zone must not
+    * participate — a session-zoned parse would gain/lose an hour across
+    * DST transitions (spring-forward '01:30'→'03:30' is 2.0 naive hours
+    * but 1.0 zoned), and UTC has no DST, making the instant diff equal
+    * the naive diff. try_to_timestamp keeps the ANY-failure→0 contract. */
+  private def parseNaiveUtc(c: Column): Column =
+    unix_timestamp(try_to_timestamp(
+      concat(substring(c, 1, 19), lit(" +00:00")),
+      lit("yyyy-MM-dd HH:mm:ss XXX")))
+
   def durationHours(start: Column, end: Column): Column =
     coalesce(
-      (unix_timestamp(try_to_timestamp(substring(end, 1, 19),
-          lit("yyyy-MM-dd HH:mm:ss")))
-        - unix_timestamp(try_to_timestamp(substring(start, 1, 19),
-          lit("yyyy-MM-dd HH:mm:ss"))))
-        .cast("double") / 3600.0,
+      (parseNaiveUtc(end) - parseNaiveUtc(start)).cast("double") / 3600.0,
       lit(0.0))
 
   /** Defensive numeric (accident_analysis.py:30–37): float(x) except→default. */
   def numericOr(c: Column, default: Double): Column =
     coalesce(c.try_cast("double"), lit(default))
+
+  /** A 2-dp-rounded double rendered the way Python's f"{round(x, 2)}"
+    * renders it: trailing zeros stripped, at least one decimal kept
+    * (11.0 → "11.0", 10.5 → "10.5", 11.55 → "11.55"). */
+  private def pyFloat(c: Column): Column =
+    regexp_replace(
+      regexp_replace(format_string("%.2f", c), "(\\.\\d*?)0+$", "$1"),
+      "\\.$", ".0")
 
   /** impact = severity · (1+distance) · (1+duration_h) (accident_analysis.py:40). */
   def impact(severity: Column, distance: Column, durationH: Column): Column =
@@ -85,9 +100,13 @@ object Accident {
           .as("danger_score"),
         round(min(col("impact")), 2).as("min_impact"),
         round(max(col("impact")), 2).as("max_impact"))
+      // Python f"{round(x, 2)}" renders the float's shortest repr —
+      // "10.5", "11.0" — never the fixed-width "10.50"/"11.00" of %.2f;
+      // strip trailing zeros (keeping one decimal) to match the
+      // reference's formula strings exactly
       .withColumn("formula",
-        format_string("%.2f * %.2f = %.2f", col("avg_impact"),
-          col("log_count"), col("danger_score")))
+        concat_ws(" ", pyFloat(col("avg_impact")), lit("*"),
+          pyFloat(col("log_count")), lit("="), pyFloat(col("danger_score"))))
       .orderBy(desc("danger_score"), asc("road_feature"), asc("weather_cat"),
         asc("time_of_day"))
   }

@@ -42,14 +42,19 @@ object Skew {
   def saltedEquiJoin(big: DataFrame, small: DataFrame,
                      bigKey: String, smallKey: String,
                      salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
+    // working-column name chosen to never collide with caller columns: a
+    // fixed "__salt" would silently OVERWRITE a real column of that name
+    // and then drop() every same-named column from the output
+    val saltCol = Iterator.from(0).map(i => s"__graft_salt_$i")
+      .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
+    val saltedBig = big.withColumn(saltCol,
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val saltedSmall = small
-      .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
-      .withColumn("__salt", col("__salt").cast("long"))
+      .withColumn(saltCol, explode(expr(s"sequence(0, ${salts - 1})")))
+      .withColumn(saltCol, col(saltCol).cast("long"))
     saltedBig.join(saltedSmall,
         saltedBig(bigKey) === saltedSmall(smallKey) &&
-          saltedBig("__salt") === saltedSmall("__salt"))
-      .drop("__salt")
+          saltedBig(saltCol) === saltedSmall(saltCol))
+      .drop(saltCol)
   }
 }

@@ -19,13 +19,19 @@ import graft.mr.MRJob
   */
 object TextOps {
 
-  /** B1–B7: lower, whitespace-split, strip non-alphanumerics, drop
-    * empties, count per word. */
-  def wordcount(documents: DataFrame): DataFrame =
+  /** The ONE tokenize/scrub/filter chain (B2–B4) behind [[wordcount]] and
+    * [[adlerPartition]] — a regex tweak applied to a private copy would
+    * silently de-synchronize q02/q43 from their shared oracle shape. */
+  private def words(documents: DataFrame): DataFrame =
     Widen.widen(documents)
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
       .select(regexp_replace(col("tok"), "[^a-z0-9]", "").as("word"))
       .filter(length(col("word")) > 0)
+
+  /** B1–B7: lower, whitespace-split, strip non-alphanumerics, drop
+    * empties, count per word. */
+  def wordcount(documents: DataFrame): DataFrame =
+    words(documents)
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
@@ -41,10 +47,7 @@ object TextOps {
     * `graft_adler32`). The oracle recomputes adler32 arithmetically
     * (A = 1+Σd mod 65521, B = n+Σ(n−i+1)·dᵢ mod 65521, B·65536+A). */
   def adlerPartition(documents: DataFrame): DataFrame =
-    Widen.widen(documents)
-      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .select(regexp_replace(col("tok"), "[^a-z0-9]", "").as("word"))
-      .filter(length(col("word")) > 0)
+    words(documents)
       .select(col("word"), expr("pmod(graft_adler32(word), 4)").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"), countDistinct(col("word")).as("words"))
@@ -77,8 +80,12 @@ object TextOps {
       numPartitions = n,
       map = (rows, _) =>
         rows.flatMap { r =>
+          // Locale.ROOT: the default-locale toLowerCase diverges from
+          // Spark's lower() under e.g. tr-TR ('III' → 'ııı', which the
+          // scrub then deletes) — breaking the must-equal-wordcount
+          // contract on any non-English JVM locale
           Option(r.getString(0)).iterator.flatMap(
-            _.toLowerCase.split("\\s+").iterator
+            _.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
               .map(_.replaceAll("[^a-z0-9]", ""))
               .filter(_.nonEmpty)
               .map(w => (w, 1L)))

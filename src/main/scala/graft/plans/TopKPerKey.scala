@@ -113,17 +113,23 @@ final case class TopKPerKeyExec(
     val os = order
     val limit = k
     val isPartial = partial
-    val numOut = output.length
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(ps, childOutput)
       val ord = RowOrdering.create(os, childOutput) // total order (ties broken by query)
+      val heapOrd: Ordering[InternalRow] = ord
       // per-key bounded heap; head = WORST kept row (reverse ordering)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      val heapOrd: Ordering[InternalRow] = ord
-      it.foreach { row =>
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](heapOrd))
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            // copy the key ONLY on first sight — an eager per-row
+            // key.copy() would allocate once per input row, not per key
+            val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < limit) {
           heap.enqueue(row.copy())
         } else if (ord.compare(row, heap.head) < 0) {
@@ -132,8 +138,30 @@ final case class TopKPerKeyExec(
         }
       }
       if (isPartial) {
-        heaps.valuesIterator.flatMap(_.iterator)
+        // BOUNDED map-side state: a map-side task can see EVERY distinct
+        // key, so the heap map is flushed (emitted downstream and
+        // cleared) whenever it reaches MaxBufferedKeys — a flushed key
+        // seen again just contributes a second partial heap, which the
+        // final stage merges. Memory is O(MaxBufferedKeys · k) per task
+        // regardless of key cardinality; without this, a per-user top-k
+        // over 10⁸ users would OOM the map side where the vanilla window
+        // sort would have spilled.
+        new Iterator[Iterator[InternalRow]] {
+          override def hasNext: Boolean = it.hasNext || heaps.nonEmpty
+          override def next(): Iterator[InternalRow] = {
+            while (it.hasNext && heaps.size < TopKPerKeyExec.MaxBufferedKeys)
+              insert(it.next())
+            val out = heaps.values.toArray
+            heaps.clear()
+            out.iterator.flatMap(_.iterator)
+          }
+        }.flatten
       } else {
+        // final stage: memory is proportional to THIS PARTITION'S OUTPUT
+        // (≤ its distinct keys · k rows) — the reduced, post-shuffle
+        // volume; scale key cardinality by adding partitions (AQE), not
+        // by spilling input rows
+        it.foreach(insert)
         val outTypes = output.map(_.dataType).toArray
         val outProj = UnsafeProjection.create(outTypes)
         val joined = new JoinedRow
@@ -150,6 +178,14 @@ final case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Map-side flush threshold: the partial stage emits and clears its
+    * heap map at this many distinct keys, bounding task memory at
+    * MaxBufferedKeys · k rows for any key cardinality. 64k keys · small
+    * k is a few MB; raising it trades shuffle volume for memory. */
+  val MaxBufferedKeys: Int = 65536
 }
 
 /** Runtime installation on an existing session (also injectable at build

@@ -74,6 +74,37 @@ class AccidentSpec extends SparkSpec {
     assert(fair("Junction").getString(1) == "BadWeather")
   }
 
+  test("durationHours subtracts NAIVE datetimes: a DST spring-forward " +
+    "span is 2.0 hours under any session time zone (the reference's " +
+    "strptime subtraction never saw a zone)") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // 2023-03-12 02:00 PT does not exist (spring forward); naive
+      // subtraction gives 2.0h, a zoned diff would give 1.0h
+      val out = Seq(("2023-03-12 01:30:00", "2023-03-12 03:30:00"))
+        .toDF("s", "e")
+        .select(Accident.durationHours(col("s"), col("e")))
+        .as[Double].collect()
+      assert(out.toSeq == Seq(2.0))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("formula strings render like Python's f-string over round(): " +
+    "trailing zeros stripped, one decimal kept") {
+    // avg 10.5, log ln(3)=1.10 (exactly two decimals), danger 11.55
+    val df = Seq(
+      ("True", "Fair", "Day", "3", "1.0", "2023-01-01 10:00:00", "2023-01-01 11:00:00"),
+      ("True", "Fair", "Day", "2", "0.5", "2023-01-01 10:00:00", "2023-01-01 12:00:00"))
+      .toDF("Station", "Weather_Condition", "Sunrise_Sunset",
+        "Severity", "Distance(mi)", "Start_Time", "End_Time")
+    val formula = Accident.dangerScores(df).collect().head.getAs[String]("formula")
+    // danger = round(10.5 · ln(3), 2) = 11.54 (the UNROUNDED log factor,
+    // accident_analysis.py:116–126); Python renders f"{10.5} * {1.1} =
+    // {11.54}" — never "10.50" / "1.10"
+    assert(formula == "10.5 * 1.1 = 11.54", formula)
+  }
+
   test("golden wordcount on the reference corpus (FIXTURES.md A.1)") {
     val corpus = Seq(
       "hello world hello", "map reduce is powerful",

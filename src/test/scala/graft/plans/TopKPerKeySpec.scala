@@ -61,6 +61,37 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("key cardinality past the partial flush threshold (64k) still " +
+    "matches the window result — flushed keys merge in the final stage") {
+    // 150k distinct keys in ONE input partition → the map-side heap map
+    // flushes at least twice; duplicate partial heaps for re-seen keys
+    // must merge correctly reduce-side
+    val df = spark.range(300000).selectExpr(
+      "concat('k', CAST(id % 150000 AS STRING)) AS g",
+      "CAST((id * 7919) % 100000 AS INT) AS v",
+      "id")
+      .coalesce(1)
+    // vanilla window reference BEFORE installing the rewrite
+    val expect = topk(df, 2).filter(col("g") === "k7").orderBy("rn")
+      .collect().map(_.toSeq).toSeq
+    TopKInstall.install(spark)
+    try {
+      val rewritten = topk(df, 2)
+      rewritten.collect()
+      assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      // no row lost through the flush boundary: every key keeps both rows
+      assert(rewritten.count() == 300000L) // 150k keys × 2 rows each
+      val sample = rewritten.filter(col("g") === "k7").orderBy("rn")
+        .collect().map(_.toSeq).toSeq
+      assert(sample == expect)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKRewriteRule)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKStrategy)
+    }
+  }
+
   test("non-top-k window patterns are left untouched") {
     TopKInstall.install(spark)
     try {
