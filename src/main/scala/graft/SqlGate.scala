@@ -129,6 +129,56 @@ object SqlGate {
     out.toSeq
   }
 
+  /** First relation reference that is neither a fixture table nor a CTE
+    * visible at ITS OWN lexical scope. CTE visibility must be tracked
+    * scope-by-scope, NOT collected globally: Catalyst resolves a
+    * reference against only the WITH clauses enclosing it, so a
+    * global name set would let `WITH q AS (WITH secrets AS (SELECT 1)
+    * SELECT ...) SELECT * FROM secrets` whitelist the OUTER `secrets` —
+    * which is out of the inner CTE's scope and would resolve against the
+    * session catalog (a temp view or current-database table of that
+    * name), laundering a non-fixture read through a nested CTE's name.
+    * Each CTE body sees the names defined BEFORE it in its own WITH
+    * clause plus everything from enclosing scopes — NOT its own name: in
+    * non-recursive SQL `WITH t AS (SELECT * FROM t)` resolves the inner
+    * `t` against the OUTER scope (i.e. the session catalog), so
+    * admitting the self-name would launder a same-named temp view or
+    * table through the CTE's own body (recursive self-reference is
+    * therefore rejected — fail closed; the gate's query surface doesn't
+    * include recursion). Subquery expressions see their enclosing node's
+    * scope. */
+  private def firstBadRelation(root: LogicalPlan,
+                               fixtures: Set[String]): Option[String] = {
+    def visit(p: LogicalPlan, visible: Set[String]): Option[String] = p match {
+      case w: UnresolvedWith =>
+        var vis = visible
+        var err: Option[String] = None
+        w.cteRelations.foreach { case (name, body, _) =>
+          if (err.isEmpty) err = visit(body, vis)
+          vis = vis + name.toLowerCase
+        }
+        err.orElse(visit(w.child, vis))
+      case r: UnresolvedRelation =>
+        if (r.multipartIdentifier.length == 1 &&
+          (fixtures.contains(r.multipartIdentifier.head.toLowerCase) ||
+            visible.contains(r.multipartIdentifier.head.toLowerCase))) None
+        else Some(r.multipartIdentifier.mkString("."))
+      case other =>
+        var err: Option[String] = None
+        other.children.foreach { c => if (err.isEmpty) err = visit(c, visible) }
+        other.innerChildren.foreach {
+          case lp: LogicalPlan if err.isEmpty => err = visit(lp, visible)
+          case _ => ()
+        }
+        other.expressions.foreach(_.foreach {
+          case sq: SubqueryExpression if err.isEmpty => err = visit(sq.plan, visible)
+          case _ => ()
+        })
+        err
+    }
+    visit(root, Set.empty)
+  }
+
   /** Submit a SQL task against the fixture tables; also registers the
     * graft extension functions so submitted text can use them.
     *
@@ -155,19 +205,9 @@ object SqlGate {
     }
     require(offender.isEmpty,
       s"SqlGate accepts queries only; rejected plan node: ${offender.getOrElse("")}")
-    val cteNames = plans.flatMap {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-      case _ => Nil
-    }.toSet
-    val allowed = tableNames.map(_.toLowerCase).toSet ++ cteNames
-    val badRel = plans.collectFirst {
-      case r: UnresolvedRelation
-          if r.multipartIdentifier.length != 1 ||
-            !allowed.contains(r.multipartIdentifier.head.toLowerCase) =>
-        r.multipartIdentifier.mkString(".")
-    }
+    val badRel = firstBadRelation(parsed, tableNames.map(_.toLowerCase).toSet)
     require(badRel.isEmpty,
-      s"SqlGate: relation is not a fixture table or local CTE: ${badRel.getOrElse("")}")
+      s"SqlGate: relation is not a fixture table or in-scope CTE: ${badRel.getOrElse("")}")
     val badTvf = plans.collectFirst {
       case t: UnresolvedTableValuedFunction
           if t.name.length != 1 ||
@@ -185,8 +225,29 @@ object SqlGate {
     }.headOption
     require(badFn.isEmpty,
       s"SqlGate: denied function: ${badFn.getOrElse("")}")
-    graft.functions.GraftFunctions.register(spark)
-    register(spark, dir)
+    // registration is idempotent per (session, dir) — memoize it so a
+    // service funneling many queries through submit doesn't pay 10
+    // parquet schema inferences + view registrations per query (if the
+    // caller drops the temp views manually, use [[register]] directly)
+    val key = (spark, dir)
+    if (!registeredDirs.containsKey(key)) {
+      graft.functions.GraftFunctions.register(spark)
+      register(spark, dir)
+      registeredDirs.synchronized {
+        registeredDirs.put(key, java.lang.Boolean.TRUE)
+        ()
+      }
+    }
     spark.sql(sql)
   }
+
+  /** (session, dir) pairs already registered — access-ordered LRU so
+    * entries for stopped sessions age out. */
+  private val registeredDirs =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(SparkSession, String), java.lang.Boolean](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), java.lang.Boolean]): Boolean =
+          size() > 32
+      })
 }

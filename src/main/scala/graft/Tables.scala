@@ -23,7 +23,16 @@ object Tables {
   /** The events fixture carries parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as
     * long (legacy conf) and convert to a proper timestamp; the fixture's
-    * values are whole microseconds so the division is lossless. */
+    * values are whole microseconds so the division is lossless.
+    *
+    * SIDE EFFECT, by necessity session-wide: the legacy conf cannot be
+    * scoped to this one read — Spark re-reads it when the scan is
+    * physically planned, which happens after this method returns — so
+    * it stays set for the session, and any LATER parquet read of a
+    * nanos-timestamp column in the same session will also get a BIGINT
+    * instead of the loud [PARQUET_TYPE_ILLEGAL]. Callers embedding graft
+    * in a larger application should be aware (or use a separate session
+    * for their own reads). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ts DIV 1000, NOT ts / 1000: `/` is double division and epoch-nanos

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import Relational.exactSum
+import Relational.exactSumRounded
 
 /** Event-table operators: tumbling-window aggregation (batch form of the
   * Structured Streaming demo in graft.streaming), defensive casts and
@@ -18,12 +18,12 @@ object EventOps {
     events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        round(exactSum(col("value")), 2).as("total_value"))
+        exactSumRounded(col("value"), 2).as("total_value"))
 
   val hourlyEventStatsOracle: String =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
       |       CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Pivot (wide aggregation): events per type per day-of-month — the

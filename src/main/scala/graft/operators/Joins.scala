@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import Relational.exactSum
+import Relational.exactSumRounded
 
 /** Join operators (SURVEY.md §2.E "Joins"; the reference's only join is the
   * hand-rolled multicast-shuffle lookup of plants_classifier.py:206–231 —
@@ -70,12 +70,12 @@ object Joins {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("cnt"),
-        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        exactSumRounded(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
           .as("revenue"))
 
   val revenueByBrandOracle: String =
     """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
 
@@ -96,12 +96,12 @@ object Joins {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("cnt"),
-        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        exactSumRounded(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
           .as("revenue"))
 
   val revenueByNationOracle: String =
     """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

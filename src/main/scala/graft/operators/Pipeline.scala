@@ -94,7 +94,16 @@ object Pipeline {
           col("top_word_ppm") < maxTopWordPpm)
       .orderBy(col("doc_id"))
 
-  val repetitionFilterOracle: String =
+  val repetitionFilterOracle: String = repetitionFilterOracleAt(300000L, 200000L)
+
+  /** Oracle builder on the SAME thresholds as the engine function. */
+  def repetitionFilterOracleAt(maxDupBigramPpm: Long,
+                               maxTopWordPpm: Long): String =
+    repetitionFilterOracleBody
+      .replace("< 300000", s"< $maxDupBigramPpm")
+      .replace("< 200000", s"< $maxTopWordPpm")
+
+  private lazy val repetitionFilterOracleBody: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
       |stats AS (
@@ -199,7 +208,15 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  val contaminationOracle: String =
+  val contaminationOracle: String = contaminationOracleAt(50, 500000L)
+
+  /** Oracle builder on the SAME benchMod/flagPpm as the engine function. */
+  def contaminationOracleAt(benchMod: Int, flagPpm: Long): String =
+    contaminationOracleBody
+      .replace("% 50", s"% $benchMod")
+      .replace("500000", s"$flagPpm")
+
+  private lazy val contaminationOracleBody: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
       |sh AS (

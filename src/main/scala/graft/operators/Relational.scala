@@ -28,6 +28,15 @@ object Relational {
   def exactSum(c: Column): Column =
     sum(c.cast("decimal(30,6)")).cast("double")
 
+  /** round(Σc, scale) computed ON THE DECIMAL sum, cast to double last.
+    * Decimal rounding is exact digit arithmetic with identical
+    * half-away-from-zero halves in Spark and DuckDB; rounding the DOUBLE
+    * instead diverges when the value's shortest decimal repr sits on a
+    * .5 boundary the binary value doesn't — Spark rounds the repr
+    * (BigDecimal of Double.toString), DuckDB rounds the binary. */
+  def exactSumRounded(c: Column, scale: Int): Column =
+    round(sum(c.cast("decimal(30,6)")), scale).cast("double")
+
   // --------------------------------------------------------------------
   // Flagship: the accident-analysis query shape (SURVEY.md §2.C, reference
   // tasks/accident_analysis.py:25–129) transplanted onto lineitem.

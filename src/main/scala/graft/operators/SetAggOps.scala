@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import Relational.exactSum
+import Relational.exactSumRounded
 
 /** Set operations, grouping-set aggregates, distinct aggregates, sorts and
   * top-k (SURVEY.md §2.E rows "Set ops", "Aggregations", "Sort/limit/top-k";
@@ -22,12 +22,12 @@ object SetAggOps {
     c.unionAll(s)
       .groupBy(col("kind"), col("nationkey"))
       .agg(count(lit(1)).as("cnt"),
-        round(exactSum(col("acctbal")), 2).as("total_bal"))
+        exactSumRounded(col("acctbal"), 2).as("total_bal"))
   }
 
   val accountUnionOracle: String =
     """SELECT kind, nationkey, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(acctbal AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_bal
+      |       CAST(ROUND(SUM(CAST(acctbal AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_bal
       |FROM (
       |  SELECT 'customer' AS kind, CAST(c_nationkey AS INT) AS nationkey, c_acctbal AS acctbal FROM customer
       |  UNION ALL
@@ -88,7 +88,7 @@ object SetAggOps {
     lineitem
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"),
-        round(exactSum(col("l_quantity")), 2).as("sum_qty"),
+        exactSumRounded(col("l_quantity"), 2).as("sum_qty"),
         grouping_id().cast("int").as("gid"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
@@ -99,7 +99,7 @@ object SetAggOps {
     """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
       |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
       |       CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_qty,
+      |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_qty,
       |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
@@ -114,7 +114,7 @@ object SetAggOps {
         Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
         col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"),
-        round(exactSum(col("o_totalprice")), 2).as("total_price"),
+        exactSumRounded(col("o_totalprice"), 2).as("total_price"),
         grouping_id().cast("int").as("gid"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
@@ -126,7 +126,7 @@ object SetAggOps {
     """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
       |       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
       |       CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_price,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price,
       |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
       |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
       |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
@@ -137,7 +137,7 @@ object SetAggOps {
     orders
       .cube(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"),
-        round(exactSum(col("o_totalprice")), 2).as("total_price"),
+        exactSumRounded(col("o_totalprice"), 2).as("total_price"),
         grouping_id().cast("int").as("gid"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
@@ -148,7 +148,7 @@ object SetAggOps {
     """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
       |       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
       |       CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_price,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price,
       |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
       |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
 

@@ -57,7 +57,7 @@ object TextAnalysis {
       .crossJoin(vocabSize)
       // integer micro-log-prob: deterministic to sum in any order
       .select(col("l"), col("w"),
-        expr("CAST(round(ln((cw + 1.0) / (tot + v)) * 1000000) AS BIGINT)").as("lp"))
+        expr("CAST(floor(ln((cw + 1.0) / (tot + v)) * 1000000 + 0.5) AS BIGINT)").as("lp"))
     // profile is |V|·|L| rows (aggregated, tiny next to the corpus):
     // broadcast it so the stopword-skewed join on `w` never shuffles the
     // doc-word stream by token — the hot-key problem disappears because
@@ -74,9 +74,30 @@ object TextAnalysis {
             "langId profile", "lp", "BIGINT",
             "call langId with broadcastProfile = false")).as("lp")))
       }
-    val scored = docWords.join(profileSide, "w")
+    // Words a language has NEVER seen must contribute the add-one
+    // smoothing floor ln(1/(tot+v)) — joining on `w` alone would give an
+    // unseen word a contribution of ZERO, biasing the argmax toward the
+    // language that knows the FEWEST of a doc's words (one mildly
+    // negative term beats fifty) and inverting the classifier for
+    // partial-vocabulary overlaps. So: per-doc totals × per-language
+    // floors complete the (doc, language) grid, and each language's
+    // score is Σ_known n·lp + (n_doc − n_known)·lp0. The grid is
+    // |docs|·|L| rows — the same granularity the argmax needs anyway.
+    val docTotals = docWords.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n")).as("ntot"))
+    val langFloor = langTotals.crossJoin(vocabSize)
+      .select(col("l"),
+        expr("CAST(floor(ln(1.0 / (tot + v)) * 1000000 + 0.5) AS BIGINT)").as("lp0"))
+    val known = docWords.join(profileSide, "w")
       .groupBy(col("doc_id"), col("lang"), col("l"))
-      .agg(sum(col("n") * col("lp")).as("score"))
+      .agg(sum(col("n") * col("lp")).as("known_score"),
+        sum(col("n")).as("n_known"))
+    val scored = docTotals.crossJoin(langFloor)
+      .join(known, Seq("doc_id", "lang", "l"), "left")
+      .select(col("doc_id"), col("lang"), col("l"),
+        (coalesce(col("known_score"), lit(0L)) +
+          (col("ntot") - coalesce(col("n_known"), lit(0L))) * col("lp0"))
+          .as("score"))
     val best = scored.withColumn("rn", expr(
         "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l ASC)"))
       .filter(col("rn") === 1)
@@ -94,15 +115,29 @@ object TextAnalysis {
       |totals AS (SELECT lang AS l, count(*) AS tot FROM toks GROUP BY 1),
       |profile AS (
       |  SELECT t.lang AS l, t.w,
-      |         CAST(round(ln((count(*) + 1.0) / (tot + v.v)) * 1000000) AS BIGINT) AS lp
+      |         CAST(floor(ln((count(*) + 1.0) / (tot + v.v)) * 1000000 + 0.5) AS BIGINT) AS lp
       |  FROM toks t JOIN totals ON totals.l = t.lang, v
       |  GROUP BY t.lang, t.w, tot, v.v),
       |docwords AS (
       |  SELECT doc_id, lang, w, count(*) AS n FROM toks GROUP BY 1, 2, 3),
-      |scored AS (
-      |  SELECT d.doc_id, d.lang, p.l, CAST(SUM(d.n * p.lp) AS BIGINT) AS score
+      |doctotals AS (
+      |  SELECT doc_id, lang, CAST(SUM(n) AS BIGINT) AS ntot
+      |  FROM docwords GROUP BY 1, 2),
+      |floorlp AS (
+      |  SELECT totals.l,
+      |         CAST(floor(ln(1.0 / (tot + v.v)) * 1000000 + 0.5) AS BIGINT) AS lp0
+      |  FROM totals, v),
+      |known AS (
+      |  SELECT d.doc_id, d.lang, p.l,
+      |         CAST(SUM(d.n * p.lp) AS BIGINT) AS ks,
+      |         CAST(SUM(d.n) AS BIGINT) AS nk
       |  FROM docwords d JOIN profile p ON p.w = d.w
       |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, f.l,
+      |         COALESCE(k.ks, 0) + (t.ntot - COALESCE(k.nk, 0)) * f.lp0 AS score
+      |  FROM doctotals t CROSS JOIN floorlp f
+      |  LEFT JOIN known k ON k.doc_id = t.doc_id AND k.lang = t.lang AND k.l = f.l),
       |best AS (
       |  SELECT doc_id, lang, l,
       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l ASC) AS rn
@@ -126,11 +161,11 @@ object TextAnalysis {
       .filter(col("n_toks") > 0)
       .select(col("source"), col("n_toks"), col("n_uniq"),
         expr(
-          """CAST(round((
+          """CAST(floor((
             |  0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
             |  0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
             |  0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
-            |) * 1000000) AS BIGINT)""".stripMargin).as("q6"))
+            |) * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("q6"))
     // NO round() on the outputs: the inputs are exact integer micro-units,
     // so both engines compute bit-identical doubles from identical integer
     // divisions — whereas round() diverges on decimal half-boundaries
@@ -154,11 +189,11 @@ object TextAnalysis {
       |  WHERE len(ts) > 0),
       |scored AS (
       |  SELECT source, n_toks,
-      |         CAST(round((
+      |         CAST(floor((
       |           0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
       |           0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
       |           0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
-      |         ) * 1000000) AS BIGINT) AS q6
+      |         ) * 1000000 + 0.5) AS BIGINT) AS q6
       |  FROM perdoc)
       |SELECT source, CAST(count(*) AS BIGINT) AS docs,
       |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
@@ -201,7 +236,7 @@ object TextAnalysis {
     val stats = counts.agg(count(lit(1)).as("v"), sum(col("cw")).as("tot"))
     val profile = counts.crossJoin(stats)
       .select(col("w"), col("cw"),
-        expr("CAST(round(ln((cw + 1.0) / (tot + v)) * 1000000) AS BIGINT)").as("lp"))
+        expr("CAST(floor(ln((cw + 1.0) / (tot + v)) * 1000000 + 0.5) AS BIGINT)").as("lp"))
     // the corpus-level totals come from the word table, not the corpus:
     // gs = Σ cw·lp (exact ≡ Σ_docs s), gn = Σ cw = total tokens
     val glob = profile.agg(
@@ -248,7 +283,7 @@ object TextAnalysis {
       |  FROM counts),
       |profile AS (
       |  SELECT w, cw,
-      |         CAST(round(ln((cw + 1.0) / (tot + v)) * 1000000) AS BIGINT) AS lp
+      |         CAST(floor(ln((cw + 1.0) / (tot + v)) * 1000000 + 0.5) AS BIGINT) AS lp
       |  FROM counts, stats),
       |corpus_ll AS (
       |  SELECT SUM(CAST(cw AS HUGEINT) * lp) AS gs,
@@ -279,7 +314,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("docs"),
         sum(col("ws_toks")).cast("long").as("ws_tokens"),
         sum(col("bpe_toks")).as("bpe_tokens"),
-        round(sum(col("ws_toks")) / count(lit(1)).cast("double"), 4).as("avg_ws_tokens"))
+        // exact integer 4-dp form (floor), NOT round(double, 4): Spark
+        // rounds the shortest decimal repr, DuckDB the binary — they
+        // disagree on repr-boundary ratios; integer division never does
+        expr("CAST((sum(ws_toks) * 10000L) DIV count(1) AS DOUBLE) / 10000.0")
+          .as("avg_ws_tokens"))
       .orderBy(col("lang"))
 
   val tokenCountsOracle: String =
@@ -291,7 +330,7 @@ object TextAnalysis {
       |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
       |       CAST(SUM(ws_toks) AS BIGINT) AS ws_tokens,
       |       CAST(SUM(bpe_toks) AS BIGINT) AS bpe_tokens,
-      |       ROUND(CAST(SUM(ws_toks) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS avg_ws_tokens
+      |       CAST((CAST(SUM(ws_toks) AS BIGINT) * 10000) // COUNT(*) AS DOUBLE) / 10000.0 AS avg_ws_tokens
       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
   // --------------------------------------------------------------------

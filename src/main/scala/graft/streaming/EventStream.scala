@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.Relational.exactSum
+import graft.operators.Relational.exactSumRounded
 
 /** Running per-user state carried across micro-batches. */
 final case class UserRunning(user_id: Long, events_seen: Long, total_value: Double)
@@ -36,14 +36,14 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        round(exactSum(col("value")), 2).as("total_value"))
+        exactSumRounded(col("value"), 2).as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
   val tumblingStatsOracle: String =
     """SELECT CAST(time_bucket(INTERVAL 10 MINUTE, ts) AS TIMESTAMP) AS win_start,
       |       event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Sliding windows (10 min length, 5 min slide): each event lands in

@@ -149,6 +149,36 @@ class SqlGateSpec extends SparkSpec {
     assert(sub.getMessage.contains("not a fixture table"), sub.getMessage)
   }
 
+  test("CTE names are scope-checked, not collected globally: a name " +
+    "defined in a NESTED scope cannot whitelist an out-of-scope catalog " +
+    "reference of the same name") {
+    // plant a non-fixture temp view the attack would read
+    spark.range(3).selectExpr("id AS leaked").createOrReplaceTempView("secrets")
+    try {
+      val e = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+        """WITH q AS (WITH secrets AS (SELECT 1 AS x) SELECT x FROM secrets)
+          |SELECT * FROM secrets""".stripMargin))
+      assert(e.getMessage.contains("not a fixture table"), e.getMessage)
+      // sibling scoping still works: a later CTE sees an earlier one
+      val ok = SqlGate.submit(spark, sf,
+        """WITH a AS (SELECT n_nationkey FROM nation),
+          |b AS (SELECT COUNT(*) AS n FROM a)
+          |SELECT n FROM b""".stripMargin).collect()
+      assert(ok.head.getLong(0) == 25L)
+      // and a CTE name is NOT visible to a preceding sibling's body
+      val e2 = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+        """WITH a AS (SELECT * FROM secrets),
+          |secrets AS (SELECT 1 AS x)
+          |SELECT * FROM a""".stripMargin))
+      assert(e2.getMessage.contains("not a fixture table"), e2.getMessage)
+      // nor to its OWN body: in non-recursive SQL the inner reference
+      // resolves against the session catalog — the classic shadow leak
+      val e3 = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,
+        "WITH secrets AS (SELECT * FROM secrets) SELECT * FROM secrets"))
+      assert(e3.getMessage.contains("not a fixture table"), e3.getMessage)
+    } finally spark.catalog.dropTempView("secrets")
+  }
+
   test("table-valued functions are name-checked: unknown TVFs fail closed " +
     "even though the node class is admitted") {
     val e = intercept[IllegalArgumentException](SqlGate.submit(spark, sf,

@@ -19,6 +19,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Set(("en", "en", 5L), ("de", "de", 5L)))
   }
 
+  test("langId smoothing floor: partial vocabulary overlap must not " +
+    "invert the argmax (unseen words score ln(1/(tot+v)), not zero)") {
+    // 'die' exists in BOTH languages; every en doc has 5 words of which
+    // de knows exactly one. Without the unseen-word floor, de's score
+    // for an en doc is ONE mildly negative term while en's sums five —
+    // so de would win every en doc and the diagonal inverts.
+    val en = (1L to 5L).map(i => (i, "the quick brown fox die " * 3, "en", "s"))
+    val de = (6L to 10L).map(i => (i, "der hund will nicht die katze " * 3, "de", "s"))
+    val out = TextAnalysis.langId(docs(en ++ de: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("en", "en", 5L), ("de", "de", 5L)), out.toString)
+  }
+
   test("qualityScore is bounded in [0,1] and rewards longer diverse docs") {
     val d = docs(
       (1L, (1 to 120).map(i => s"w$i").mkString(" "), "en", "rich"),
