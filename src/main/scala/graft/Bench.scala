@@ -32,13 +32,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // install the TopK rewrite session-wide (idempotent): q09/q63 install
+    // it lazily, which would otherwise make every LATER row_number<=k
+    // query's plan depend on execution order — installed-up-front, all
+    // runs (full or filtered) plan identically
+    plans.TopKInstall.install(spark)
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
     // warm-up: pay JIT/codegen-compiler/session initialization once,
     // outside any query's timing (otherwise the alphabetically-first
-    // query absorbs ~5s of one-time cost)
-    try SparkEntry.entry(spark).queryExecution.toRdd.count()
-    catch { case _: Throwable => }
+    // query absorbs ~5s of one-time cost). Warm against the BENCH dir —
+    // a hardcoded fixture path would silently skip warm-up on hosts
+    // without it and inflate the first query by the one-time cost.
+    try SparkEntry.queries("q01_impact_agg")(spark, sfDir)
+      .queryExecution.toRdd.count()
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] warm-up failed (first query absorbs " +
+        s"one-time JIT cost): ${t.getMessage}")
+    }
     // toRdd.count(), NOT df.count(): a count-aggregate on top lets
     // Catalyst prune the query's own output columns (a fingerprint query
     // would "run" without hashing anything); toRdd executes the plan as
@@ -55,19 +66,30 @@ object Bench {
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       val (r0, w0, m0) = (io.read.sum, io.write.sum, io.runMs.sum)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      val failed =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); false }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+          true
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-      (name, sec, io.read.sum - r0, io.write.sum - w0, io.runMs.sum - m0)
+      (name, sec, io.read.sum - r0, io.write.sum - w0, io.runMs.sum - m0, failed)
     }
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ios = results.map { case (k, _, r, w, m) =>
+    val ios = results.map { case (k, _, r, w, m, _) =>
       s"\"$k\":{\"shuffle_read_mb\":${r / 1e6},\"shuffle_write_mb\":${w / 1e6},\"executor_run_ms\":$m}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"sf":"$sfDir"}"""
+    // a failed query must be VISIBLE in the artifact — a swallowed
+    // exception with a near-zero time otherwise reads as a speedup
+    val failedArr = results.collect { case (k, _, _, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // minimal JSON string escaping for the env-sourced path (Verify.q
+    // does the full version; paths only need backslash + quote)
+    val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"failed":$failedArr,"sf":"$sfEsc"}"""
     println(json)
     // stdout passes through raw now (run/outputStrategy) — and the line is
     // also written to a file so BENCH_r*.json always gets machine-readable

@@ -15,6 +15,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-wide TopK rewrite (idempotent; see Bench): plans must not
+    // depend on whether q09 happened to run before a filtered query
+    plans.TopKInstall.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -23,6 +26,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failing query must not leave a PREVIOUS run's parquet in
+        // place — the driver compare would silently pass on stale results
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(dir)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -59,7 +59,11 @@ object GraftFunctions {
   val adler32Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_adler32"),
     new ExpressionInfo(classOf[Adler32Expression].getName, "graft_adler32"),
-    (children: Seq[Expression]) => Adler32Expression(children.head))
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"graft_adler32 expects exactly 1 argument, got ${children.length}")
+      Adler32Expression(children.head)
+    })
 
   /** Register all graft functions on an existing session (idempotent;
     * used by Verify/Bench/tests and the query lambdas that need them). */

@@ -62,5 +62,9 @@ object DotLongExpression {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dot_long"),
     new ExpressionInfo(classOf[DotLongExpression].getName, "graft_dot_long"),
-    (children: Seq[Expression]) => DotLongExpression(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_dot_long expects exactly 2 arguments, got ${children.length}")
+      DotLongExpression(children(0), children(1))
+    })
 }

@@ -29,12 +29,7 @@ object H32Helper {
     * stub-codec oracles) — the ONE implementation of the engine's
     * canonical 32-bit hash; duplicating this arithmetic elsewhere risks
     * the cross-engine determinism anchor silently diverging. */
-  def h32(s: String): Long = {
-    val md = tl.get(); md.reset()
-    val d = md.digest(s.getBytes("UTF-8"))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
+  def h32(s: String): Long = h32(UTF8String.fromString(s))
 }
 
 /** Native Catalyst expression: `graft_h32(str) -> bigint`.
@@ -69,5 +64,9 @@ object H32Expression {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_h32"),
     new ExpressionInfo(classOf[H32Expression].getName, "graft_h32"),
-    (children: Seq[Expression]) => H32Expression(children.head))
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"graft_h32 expects exactly 1 argument, got ${children.length}")
+      H32Expression(children.head)
+    })
 }

@@ -63,5 +63,9 @@ object SortedIntersectSize {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_sorted_intersect_size"),
     new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
-    (children: Seq[Expression]) => SortedIntersectSize(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_sorted_intersect_size expects exactly 2 arguments, got ${children.length}")
+      SortedIntersectSize(children(0), children(1))
+    })
 }

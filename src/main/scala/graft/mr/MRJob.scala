@@ -73,8 +73,18 @@ object MRJob {
       shuffle(k).map(t => ((math.floorMod(t, numPartitions), k), v))
     }
 
+    // null-safe key ordering (nulls first): hashShuffle explicitly routes
+    // null keys, so the sort must not NPE on them — the typical
+    // Ordering[String] etc. throws on null operands inside ExternalSorter
+    val keyOrd = implicitly[Ordering[K]]
+    val nullSafeKeyOrd: Ordering[K] = new Ordering[K] {
+      override def compare(a: K, b: K): Int =
+        if (a == null) (if (b == null) 0 else -1)
+        else if (b == null) 1
+        else keyOrd.compare(a, b)
+    }
     implicit val ord: Ordering[(Int, K)] =
-      Ordering.Tuple2(Ordering.Int, implicitly[Ordering[K]])
+      Ordering.Tuple2(Ordering.Int, nullSafeKeyOrd)
 
     // Sort within partition by key → adjacent grouping, O(1) keys in
     // memory, spill-safe. This is Spark's sort-based shuffle doing the
@@ -82,7 +92,7 @@ object MRJob {
     routed
       .repartitionAndSortWithinPartitions(new TargetPartitioner(numPartitions))
       .mapPartitions { it =>
-        new GroupedIterator(it.map { case ((_, k), v) => (k, v) })
+        new GroupedIterator(it.map { case ((_, k), v) => (k, v) }, nullSafeKeyOrd)
           .flatMap { case (k, vs) => reduce(k, vs) }
       }
   }
@@ -92,8 +102,14 @@ object MRJob {
     (k, vs) => Iterator((k, vs.toSeq))
 
   /** Groups a key-sorted iterator into (key, values-iterator) chunks
-    * without materializing more than one group's boundary row. */
-  private final class GroupedIterator[K, V](base: Iterator[(K, V)])
+    * without materializing more than one group's boundary row. Grouping
+    * uses the SAME ordering's equivalence that sorted the keys — plain
+    * `==` would split one logical key into several groups whenever the
+    * ordering is coarser than equals (e.g. a case-insensitive
+    * Ordering[String] may interleave "A", "a", "A" as sort-equal ties),
+    * silently calling reduce twice for the same key. */
+  private final class GroupedIterator[K, V](base: Iterator[(K, V)],
+                                            ord: Ordering[K])
       extends Iterator[(K, Iterator[V])] {
     private val buf = base.buffered
     override def hasNext: Boolean = buf.hasNext
@@ -102,7 +118,7 @@ object MRJob {
       // Materializes one group's values; bounded by max group size, the
       // same bound any (K, Iterable[V]) reduce contract implies.
       val vs = scala.collection.mutable.ArrayBuffer.empty[V]
-      while (buf.hasNext && buf.head._1 == k) vs += buf.next()._2
+      while (buf.hasNext && ord.equiv(buf.head._1, k)) vs += buf.next()._2
       (k, vs.iterator)
     }
   }
