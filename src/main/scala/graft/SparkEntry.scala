@@ -172,7 +172,12 @@ object SparkEntry {
     // deterministic train/val/test split generation (D12's notebook
     // split): md5-bucketed assignment, per-(label, split) counts and
     // exact basis-point fractions — the class-balance audit
-    "q73_split_audit" -> ((s, d) => MLOps.trainValTestSplit(embeddings(s, d)))
+    "q73_split_audit" -> ((s, d) => MLOps.trainValTestSplit(embeddings(s, d))),
+    // the streaming-capable session_window stage itself under the oracle
+    // gate: merged sessions with Spark's (start, last + gap) bounds,
+    // recomputed by the oracle via lag/island detection
+    "q74_session_bounds" -> ((s, d) =>
+      streaming.EventStream.sessionWindowBounds(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -250,6 +255,7 @@ object SparkEntry {
     "q70_chunk_layout" -> Pipeline.chunkLayoutOracle,
     "q71_int8_quant" -> Similarity.int8QuantStatsOracle,
     "q72_bpe_pairs" -> TextAnalysis.bpePairsOracle,
-    "q73_split_audit" -> MLOps.trainValTestSplitOracle
+    "q73_split_audit" -> MLOps.trainValTestSplitOracle,
+    "q74_session_bounds" -> streaming.EventStream.sessionWindowBoundsOracle
   )
 }

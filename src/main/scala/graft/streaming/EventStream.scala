@@ -74,6 +74,38 @@ object EventStream {
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** [[sessionWindows]] flattened for the oracle gate (q74): one row per
+    * merged session with its bounds — start = first event, end = last
+    * event + gap (Spark's session_window semantics), event count. The
+    * oracle recomputes the same sessions by lag/island detection. This
+    * is the streaming-capable stage itself under the hash compare, not
+    * just its batch rollup. */
+  def sessionWindowBounds(events: DataFrame): DataFrame =
+    sessionWindows(events)
+      .select(col("session_window.start").as("win_start"),
+        col("session_window.end").as("win_end"),
+        col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("win_start"))
+
+  val sessionWindowBoundsOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 5 MINUTE OR
+      |                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT CAST(MIN(ts) AS TIMESTAMP) AS win_start,
+      |       CAST(MAX(ts) + INTERVAL 5 MINUTE AS TIMESTAMP) AS win_end,
+      |       user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, win_start""".stripMargin
+
   /** Per-user session rollup over [[sessionWindows]] — a BATCH
     * composite: Spark rejects a second, non-windowed aggregation after a
     * streaming session_window (chained stateful aggregations), so in

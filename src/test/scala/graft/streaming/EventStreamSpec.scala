@@ -89,6 +89,17 @@ class EventStreamSpec extends SparkSpec {
     assert(out(12L) == ((1L, 1L, 1L)))
   }
 
+  test("sessionWindowBounds: start = first event, end = last event + gap " +
+    "(Spark session_window semantics, the q74 oracle's island form)") {
+    val out = EventStream.sessionWindowBounds(toDf(sample)).collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+    // user 10: events at 1,4 merge (gap < 5min) → [01:00, 09:00), then 12
+    val u10 = out.filter(_._1 == 10L)
+    assert(u10.length == 2)
+    assert(u10(0)._2 == ts(1) && u10(0)._3 == ts(9) && u10(0)._4 == 2L)
+    assert(u10(1)._2 == ts(12) && u10(1)._3 == ts(17) && u10(1)._4 == 1L)
+  }
+
   test("sessionWindows (the streaming-capable stage) runs as a real " +
     "streaming query and its final state equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
