@@ -30,15 +30,15 @@ object MLOps {
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("total"),
         sum(when(col("picked"), 1L).otherwise(0L)).as("sampled"),
-        round(Relational.exactSum(when(col("picked"), col("c_acctbal"))
-          .otherwise(lit(0.0))), 2).as("sampled_bal"))
+        Relational.exactSumRounded(when(col("picked"), col("c_acctbal"))
+          .otherwise(lit(0.0)), 2).as("sampled_bal"))
       .orderBy(col("segment"))
 
   val stratifiedSampleOracle: String =
     """SELECT c_mktsegment AS segment,
       |       CAST(COUNT(*) AS BIGINT) AS total,
       |       CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
-      |       ROUND(CAST(SUM(CAST(CASE WHEN picked THEN c_acctbal ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE), 2) AS sampled_bal
+      |       CAST(ROUND(SUM(CAST(CASE WHEN picked THEN c_acctbal ELSE 0.0 END AS DECIMAL(30,6))), 2) AS DOUBLE) AS sampled_bal
       |FROM (SELECT c_mktsegment, c_acctbal,
       |             CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10 AS picked
       |      FROM customer)

@@ -29,13 +29,13 @@ object Skew {
       "l_suppkey", "s_suppkey", salts = 8)
       .groupBy(col("s_nationkey").cast("int").as("nationkey"))
       .agg(count(lit(1)).as("cnt"),
-        round(Relational.exactSum(col("rev")), 2).as("revenue"))
+        Relational.exactSumRounded(col("rev"), 2).as("revenue"))
       .orderBy(col("nationkey"))
 
   val saltedRevenueByNationOracle: String =
     """SELECT CAST(s_nationkey AS INT) AS nationkey,
       |       CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1 ORDER BY nationkey""".stripMargin
 
