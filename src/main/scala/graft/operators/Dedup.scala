@@ -510,7 +510,7 @@ object Dedup {
     * Shared by the engine and the oracle builder so the banding can
     * never drift. For the default maxHamming=3 this is exactly the
     * original 4×8-bit byte banding. */
-  private def simhashBands(maxHamming: Int): Seq[(Int, Int, Int)] = {
+  private[operators] def simhashBands(maxHamming: Int): Seq[(Int, Int, Int)] = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"simhash banding needs 0 <= maxHamming <= 31, got $maxHamming")
     val nBands = maxHamming + 1

@@ -39,6 +39,14 @@ object Skew {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1 ORDER BY nationkey""".stripMargin
 
+  /** The big side's salt: content-derived (hash of the WHOLE row), so a
+    * hot key's rows spread across all `salts` buckets. Package-visible
+    * so the spread property is spec-tested on THIS expression — a
+    * key-only hash here would put every hot-key row in one bucket and
+    * silently resurrect the straggler this module exists to prevent. */
+  private[operators] def saltOf(df: DataFrame, salts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+
   def saltedEquiJoin(big: DataFrame, small: DataFrame,
                      bigKey: String, smallKey: String,
                      salts: Int): DataFrame = {
@@ -47,8 +55,7 @@ object Skew {
     // and then drop() every same-named column from the output
     val saltCol = Iterator.from(0).map(i => s"__graft_salt_$i")
       .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
-    val saltedBig = big.withColumn(saltCol,
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val saltedBig = big.withColumn(saltCol, saltOf(big, salts))
     val saltedSmall = small
       .withColumn(saltCol, explode(expr(s"sequence(0, ${salts - 1})")))
       .withColumn(saltCol, col(saltCol).cast("long"))

@@ -17,14 +17,16 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  if (new java.io.File(sfDir).isDirectory) {
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      test(s"$name runs on sf0.001 and its schema has no NullType") {
-        val df = fn(spark, sfDir)
-        assert(!df.schema.exists(_.dataType.typeName == "null"),
-          s"unresolved NullType column in $name: ${df.schema.simpleString}")
-        assert(df.count() >= 0) // forces full execution
-      }
+  // registered UNCONDITIONALLY: gating registration on the fixture dir
+  // would silently drop the whole ~74-query smoke suite on a machine
+  // without /root/testdata — assume() inside reports CANCELED instead
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001 and its schema has no NullType") {
+      assume(new java.io.File(sfDir).isDirectory, s"fixture dir $sfDir missing")
+      val df = fn(spark, sfDir)
+      assert(!df.schema.exists(_.dataType.typeName == "null"),
+        s"unresolved NullType column in $name: ${df.schema.simpleString}")
+      assert(df.count() >= 0) // forces full execution
     }
   }
 }

@@ -21,6 +21,19 @@ class Adler32Spec extends SparkSpec {
     assert(got.toSeq == exp)
   }
 
+  test("GENERATED code over a non-foldable input matches the JDK " +
+    "reference (LocalRelations constant-fold past doGenCode)") {
+    GraftFunctions.register(spark)
+    val rows = spark.range(300)
+      .selectExpr("concat('w', CAST(id * 13 AS STRING)) AS s")
+      .selectExpr("s", "graft_adler32(s) AS a").collect()
+    rows.foreach { r =>
+      val jdk = new java.util.zip.Adler32()
+      jdk.update(r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) == jdk.getValue, s"codegen mismatch on '${r.getString(0)}'")
+    }
+  }
+
   test("null in, null out") {
     GraftFunctions.register(spark)
     val out = Seq(Some("x"), None).toDF("s")

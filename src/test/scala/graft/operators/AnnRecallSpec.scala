@@ -18,8 +18,14 @@ class AnnRecallSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
     val recall = (lsh intersect brute).size.toDouble / brute.size
     assert(recall >= 0.45, s"LSH recall@3 regressed to $recall")
-    // every LSH hit must still be a real pair from the corpus
-    assert(lsh.forall { case (q, n) => q != n })
+    // every LSH hit must be a REAL corpus pair — pin against the full
+    // brute ranking (q != n alone would not catch fabricated nids, and a
+    // corrupted pair set makes the recall number above meaningless)
+    val vecCount = emb.count()
+    val bruteAll = Similarity
+      .annBruteTopK(emb, k = vecCount.toInt, nQueries = 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    assert(lsh.subsetOf(bruteAll), s"fabricated pairs: ${lsh -- bruteAll}")
   }
 
   test("annIvfTopK 2-probe recall@3 vs annBruteTopK stays >= its floor") {

@@ -50,16 +50,17 @@ class DedupSpec extends SparkSpec {
     "hamming <= maxHamming is found regardless of WHICH bits differ " +
     "(the fixed 4-byte banding missed cross-byte flip patterns)") {
     // exhaustively: maxHamming+1 bands of a 32-bit fp; any <=maxHamming
-    // flips leave >=1 band untouched — brute-check the band-key logic
-    // against random fingerprints and flip patterns at several settings
+    // flips leave >=1 band untouched — brute-check THE PRODUCT band
+    // derivation (Dedup.simhashBands, the same one simhashDedup and its
+    // oracle builder use) against random fingerprints and flip patterns;
+    // a test-local reimplementation would stay green if the product
+    // reverted to fixed byte banding
     val rnd = new scala.util.Random(11)
     for (maxHamming <- Seq(3, 5, 7)) {
-      val nBands = maxHamming + 1
-      val widths = Array.tabulate(nBands)(i =>
-        32 / nBands + (if (i < 32 % nBands) 1 else 0))
-      val offsets = widths.scanLeft(0)(_ + _)
+      val bands = Dedup.simhashBands(maxHamming)
+      assert(bands.length == maxHamming + 1)
       def keys(fp: Long): Seq[(Int, Long)] =
-        (0 until nBands).map(i => (i, (fp >> offsets(i)) & ((1L << widths(i)) - 1)))
+        bands.map { case (i, off, w) => (i, (fp >> off) & ((1L << w) - 1)) }
       for (_ <- 0 until 200) {
         val fp = rnd.nextLong() & 0xffffffffL
         // worst case for byte banding: flips spread across distinct bytes

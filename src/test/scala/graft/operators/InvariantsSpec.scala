@@ -30,11 +30,22 @@ class InvariantsSpec extends SparkSpec {
 
   test("minhash candidates are a superset of high-jaccard ngram pairs " +
     "(banding loses nothing above the design threshold on this corpus)") {
-    val docs = randomDocs(40)
+    // plant an identical pair: random 7-word-vocab docs essentially never
+    // reach jaccard 0.9, so WITHOUT a planted pair `exact` is empty and
+    // subsetOf is vacuously true — the property would pin nothing
+    val spark0 = spark
+    import spark0.implicits._
+    val planted = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta", 46L),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta", 46L))
+      .toDF("doc_id", "text", "n_chars")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source", "n_chars")
+    val docs = randomDocs(40).unionByName(planted)
     val mh = Dedup.minhashDedup(docs, threshold = 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.ngramJaccard(docs, threshold = 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1000L, 1001L)), "planted pair must be found")
     // ngram blocking conjoins length buckets with the SAME minhash band
     // keys minhashDedup uses, so its candidates are a subset of minhash's
     assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")

@@ -20,11 +20,22 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
-  test("salting actually spreads the hot key across partitions") {
+  test("salting actually spreads the hot key across partitions — pinned " +
+    "on the PRODUCT salt expression, not a test-local copy") {
     val big = (1 to 1000).map(i => (1L, s"v$i")).toDF("k", "payload") // one key
-    val salted = big.withColumn("__salt",
-      pmod(xxhash64(col("k"), col("payload")), lit(8)))
-    val used = salted.select(countDistinct(col("__salt"))).head.getLong(0)
+    // Skew.saltOf is the expression saltedEquiJoin applies to the big
+    // side; a key-only hash regression (all hot rows → one bucket)
+    // must fail HERE, not only in production stragglers
+    val used = big.select(countDistinct(Skew.saltOf(big, 8))).head.getLong(0)
     assert(used >= 6, s"expected ~8 salt buckets in use, got $used")
+  }
+
+  test("a real __salt input column survives the join untouched") {
+    val big = (1 to 50).map(i => (i.toLong % 5, s"v$i", s"mine$i"))
+      .toDF("k", "payload", "__salt") // caller-owned column named __salt
+    val small = (0L to 5L).map(k => (k, s"dim$k")).toDF("sk", "name")
+    val out = Skew.saltedEquiJoin(big, small, "k", "sk", salts = 4)
+    assert(out.columns.contains("__salt"), out.columns.mkString(","))
+    assert(out.select("__salt").collect().forall(_.getString(0).startsWith("mine")))
   }
 }

@@ -46,8 +46,17 @@ class TopKPerKeySpec extends SparkSpec {
       .filter(col("rn") < 3))
     TopKInstall.install(spark)
     try {
-      assert(canon(topk(df, 1)) == expected1)
-      assert(canon(topk(df, 9)) == expected9) // k larger than any group
+      // each shape must actually RUN the heap operator — without the plan
+      // assert, a rule that declines k=1 or k>groupSize would leave the
+      // vanilla window comparing against itself
+      val k1 = topk(df, 1)
+      k1.collect()
+      assert(k1.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(canon(k1) == expected1)
+      val k9 = topk(df, 9)
+      k9.collect()
+      assert(k9.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(canon(k9) == expected9) // k larger than any group
       val strict = df.withColumn("rn", row_number().over(strictW))
         .filter(col("rn") < 3)
       strict.collect()

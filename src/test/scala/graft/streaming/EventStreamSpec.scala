@@ -50,7 +50,11 @@ class EventStreamSpec extends SparkSpec {
 
   test("tumblingStats under a real file readStream (AvailableNow) equals batch") {
     val sfDir = "/root/testdata/sf0.001"
-    if (new java.io.File(s"$sfDir/events.parquet").exists()) {
+    // assume, not if: a missing fixture must surface as CANCELED, not as
+    // a silently green test that asserted nothing
+    assume(new java.io.File(s"$sfDir/events.parquet").exists(),
+      s"$sfDir/events.parquet missing")
+    locally {
       val batchDf = graft.Tables.events(spark, sfDir) // sets nanosAsLong conf
       // the streaming file source wants a DIRECTORY; stage the fixture file
       val dir = java.nio.file.Files.createTempDirectory("stream_events")
