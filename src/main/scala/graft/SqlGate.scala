@@ -225,29 +225,30 @@ object SqlGate {
     }.headOption
     require(badFn.isEmpty,
       s"SqlGate: denied function: ${badFn.getOrElse("")}")
-    // registration is idempotent per (session, dir) — memoize it so a
-    // service funneling many queries through submit doesn't pay 10
-    // parquet schema inferences + view registrations per query (if the
-    // caller drops the temp views manually, use [[register]] directly)
-    val key = (spark, dir)
-    if (!registeredDirs.containsKey(key)) {
-      graft.functions.GraftFunctions.register(spark)
-      register(spark, dir)
-      registeredDirs.synchronized {
-        registeredDirs.put(key, java.lang.Boolean.TRUE)
-        ()
+    // registration is memoized so a service funneling many queries
+    // through submit doesn't pay 10 parquet schema inferences + view
+    // registrations per query. The memo key is the SESSION and the value
+    // is the dir CURRENTLY registered in it — temp views are
+    // session-global, so a (session, dir) pair-set would go stale the
+    // moment a second dir overwrites the views: submit(s, A),
+    // submit(s, B), submit(s, A) would find (s, A) memoized and silently
+    // run against B's tables. Check-and-update runs under one lock so
+    // two racing first registrations can't interleave register() calls
+    // for different dirs. (If the caller drops the temp views manually,
+    // use [[register]] directly.)
+    registeredDir.synchronized {
+      if (!registeredDir.get(spark).contains(dir)) {
+        graft.functions.GraftFunctions.register(spark)
+        register(spark, dir)
+        registeredDir.put(spark, dir)
       }
     }
     spark.sql(sql)
   }
 
-  /** (session, dir) pairs already registered — access-ordered LRU so
-    * entries for stopped sessions age out. */
-  private val registeredDirs =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(SparkSession, String), java.lang.Boolean](32, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(SparkSession, String), java.lang.Boolean]): Boolean =
-          size() > 32
-      })
+  /** session -> the dir whose tables its temp views currently hold —
+    * weak keys so stopped sessions age out. All access synchronized on
+    * the map itself (WeakHashMap is not thread-safe). */
+  private val registeredDir =
+    new scala.collection.mutable.WeakHashMap[SparkSession, String]
 }

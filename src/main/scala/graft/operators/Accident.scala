@@ -63,7 +63,16 @@ object Accident {
 
   /** A 2-dp-rounded double rendered the way Python's f"{round(x, 2)}"
     * renders it: trailing zeros stripped, at least one decimal kept
-    * (11.0 → "11.0", 10.5 → "10.5", 11.55 → "11.55"). */
+    * (11.0 → "11.0", 10.5 → "10.5", 11.55 → "11.55").
+    *
+    * Rounding boundary: %.2f rounds HALF_UP where Python's repr round
+    * is half-to-even on the binary value — but the two can only differ
+    * on a double that is EXACTLY half at 2 dp (e.g. 2.125 = 17/8), and
+    * this helper's inputs are always `round(col, 2)` outputs, i.e. the
+    * doubles nearest to some k/100. No such double is an exact 2-dp
+    * half (those need a power-of-two denominator ≥ 8), so %.2f here is
+    * a formatting no-op, never a re-round. Callers must keep feeding it
+    * pre-rounded columns. */
   private def pyFloat(c: Column): Column =
     regexp_replace(
       regexp_replace(format_string("%.2f", c), "(\\.\\d*?)0+$", "$1"),

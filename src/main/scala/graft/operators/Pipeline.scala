@@ -96,12 +96,15 @@ object Pipeline {
 
   val repetitionFilterOracle: String = repetitionFilterOracleAt(300000L, 200000L)
 
-  /** Oracle builder on the SAME thresholds as the engine function. */
+  /** Oracle builder on the SAME thresholds as the engine function.
+    * Parameters substitute UNAMBIGUOUS placeholder tokens (not numeric
+    * literals, which a threshold value or future edit could collide
+    * with and silently corrupt the SQL). */
   def repetitionFilterOracleAt(maxDupBigramPpm: Long,
                                maxTopWordPpm: Long): String =
     repetitionFilterOracleBody
-      .replace("< 300000", s"< $maxDupBigramPpm")
-      .replace("< 200000", s"< $maxTopWordPpm")
+      .replace("__MAX_DUP_BIGRAM_PPM__", s"$maxDupBigramPpm")
+      .replace("__MAX_TOP_WORD_PPM__", s"$maxTopWordPpm")
 
   private lazy val repetitionFilterOracleBody: String =
     """WITH toks AS (
@@ -118,7 +121,7 @@ object Pipeline {
       |              // len(ts) AS BIGINT) AS top_word_ppm
       |  FROM toks WHERE len(ts) >= 2)
       |SELECT doc_id, n_words, dup_bigram_ppm, top_word_ppm,
-      |       dup_bigram_ppm < 300000 AND top_word_ppm < 200000 AS keep
+      |       dup_bigram_ppm < __MAX_DUP_BIGRAM_PPM__ AND top_word_ppm < __MAX_TOP_WORD_PPM__ AS keep
       |FROM stats ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
@@ -210,11 +213,12 @@ object Pipeline {
 
   val contaminationOracle: String = contaminationOracleAt(50, 500000L)
 
-  /** Oracle builder on the SAME benchMod/flagPpm as the engine function. */
+  /** Oracle builder on the SAME benchMod/flagPpm as the engine function.
+    * Placeholder-token substitution — see [[repetitionFilterOracleAt]]. */
   def contaminationOracleAt(benchMod: Int, flagPpm: Long): String =
     contaminationOracleBody
-      .replace("% 50", s"% $benchMod")
-      .replace("500000", s"$flagPpm")
+      .replace("__BENCH_MOD__", s"$benchMod")
+      .replace("__FLAG_PPM__", s"$flagPpm")
 
   private lazy val contaminationOracleBody: String =
     """WITH toks AS (
@@ -225,16 +229,16 @@ object Pipeline {
       |                        for i in range(1, len(ts)-1)]) AS hset
       |  FROM toks WHERE len(ts) >= 3),
       |bench AS (
-      |  SELECT DISTINCT t.h FROM sh, unnest(hset) AS t(h) WHERE doc_id % 50 = 0),
+      |  SELECT DISTINCT t.h FROM sh, unnest(hset) AS t(h) WHERE doc_id % __BENCH_MOD__ = 0),
       |barr AS (SELECT list(h) AS bset FROM bench),
       |scored AS (
       |  SELECT doc_id,
       |         CAST(len(hset) AS BIGINT) AS n_shingles,
       |         CAST(len(list_intersect(hset, barr.bset)) AS BIGINT) AS n_overlap
-      |  FROM sh, barr WHERE doc_id % 50 <> 0)
+      |  FROM sh, barr WHERE doc_id % __BENCH_MOD__ <> 0)
       |SELECT doc_id, n_shingles, n_overlap,
       |       CAST(n_overlap * 1000000 // n_shingles AS BIGINT) AS overlap_ppm,
-      |       n_overlap * 1000000 // n_shingles >= 500000 AS contaminated
+      |       n_overlap * 1000000 // n_shingles >= __FLAG_PPM__ AS contaminated
       |FROM scored ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------

@@ -190,6 +190,20 @@ class SqlGateSpec extends SparkSpec {
     assert(ok.head.getLong(0) == 5L)
   }
 
+  test("switching fixture dirs re-registers the temp views: submit(A), " +
+    "submit(B), submit(A) must read A again — temp views are " +
+    "session-global, so a (session, dir) pair memo would go stale") {
+    val dirA = "/root/testdata/sf0.001"
+    val dirB = "/root/testdata/sf0.01"
+    val q = "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
+    val nA = SqlGate.submit(spark, dirA, q).collect().head.getLong(0)
+    val nB = SqlGate.submit(spark, dirB, q).collect().head.getLong(0)
+    assert(nA != nB, s"fixture sizes must differ for this spec: $nA")
+    // the third submit must NOT be served by the stale first registration
+    assert(SqlGate.submit(spark, dirA, q).collect().head.getLong(0) == nA)
+    assert(SqlGate.submit(spark, dirB, q).collect().head.getLong(0) == nB)
+  }
+
   test("CTE, set-op and subquery queries still pass the gate") {
     val out = SqlGate.submit(spark, sf,
       """WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 100)
