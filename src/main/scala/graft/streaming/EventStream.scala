@@ -106,18 +106,57 @@ object EventStream {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, win_start""".stripMargin
 
-  /** Per-user session rollup over [[sessionWindows]] — a BATCH
-    * composite: Spark rejects a second, non-windowed aggregation after a
-    * streaming session_window (chained stateful aggregations), so in
-    * streaming mode land the sessionWindows stream in a sink and roll it
-    * up downstream; on a batch read this is the q39 query, checked
-    * against a lag/island-detection oracle. */
-  def sessionStats(events: DataFrame): DataFrame =
-    sessionWindows(events)
+  /** Stage 2 of the session rollup: per-user aggregate over finalized
+    * session rows (one row per session with an `n_events` column). Shared
+    * by the batch composite [[sessionStats]] and the streaming two-stage
+    * composition [[sessionStatsTwoStage]], so both paths aggregate with
+    * the exact same expressions. */
+  def sessionRollup(sessions: DataFrame): DataFrame =
+    sessions
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
         max(col("n_events")).as("max_session_events"))
+
+  /** Per-user session rollup over [[sessionWindows]] — a BATCH
+    * composite: Spark rejects a second, non-windowed aggregation after a
+    * streaming session_window (chained stateful aggregations), so in
+    * streaming mode use [[sessionStatsTwoStage]] (sessions land in a
+    * sink, [[sessionRollup]] runs downstream); on a batch read this is
+    * the q39 query, checked against a lag/island-detection oracle. */
+  def sessionStats(events: DataFrame): DataFrame =
+    sessionRollup(sessionWindows(events))
+
+  /** The STREAMING side of the chained-stateful-aggregation workaround
+    * [[sessionStats]] documents: stage 1 runs [[sessionWindows]] as an
+    * APPEND-mode streaming query — a session row is emitted exactly once,
+    * when the watermark passes its close — and `foreachBatch` lands the
+    * finalized sessions in a parquet sink; stage 2 is a downstream batch
+    * [[sessionRollup]] over the sink. Append mode is what makes the
+    * composition correct: a session row is immutable once emitted, so the
+    * sink is an ever-growing ledger and the rollup is a plain aggregate —
+    * no row is ever revised (complete mode would re-emit ALL sessions
+    * every batch and keep every closed session in the state store
+    * forever; append state is O(open sessions) only).
+    *
+    * Caveat (standard foreachBatch contract): a batch replayed after a
+    * crash appends its rows twice — an idempotent sink keyed on
+    * (user_id, win_start) or Delta MERGE is the production form; plain
+    * parquet keeps this demo dependency-free. */
+  def sessionStatsTwoStage(events: DataFrame, sinkDir: String,
+                           checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sessionWindows(events)
+      .select(col("session_window.start").as("win_start"),
+        col("session_window.end").as("win_end"),
+        col("user_id"), col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .start()
 
   /** Streaming exact-dedup (the pipeline-ingest twin of
     * `Dedup.exactDedup`): drop replayed/duplicate events by id, with the
@@ -138,26 +177,65 @@ object EventStream {
     * per-user event counter + value total that survives micro-batch
     * boundaries — the pattern for state Spark's built-in windows can't
     * express (per-key accumulators, custom sessionization, online
-    * features). State is per-key and bounded by |users|; in production a
-    * timeout (`GroupStateTimeout`) evicts idle keys. Works on batch
-    * Datasets too (state spans the whole input). */
-  def userRunningCounts(events: DataFrame): Dataset[UserRunning] = {
+    * features).
+    *
+    * State is per-key AND expiring: an event-time timeout evicts a key
+    * once the watermark passes its last activity + `idleTtlMinutes`, so
+    * state is O(keys active within the TTL horizon) — an
+    * unbounded-cardinality key space (the norm for user ids at scale)
+    * cannot grow it forever. Event-time (not processing-time) timeout
+    * keeps eviction deterministic: it follows the data's own clock, so
+    * replays and tests behave identically regardless of wall-clock
+    * speed. A key seen again after eviction restarts from zero — the
+    * accumulator's horizon is part of its contract.
+    *
+    * Works on batch Datasets too (state spans the whole input; batch
+    * execution never fires timeouts, so the TTL is a streaming-only
+    * bound, exactly like `withWatermark`). */
+  def userRunningCounts(events: DataFrame,
+                        idleTtlMinutes: Int = 30): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("value"))
-      .as[(Long, Double)]
+    val ttlMs = idleTtlMinutes * 60000L
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserRunning, UserRunning](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        case (user: Long, rows: Iterator[(Long, Double)],
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
               state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
-          var n = prev.events_seen
-          var tot = prev.total_value
-          rows.foreach { case (_, v) => n += 1; tot += v }
-          val next = UserRunning(user, n, tot)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the accumulator, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+            var n = prev.events_seen
+            var tot = prev.total_value
+            var lastMs = Long.MinValue
+            rows.foreach { case (_, t, v) =>
+              n += 1; tot += v
+              if (t.getTime > lastMs) lastMs = t.getTime
+            }
+            val next = UserRunning(user, n, tot)
+            state.update(next)
+            // expire at last activity + TTL; a late batch whose events
+            // predate (watermark − TTL) must still set a LEGAL timestamp
+            // (Spark rejects timeouts at/under the current watermark), so
+            // floor to watermark + 1ms — the key then times out on the
+            // next watermark advance, which is the semantics the TTL
+            // promised anyway. getCurrentWatermarkMs is streaming-only;
+            // in batch there is no timeout to arm.
+            try {
+              val floor = state.getCurrentWatermarkMs() + 1L
+              state.setTimeoutTimestamp(math.max(lastMs + ttlMs, floor))
+            } catch {
+              case _: UnsupportedOperationException => () // batch run
+            }
+            Iterator(next)
+          }
       }
   }
 

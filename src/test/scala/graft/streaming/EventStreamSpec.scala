@@ -184,6 +184,99 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("userRunningCounts evicts a key once the watermark passes its " +
+    "last activity + TTL, and keys within the horizon keep accumulating") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // TTL 30 min, watermark delay 1 h (inside userRunningCounts)
+    val q = EventStream.userRunningCounts(streamDf, idleTtlMinutes = 30)
+      .writeStream.format("memory").queryName("ttl_test")
+      .outputMode("update").start()
+    try {
+      // b1: user 10 active at 00:01/00:04 (timeout arms at 00:34),
+      //     user 11 at 00:11 (times out 00:41)
+      mem.addData(Seq(
+        (1L, at("00:01:00"), 10L, "click", 1.0, "{}"),
+        (2L, at("00:04:00"), 10L, "click", 2.0, "{}"),
+        (3L, at("00:11:00"), 11L, "view", 3.0, "{}")))
+      q.processAllAvailable()
+      // b2: user 11 again at 02:30 — re-arms ITS timeout to 03:00; after
+      // this batch the watermark is 02:30 − 1 h = 01:30, past user 10's
+      mem.addData(Seq((4L, at("02:30:00"), 11L, "view", 5.0, "{}")))
+      q.processAllAvailable()
+      // b3: unrelated user 12 — processed AT watermark 01:30, so user
+      // 10's state (timeout 00:34) is evicted during this batch; user
+      // 11's (timeout 03:00) survives
+      mem.addData(Seq((5L, at("03:00:00"), 12L, "error", 6.0, "{}")))
+      q.processAllAvailable()
+      // b4: both users return at 03:30 (watermark now 02:00) — user 10
+      // restarts from zero, user 11 continues its accumulator
+      mem.addData(Seq(
+        (6L, at("03:30:00"), 10L, "click", 100.0, "{}"),
+        (7L, at("03:30:00"), 11L, "view", 7.0, "{}")))
+      q.processAllAvailable()
+      val byUser = spark.table("ttl_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+      // user 10: accumulated to (2, 3.0), evicted, restarted at (1, 100.0)
+      assert(byUser(10L).contains((2L, 3.0)))
+      assert(byUser(10L).contains((1L, 100.0)),
+        s"state must restart after TTL eviction: ${byUser(10L)}")
+      assert(!byUser(10L).contains((3L, 103.0)),
+        "an evicted key must NOT continue its old accumulator")
+      // user 11: never idle past the TTL horizon — counts survive
+      assert(byUser(11L).contains((3L, 15.0)), s"${byUser(11L)}")
+    } finally q.stop()
+  }
+
+  test("userRunningCounts on a BATCH Dataset spans the whole input " +
+    "(timeouts never fire in batch — the TTL is a streaming-only bound)") {
+    val out = EventStream.userRunningCounts(toDf(sample)).collect()
+      .map(r => r.user_id -> ((r.events_seen, r.total_value))).toMap
+    assert(out(10L) == ((3L, 7.0)))
+    assert(out(11L) == ((2L, 8.0)))
+    assert(out(12L) == ((1L, 6.0)))
+  }
+
+  test("two-stage streaming session rollup (append-mode sessionWindows → " +
+    "foreachBatch parquet sink → downstream sessionRollup) equals batch " +
+    "sessionStats") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val base = java.nio.file.Files.createTempDirectory("two_stage").toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.sessionStatsTwoStage(
+      streamDf, s"$base/sessions", s"$base/ckpt")
+    try {
+      mem.addData(sample.take(3))
+      q.processAllAvailable()
+      mem.addData(sample.drop(3))
+      q.processAllAvailable()
+      // append mode emits a session only once the WATERMARK closes it —
+      // two far-future sentinel events advance the watermark past every
+      // real session's end (sentinel 2 closes sentinel 1's session too)
+      mem.addData(Seq((900L, at("08:00:00"), 999L, "click", 0.0, "{}")))
+      q.processAllAvailable()
+      mem.addData(Seq((901L, at("12:00:00"), 999L, "click", 0.0, "{}")))
+      q.processAllAvailable()
+      val streamed = rows(
+        EventStream.sessionRollup(spark.read.parquet(s"$base/sessions"))
+          .filter(col("user_id") =!= 999L).orderBy("user_id"))
+      val batch = rows(EventStream.sessionStats(toDf(sample)).orderBy("user_id"))
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // append semantics: each finalized session appeared exactly once
+      val sess = spark.read.parquet(s"$base/sessions")
+      assert(sess.count() ==
+        sess.select("user_id", "win_start").distinct().count())
+    } finally q.stop()
+  }
+
   test("clickAttribution stream-stream join over micro-batches equals " +
     "the batch twin (clicks arrive in a different batch than purchases)") {
     implicit val sqlCtx = spark.sqlContext
