@@ -146,93 +146,18 @@ object Dedup {
   /** Session-scoped stage cache for verified minhash pairs: pair listing
     * (q25) and clustering (q59) share one signature+verify computation per
     * (session, input plan, threshold) — multi-query sessions pay the
-    * expensive stage once. Keyed by the input's semantic plan hash (a
-    * different source or filter is a different entry; re-writing files
-    * under an identical plan within one session would stale-hit, the
-    * standard cache contract).
-    *
-    * Access-ordered LRU bounded at [[MaxMemoEntries]]: evicted entries
-    * unpersist their blocks, so entries for finished sessions age out as
-    * new work arrives instead of accumulating for the JVM lifetime (a
-    * weak-keyed map could not deliver that — the cached Datasets
-    * strongly reference their session, pinning a weak key forever).
-    * Builds run under a per-entry [[Slot]] lock, NOT this map's monitor:
-    * the "labels" stage executes a multi-round job inside its build, and
-    * one corpus clustering must not serialize unrelated dedup work. */
-  private val MaxMemoEntries = 16
-
-  private final class Slot {
-    @volatile private var df: DataFrame = _
-    // set lock-free on eviction/clear; a build that completes after its
-    // entry was evicted unpersists its own result, so evicted entries
-    // never pin blocks
-    @volatile private var dead = false
-    def get(build: => DataFrame): DataFrame = {
-      val v = df
-      if (v != null) v
-      else synchronized {
-        if (df == null) {
-          val built = build
-          // a build may persist-and-materialize itself (componentLabels
-          // does, to free its round-loop RDDs) — don't re-persist those
-          df = if (built.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-            built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          else built
-        }
-        if (dead) unpersistQuietly(df)
-        df
-      }
-    }
-    def unpersistIfBuilt(): Unit = {
-      // deliberately NOT synchronized: callers hold pairsMemo's monitor
-      // (eviction / clearStageCache), while a builder holds this Slot's
-      // monitor and re-enters pairsMemo via nested memoized stages
-      // ("labels" builds on "pairs") — taking the Slot monitor here
-      // would be an ABBA deadlock. `dead` hands the unpersist duty to an
-      // in-flight builder instead; a double unpersist is harmless.
-      dead = true
-      val v = df
-      if (v != null) unpersistQuietly(v)
-    }
-    // a stopped session throws from unpersist — eviction of a dead
-    // session's entry must not break the live caller inserting
-    private def unpersistQuietly(d: DataFrame): Unit =
-      try { d.unpersist(); () }
-      catch { case scala.util.control.NonFatal(_) => () }
-  }
-
-  private type MemoKey = (org.apache.spark.sql.SparkSession, String, Int, Double)
-  private val pairsMemo =
-    new java.util.LinkedHashMap[MemoKey, Slot](MaxMemoEntries, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[MemoKey, Slot]): Boolean =
-        if (size() > MaxMemoEntries) { e.getValue.unpersistIfBuilt(); true }
-        else false
-    }
-
+    * expensive stage once. The machinery (semantic-plan-hash keys,
+    * LRU-bounded persist lifecycle, per-slot build locks) lives in
+    * [[StageMemo]], shared with the text tier's (doc, word) stage. */
   private def memoized(documents: DataFrame, stage: String, threshold: Double)
-                      (build: => DataFrame): DataFrame = {
-    val key = (documents.sparkSession, stage, documents.semanticHash(), threshold)
-    val slot = pairsMemo.synchronized {
-      val s = pairsMemo.get(key)
-      if (s != null) s else { val fresh = new Slot; pairsMemo.put(key, fresh); fresh }
-    }
-    // build outside the map lock; concurrent same-key callers share the
-    // slot's own monitor (an evicted-mid-build slot still returns a valid
-    // DataFrame and unpersists it as soon as the build lands — see
-    // Slot.unpersistIfBuilt)
-    slot.get(build)
-  }
+                      (build: => DataFrame): DataFrame =
+    StageMemo.memoized(documents, s"dedup:$stage", threshold)(build)
 
-  /** Drop this session's memoized pair stages (e.g. after overwriting the
-    * underlying files in place, which the plan-hash key cannot see). */
+  /** Drop this session's memoized stages (e.g. after overwriting the
+    * underlying files in place, which the plan-hash key cannot see).
+    * Session-wide: clears the text tier's stages too. */
   def clearStageCache(spark: org.apache.spark.sql.SparkSession): Unit =
-    pairsMemo.synchronized {
-      val it = pairsMemo.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getKey._1 eq spark) { e.getValue.unpersistIfBuilt(); it.remove() }
-      }
-    }
+    StageMemo.clear(spark)
 
   private def verifiedPairs(documents: DataFrame, threshold: Double): DataFrame =
     memoized(documents, "pairs", threshold)(minhashPairsPlan(documents, threshold))

