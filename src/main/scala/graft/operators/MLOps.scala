@@ -322,6 +322,207 @@ object MLOps {
     spark.read.parquet(path)
   }
 
+  /** EXECUTOR-side per-pair training — the reference's own reduce-side
+    * shape (plants_classifier.py:222–231: embeddings multicast to the
+    * workers owning each pair, each worker fits its pairs locally) —
+    * and the scale path past [[trainPairClassifiers]]'s driver pool: at
+    * |L| ≈ 10³ the pool is a half-million-Spark-job scheduler, while
+    * here the |L|²/2 fits are ONE job — vectors route to their pairs
+    * via the D8 multicast join (a broadcast join against the |L|²/2-row
+    * pair table: each vector replicates to the |L|−1 pairs containing
+    * its label, exactly the reference's shuffle_func fan-out), and each
+    * group fits inside `mapGroups` on its executor.
+    *
+    * The local fit minimizes MLlib's exact objective — mean log-loss +
+    * (λ/2)·Σ(w_j·σ_j)² with the per-pair sample std (unregularized
+    * intercept; that is `LogisticRegression.setStandardization(true)`'s
+    * penalty expressed in original coordinates) — by damped Newton. The
+    * objective is strictly convex (λ > 0), so ANY solver converges to
+    * the driver pool's weights: MLTrainSpec pins the two paths equal
+    * within optimizer tolerance on every pair.
+    *
+    * Memory contract: one group = two labels' samples (the reference's
+    * reduce input, plants_classifier.py:224–227) must fit on one
+    * executor — the per-pair-training regime's assumption, NOT a new
+    * one. Output schema matches [[persistPairModels]]. */
+  def trainPairClassifiersDistributed(embeddings: DataFrame,
+                                      regParam: Double = 0.01,
+                                      maxIter: Int = 100): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val feats = embeddings.select(expr("CAST(label AS INT)").as("label"),
+      col("embedding").cast("array<double>").as("x"))
+    // |L| distinct labels — the only driver-side collect, same as the
+    // pool path's label enumeration
+    val labels = feats.select(col("label")).distinct()
+      .as[Int].collect().sorted
+    val pairs = for {
+      i <- labels.indices; j <- (i + 1) until labels.length
+    } yield (labels(i), labels(j))
+    val routed = feats.join(broadcast(pairs.toDF("la", "lb")),
+      col("label") === col("la") || col("label") === col("lb"))
+    routed.select(col("la"), col("lb"), col("label"), col("x"))
+      .as[(Int, Int, Int, Array[Double])]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Array[Double])]) =>
+        val (la, lb) = key
+        val rows = it.toArray
+        val xs = rows.map(_._4)
+        val ys = rows.map(r => if (r._3 == lb) 1.0 else 0.0)
+        val (w, b) = LocalLogit.fit(xs, ys, regParam, maxIter)
+        (la, lb, w, b)
+      }
+      .toDF("la", "lb", "weights", "intercept")
+      .orderBy(col("la"), col("lb"))
+  }
+
+  /** Local regularized-logistic solver for [[trainPairClassifiersDistributed]]:
+    * damped Newton on f(w,b) = (1/n)Σ log(1+e^(−(2y−1)(w·x+b))) +
+    * (λ/2)Σ(w_j σ_j)², σ_j the SAMPLE std (n−1 denominator — MLlib's
+    * summarizer convention). Zero-variance dims are excluded and get
+    * coefficient 0 (MLlib's constant-column behavior). Newton is exact
+    * for this 2-label group size (d+1 ≈ 65 unknowns); the halving line
+    * search guarantees monotone descent so convergence to the unique
+    * optimum is unconditional. */
+  private[graft] object LocalLogit {
+    def fit(xs: Array[Array[Double]], ys: Array[Double],
+            regParam: Double, maxIter: Int): (Array[Double], Double) = {
+      val n = xs.length
+      val d = xs(0).length
+      // sample variance per dim (n−1); constant dims drop out of the fit
+      val mean = new Array[Double](d)
+      xs.foreach { x => var j = 0; while (j < d) { mean(j) += x(j); j += 1 } }
+      var j = 0
+      while (j < d) { mean(j) /= n; j += 1 }
+      val varr = new Array[Double](d)
+      xs.foreach { x =>
+        var j = 0
+        while (j < d) { val e = x(j) - mean(j); varr(j) += e * e; j += 1 }
+      }
+      j = 0
+      while (j < d) { varr(j) = if (n > 1) varr(j) / (n - 1) else 0.0; j += 1 }
+      val active = (0 until d).filter(varr(_) > 0.0).toArray
+      val m = active.length + 1 // active dims + intercept (last slot)
+      val theta = new Array[Double](m)
+      def margin(x: Array[Double]): Double = {
+        var s = theta(m - 1)
+        var a = 0
+        while (a < active.length) { s += theta(a) * x(active(a)); a += 1 }
+        s
+      }
+      def objective(): Double = {
+        var f = 0.0
+        var i = 0
+        while (i < n) {
+          val z = (2.0 * ys(i) - 1.0) * margin(xs(i))
+          // log(1+e^(−z)) computed stably from either tail
+          f += (if (z > 0) math.log1p(math.exp(-z)) else -z + math.log1p(math.exp(z)))
+          i += 1
+        }
+        f /= n
+        var a = 0
+        while (a < active.length) {
+          f += 0.5 * regParam * varr(active(a)) * theta(a) * theta(a)
+          a += 1
+        }
+        f
+      }
+      var iter = 0
+      var done = false
+      while (iter < maxIter && !done) {
+        // gradient + Hessian of the objective at theta
+        val g = new Array[Double](m)
+        val h = Array.ofDim[Double](m, m)
+        var i = 0
+        while (i < n) {
+          val x = xs(i)
+          val mu = 1.0 / (1.0 + math.exp(-margin(x)))
+          val r = (mu - ys(i)) / n
+          val s = mu * (1.0 - mu) / n
+          var a = 0
+          while (a < m) {
+            val xa = if (a == m - 1) 1.0 else x(active(a))
+            g(a) += r * xa
+            var b = a
+            while (b < m) {
+              val xb = if (b == m - 1) 1.0 else x(active(b))
+              h(a)(b) += s * xa * xb
+              b += 1
+            }
+            a += 1
+          }
+          i += 1
+        }
+        var a = 0
+        while (a < active.length) {
+          g(a) += regParam * varr(active(a)) * theta(a)
+          h(a)(a) += regParam * varr(active(a))
+          a += 1
+        }
+        a = 0
+        while (a < m) { var b = 0; while (b < a) { h(a)(b) = h(b)(a); b += 1 }; a += 1 }
+        if (math.sqrt(g.map(v => v * v).sum) < 1e-12) done = true
+        else {
+          val step = solve(h, g) // Newton direction: H·step = g
+          // halving line search: monotone descent to the unique optimum
+          val f0 = objective()
+          val saved = theta.clone()
+          var t = 1.0
+          var improved = false
+          while (!improved && t > 1e-12) {
+            var k = 0
+            while (k < m) { theta(k) = saved(k) - t * step(k); k += 1 }
+            if (objective() <= f0) improved = true else t /= 2
+          }
+          if (!improved) { System.arraycopy(saved, 0, theta, 0, m); done = true }
+        }
+        iter += 1
+      }
+      val w = new Array[Double](d)
+      var a = 0
+      while (a < active.length) { w(active(a)) = theta(a); a += 1 }
+      (w, theta(m - 1))
+    }
+
+    /** Gaussian elimination with partial pivoting for the (d+1)² Newton
+      * system — the Hessian is positive definite (strictly convex f). */
+    private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+      val m = b.length
+      val aa = a.map(_.clone())
+      val bb = b.clone()
+      var col = 0
+      while (col < m) {
+        var p = col
+        var r = col + 1
+        while (r < m) { if (math.abs(aa(r)(col)) > math.abs(aa(p)(col))) p = r; r += 1 }
+        val tmp = aa(col); aa(col) = aa(p); aa(p) = tmp
+        val tb = bb(col); bb(col) = bb(p); bb(p) = tb
+        val piv = aa(col)(col)
+        r = col + 1
+        while (r < m) {
+          val f = aa(r)(col) / piv
+          if (f != 0.0) {
+            var c = col
+            while (c < m) { aa(r)(c) -= f * aa(col)(c); c += 1 }
+            bb(r) -= f * bb(col)
+          }
+          r += 1
+        }
+        col += 1
+      }
+      val x = new Array[Double](m)
+      var r = m - 1
+      while (r >= 0) {
+        var s = bb(r)
+        var c = r + 1
+        while (c < m) { s -= aa(r)(c) * x(c); c += 1 }
+        x(r) = s / aa(r)(r)
+        r -= 1
+      }
+      x
+    }
+  }
+
   /** One-vs-one ensemble voting with the TRAINED classifiers reloaded
     * from the weights sink (scripts/plants_classifier_tester.py:20–58):
     * each pair model votes lb when w·x + intercept > 0, else la; argmax

@@ -97,6 +97,43 @@ class MLTrainSpec extends SparkSpec {
     }
   }
 
+  test("executor-side distributed training converges to the driver pool's " +
+    "weights (same strictly-convex MLlib objective, different solver — " +
+    "Newton in mapGroups vs L-BFGS on the driver)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_models_d").toString
+    // drive MLlib to tight convergence so the comparison measures the
+    // shared optimum, not either solver's leftover gradient
+    val pool = MLOps.persistPairModels(emb, s"$dir/m", maxIter = 500)
+      .orderBy("la", "lb").collect()
+    val dist = MLOps.trainPairClassifiersDistributed(emb)
+      .orderBy("la", "lb").collect()
+    assert(pool.length == 3 && dist.length == 3)
+    pool.zip(dist).foreach { case (p, d) =>
+      assert(p.getInt(0) == d.getInt(0) && p.getInt(1) == d.getInt(1))
+      val pw = p.getSeq[Double](2) :+ p.getDouble(3)
+      val dw = d.getSeq[Double](2) :+ d.getDouble(3)
+      val scale = pw.map(math.abs).max max 1.0
+      val maxDiff = pw.zip(dw).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxDiff / scale < 1e-4,
+        f"pair (${p.getInt(0)}, ${p.getInt(1)}): max relative weight diff " +
+          f"${maxDiff / scale}%.2e\npool=${pw.take(5)}\ndist=${dw.take(5)}")
+    }
+    // the distributed weights must also WORK: perfect separation on the
+    // disjoint clusters through the standard voting path
+    val acc = MLOps.ensembleFromModels(emb,
+      MLOps.trainPairClassifiersDistributed(emb)).collect()
+    assert(acc.forall(_.getAs[Double]("accuracy") == 1.0), acc.mkString(";"))
+  }
+
+  test("distributed training is deterministic and pair-complete") {
+    assertDeterministic(MLOps.trainPairClassifiersDistributed(emb)
+      .selectExpr("la", "lb", "intercept"))
+    val out = MLOps.trainPairClassifiersDistributed(emb).collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 1), (0, 2), (1, 2)))
+    assert(out.forall(_.getAs[Seq[Double]]("weights").length == 4))
+  }
+
   test("trainValTestSplit: assignment is a pure function of vec_id, " +
     "splits partition each class, fractions near 80/10/10") {
     val big = (0 until 900).map { i =>
