@@ -53,7 +53,7 @@ object Dedup {
   private val oracleShingled: String =
     """toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
       |                        for i in range(1, len(ts)-1)]) AS sset
@@ -143,6 +143,70 @@ object Dedup {
     * banding (they share one source of truth). */
   val DefaultThreshold: Double = 0.5
 
+  /** Default document-frequency ceiling for minhash shingles: a shingle
+    * present in more than this fraction of shingle-able documents is
+    * template text (boilerplate footers, licence sentences, nav chrome)
+    * and is removed before signatures, banding, AND verification.
+    *
+    * This is the LSH tier's scale-survival property, found by the 10×
+    * skewed fixture, not by review: one 16-word sentence appended to 30%
+    * of a 50k-doc corpus dominated the minimum-hash of every short doc
+    * and collapsed 9.4k docs into ONE band bucket — 70.8M candidate
+    * pairs (quadratic in corpus size; at 100 TB, billions of docs in the
+    * hot bucket ⇒ 10^18 candidates, unrunnable). Filtering shingles with
+    * df > 10% removed the degenerate buckets (max bucket 9,436 → dup-
+    * cluster-sized) and cut candidates ~500× while keeping every planted
+    * near-dup pair; pairs whose ENTIRE similarity was the shared
+    * template legitimately fall below threshold, which is the behavior a
+    * dedup pipeline wants (CCNet/Gopher-style pipelines normalize
+    * template text away before fingerprinting for the same reason).
+    *
+    * The hot set is provably tiny — Σdf ≤ |docs|·S̄ shingle instances
+    * admit at most S̄/frac ≈ 10³ shingles above frac·|docs| — so the
+    * engine computes it with one map-combined aggregation and ships it
+    * as a broadcast literal; the driver fixtures (max df 0.5%) are
+    * unaffected, so the filter is exactly the identity there. */
+  val DefaultMaxDfFrac: Double = 0.1
+
+  /** Absolute floor under the relative df ceiling: a shingle counts as
+    * template only above max(maxDfFrac·|docs|, THIS) documents. The
+    * relative ceiling alone misfires on small corpora — at |docs| < 10
+    * it sits below df = 1 and would filter EVERY shingle, and ordinary
+    * content reuse (a near-dup chain of sliding windows shares central
+    * shingles across most of its members) is indistinguishable from
+    * template text until a shingle recurs across dozens of independent
+    * documents. Below ~25 recurrences the filter would be deleting the
+    * very evidence near-dup detection runs on; above it, at any corpus
+    * size where the quadratic guard MATTERS (|docs| ≥ 10³), the
+    * relative term dominates and the floor is inert. */
+  val DfFloorDocs: Double = 25.0
+
+  /** Template-shingle removal: drop shingles with document frequency
+    * > max(maxDfFrac·|docs|, [[DfFloorDocs]]) from every doc's set, then
+    * drop docs whose set emptied (pure-template docs cannot near-dup
+    * match on content).
+    * Two extra LINEAR jobs over the shingle stage (a count and a
+    * map-combined df aggregation collecting the KB-scale hot set), both
+    * before the quadratic-prone candidate stage they protect. */
+  private def dfFiltered(sh0: DataFrame, maxDfFrac: Double): DataFrame = {
+    if (maxDfFrac >= 1.0) return sh0
+    val n = sh0.count()
+    val hot = sh0.select(explode(col("sset")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > greatest(lit(maxDfFrac) * lit(n.toDouble), lit(DfFloorDocs)))
+      .select(col("s")).collect().map(_.getString(0)).sorted
+    // bound argument above: S̄/frac entries; a blowout means the input
+    // is not a document corpus (or frac≈0) — refuse to broadcast it
+    require(hot.length <= 100000,
+      s"minhash df-filter: ${hot.length} shingles above df ${maxDfFrac} — " +
+        "hot set is no longer broadcastable; raise maxDfFrac")
+    if (hot.isEmpty) sh0
+    else sh0
+      .select(col("doc_id"),
+        array_except(col("sset"), typedLit(hot.toSeq)).as("sset"))
+      .filter(size(col("sset")) > 0)
+  }
+
   /** Session-scoped stage cache for verified minhash pairs: pair listing
     * (q25) and clustering (q59) share one signature+verify computation per
     * (session, input plan, threshold) — multi-query sessions pay the
@@ -159,14 +223,17 @@ object Dedup {
   def clearStageCache(spark: org.apache.spark.sql.SparkSession): Unit =
     StageMemo.clear(spark)
 
-  private def verifiedPairs(documents: DataFrame, threshold: Double): DataFrame =
-    memoized(documents, "pairs", threshold)(minhashPairsPlan(documents, threshold))
+  private def verifiedPairs(documents: DataFrame, threshold: Double,
+                            maxDfFrac: Double): DataFrame =
+    memoized(documents, s"pairs:df$maxDfFrac", threshold)(
+      minhashPairsPlan(documents, threshold, maxDfFrac))
 
   /** Verified near-dup pairs (a, b, jac), unordered — the shared stage
     * behind [[minhashDedup]] and [[dupClusters]]. */
-  private def minhashPairsPlan(documents: DataFrame, threshold: Double): DataFrame = {
+  private def minhashPairsPlan(documents: DataFrame, threshold: Double,
+                               maxDfFrac: Double): DataFrame = {
     val (b, r) = lshBanding(threshold)
-    val sh = shingled(documents)
+    val sh = dfFiltered(shingled(documents), maxDfFrac)
     val sig = sh.select(col("doc_id"), col("sset"),
       minhashSigUdf(b * r)(col("sset")).as("sig"))
     val bandCols = (0 until r).map(k => s"sig[band*$r+$k]").mkString(", ")
@@ -192,8 +259,9 @@ object Dedup {
   }
 
   def minhashDedup(documents: DataFrame,
-                   threshold: Double = DefaultThreshold): DataFrame =
-    verifiedPairs(documents, threshold)
+                   threshold: Double = DefaultThreshold,
+                   maxDfFrac: Double = DefaultMaxDfFrac): DataFrame =
+    verifiedPairs(documents, threshold, maxDfFrac)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
 
@@ -201,22 +269,50 @@ object Dedup {
     * oracle and the q59 clustering oracle; final table `mp(a, b, jac)`
     * holds verified pairs at jaccard ≥ threshold). Banding derives from
     * the same threshold the engine function receives. */
-  private[operators] def oracleMinhashPairsCtes(threshold: Double): String = {
+  /** DuckDB note: `sh` and `mp` carry MATERIALIZED hints — DuckDB
+    * inlines plain CTEs per REFERENCE, so without them the shingling
+    * pipeline evaluates 3× in the verify join (sa/sb/bh), and — fatally
+    * at scale — once per RECURSION ROUND in the connected-components
+    * oracles, whose recursive term references the pair graph every
+    * iteration (measured: q59's oracle went from >10 min at 50k docs to
+    * seconds). Spark never parses this text; it is oracle-only SQL. */
+  private[operators] def oracleMinhashPairsCtes(
+      threshold: Double, maxDfFrac: Double = DefaultMaxDfFrac): String = {
     val (b, r) = lshBanding(threshold)
     val bandCols = (1 to r).map(k => s"sig[band*$r+$k]").mkString(", ")
+    // template-shingle removal, mirroring [[dfFiltered]] exactly: df is
+    // counted over per-doc DISTINCT shingles, the ceiling compares the
+    // same IEEE product frac·n, and docs whose filtered set empties drop
+    // out before signatures AND verification
+    val dfCtes =
+      if (maxDfFrac >= 1.0) "shf AS MATERIALIZED (SELECT doc_id, sset FROM sh)"
+      else
+        s"""nd AS (SELECT COUNT(*) AS n FROM sh),
+          |sdf AS (
+          |  SELECT s, COUNT(*) AS df
+          |  FROM (SELECT unnest(sset) AS s FROM sh) GROUP BY s),
+          |hot AS (
+          |  SELECT coalesce(list(s), CAST([] AS VARCHAR[])) AS hl
+          |  FROM sdf, nd WHERE df > greatest($maxDfFrac * n, $DfFloorDocs)),
+          |shf AS MATERIALIZED (
+          |  SELECT doc_id, sset FROM (
+          |    SELECT doc_id, list_filter(sset, x -> NOT list_contains(hl, x)) AS sset
+          |    FROM sh, hot)
+          |  WHERE len(sset) > 0)""".stripMargin
     s"""$oracleShingled,
+      |$dfCtes,
       |bh AS (
-      |  SELECT doc_id, sset,
+      |  SELECT doc_id,
       |         list_transform(sset, x ->
       |           CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS bh
-      |  FROM sh),
+      |  FROM shf),
       |sig AS (
-      |  SELECT doc_id, sset,
+      |  SELECT doc_id,
       |         list_transform(range(0, ${b * r}), s ->
       |           list_min(list_transform(bh, h ->
       |             (((2*s + 1) * 1103515245 % 2147483647) * h + s * 12345 + 1) % 2147483647))) AS sig
       |  FROM bh),
-      |banded AS (
+      |banded AS MATERIALIZED (
       |  SELECT doc_id,
       |         concat_ws('_', band, $bandCols) AS band_key
       |  FROM sig, range(0, $b) AS t(band)),
@@ -227,16 +323,17 @@ object Dedup {
       |  SELECT c.a, c.b,
       |         len(list_intersect(sa.sset, sb.sset)) /
       |           CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jac
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
-      |mp AS (SELECT a, b, jac FROM j WHERE jac >= $threshold)""".stripMargin
+      |  FROM cand c JOIN shf sa ON sa.doc_id = c.a JOIN shf sb ON sb.doc_id = c.b),
+      |mp AS MATERIALIZED (SELECT a, b, jac FROM j WHERE jac >= $threshold)""".stripMargin
   }
 
   val minhashDedupOracle: String = minhashDedupOracleAt(DefaultThreshold)
 
-  /** Oracle builder on the SAME threshold as the engine function — see
-    * [[ngramJaccardOracleAt]]. */
-  def minhashDedupOracleAt(threshold: Double): String =
-    s"""WITH ${oracleMinhashPairsCtes(threshold)}
+  /** Oracle builder on the SAME threshold and df ceiling as the engine
+    * function — see [[ngramJaccardOracleAt]]. */
+  def minhashDedupOracleAt(threshold: Double,
+                           maxDfFrac: Double = DefaultMaxDfFrac): String =
+    s"""WITH ${oracleMinhashPairsCtes(threshold, maxDfFrac)}
       |SELECT a, b, ROUND(jac, 4) AS jaccard FROM mp ORDER BY a, b""".stripMargin
 
   // --------------------------------------------------------------------
@@ -250,8 +347,9 @@ object Dedup {
   // iterates ROUNDS (with a convergence count), never data.
   // --------------------------------------------------------------------
   def dupClusters(documents: DataFrame, threshold: Double = DefaultThreshold,
-                  maxIters: Int = 25): DataFrame =
-    componentLabels(documents, threshold, maxIters)
+                  maxIters: Int = 25,
+                  maxDfFrac: Double = DefaultMaxDfFrac): DataFrame =
+    componentLabels(documents, threshold, maxIters, maxDfFrac)
       .groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
       .orderBy(col("component"))
@@ -259,12 +357,13 @@ object Dedup {
   /** Connected-component label per matched vertex (v, lbl) — the shared,
     * session-memoized stage behind [[dupClusters]] and [[dedupKeepers]]. */
   private[operators] def componentLabels(documents: DataFrame, threshold: Double,
-                              maxIters: Int): DataFrame =
+                              maxIters: Int,
+                              maxDfFrac: Double = DefaultMaxDfFrac): DataFrame =
     // maxIters is folded into the stage key: a memoized unconverged build
     // can never exist (non-convergence throws), but a later call with a
     // LARGER maxIters must not silently inherit the smaller setting's
     // cache entry if that invariant ever changes
-    memoized(documents, s"labels:$maxIters", threshold) {
+    memoized(documents, s"labels:$maxIters:df$maxDfFrac", threshold) {
     val spark = documents.sparkSession
     import spark.implicits._
     // The ROUND LOOP runs on co-partitioned RDDs, not DataFrames — the
@@ -279,7 +378,7 @@ object Dedup {
     // cached/collected-on — never the corpus. The pairs stage itself is
     // session-memoized ([[verifiedPairs]]) — a session that already ran
     // the pair listing clusters for free.
-    val pairsRdd = verifiedPairs(documents, threshold)
+    val pairsRdd = verifiedPairs(documents, threshold, maxDfFrac)
       .select(col("a"), col("b")).as[(Long, Long)].rdd
     val part = new org.apache.spark.HashPartitioner(
       spark.sparkContext.defaultParallelism)
@@ -352,8 +451,9 @@ object Dedup {
     * `keep` marks the component representative. One narrow left join of
     * the corpus ids against the (small) matched-vertex labels. */
   def dedupKeepers(documents: DataFrame, threshold: Double = DefaultThreshold,
-                   maxIters: Int = 25): DataFrame = {
-    val labels = componentLabels(documents, threshold, maxIters)
+                   maxIters: Int = 25,
+                   maxDfFrac: Double = DefaultMaxDfFrac): DataFrame = {
+    val labels = componentLabels(documents, threshold, maxIters, maxDfFrac)
     documents.select(col("doc_id"))
       .join(labels, col("doc_id") === col("v"), "left")
       .select(col("doc_id"),
@@ -364,10 +464,12 @@ object Dedup {
 
   val dedupKeepersOracle: String = dedupKeepersOracleAt(DefaultThreshold)
 
-  /** Oracle builder on the SAME threshold as the engine function. */
-  def dedupKeepersOracleAt(threshold: Double): String =
-    s"""WITH RECURSIVE ${oracleMinhashPairsCtes(threshold)},
-      |edges AS (
+  /** Oracle builder on the SAME threshold and df ceiling as the engine
+    * function. */
+  def dedupKeepersOracleAt(threshold: Double,
+                           maxDfFrac: Double = DefaultMaxDfFrac): String =
+    s"""WITH RECURSIVE ${oracleMinhashPairsCtes(threshold, maxDfFrac)},
+      |edges AS MATERIALIZED (
       |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
       |reach(v, w) AS (
       |  SELECT DISTINCT a AS v, a AS w FROM edges
@@ -383,10 +485,12 @@ object Dedup {
 
   val dupClustersOracle: String = dupClustersOracleAt(DefaultThreshold)
 
-  /** Oracle builder on the SAME threshold as the engine function. */
-  def dupClustersOracleAt(threshold: Double): String =
-    s"""WITH RECURSIVE ${oracleMinhashPairsCtes(threshold)},
-      |edges AS (
+  /** Oracle builder on the SAME threshold and df ceiling as the engine
+    * function. */
+  def dupClustersOracleAt(threshold: Double,
+                          maxDfFrac: Double = DefaultMaxDfFrac): String =
+    s"""WITH RECURSIVE ${oracleMinhashPairsCtes(threshold, maxDfFrac)},
+      |edges AS MATERIALIZED (
       |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
       |reach(v, w) AS (
       |  SELECT DISTINCT a AS v, a AS w FROM edges

@@ -480,7 +480,7 @@ object Pipeline {
   /** Oracle builder on the SAME k/threshold as the engine function. */
   def curationFunnelOracleAt(k: Int, threshold: Double): String =
     s"""WITH RECURSIVE ${Dedup.oracleMinhashPairsCtes(threshold)},
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
       |reach(v, w) AS (
       |  SELECT DISTINCT a AS v, a AS w FROM edges

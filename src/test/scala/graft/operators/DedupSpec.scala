@@ -119,6 +119,40 @@ class DedupSpec extends SparkSpec {
       (3L, 3L, true), (4L, 4L, true)), out.toString)
   }
 
+  test("minhash df-filter: shingles above the df ceiling (template text) " +
+    "never create pairs; content near-dups survive the filter") {
+    // the degenerate-LSH-bucket guard found by the 10x skewed fixture: a
+    // template sentence shared corpus-wide dominates short docs' minhash
+    // and collapses them into one quadratic band bucket. 20 docs, every
+    // one carrying the same 8-word template suffix (df = 100% > 10%):
+    //  - docs 1, 2: tiny distinct bodies — similar ONLY via the template
+    //    (unfiltered trigram jaccard 0.6 >= threshold)
+    //  - docs 3, 4: 20-word bodies one edit apart — genuinely near-dup
+    //    with or without the template
+    //  - 26 fillers (distinct 2-word bodies) push the template's df (30)
+    //    above the DfFloorDocs=25 floor while docs 3/4's shared body
+    //    shingles (df 2) stay far below the ceiling
+    val t = "all rights reserved contact site admin for terms"
+    val body = (0 until 20).map(i => s"w$i").mkString(" ")
+    val fillers = (0 until 26).map(i => (10L + i, s"pad${i}a pad${i}b $t", 10L))
+    val all = Seq((1L, s"red fox $t", 10L), (2L, s"blue cat $t", 10L),
+      (3L, s"$body $t", 10L), (4L, s"${body.replace("w7", "q7")} $t", 10L)) ++ fillers
+    val d = docs(all: _*)
+    val filtered = Dedup.minhashDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == Set((3L, 4L)), filtered.toString)
+    // maxDfFrac = 1.0 disables the filter: the template pairs reappear
+    val unfiltered = Dedup.minhashDedup(d, maxDfFrac = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unfiltered.contains((3L, 4L)) && unfiltered.size > 1,
+      unfiltered.toString)
+    // keep/drop under the default ceiling: template-only similarity never
+    // merges docs; the genuine near-dup still collapses to its keeper
+    val keep = Dedup.dedupKeepers(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(keep(1L) == 1L && keep(2L) == 2L && keep(4L) == 3L, keep.toString)
+  }
+
   test("dedup plans are deterministic across executions") {
     val d = docs((1L, base, base.length.toLong),
       (2L, nearDup, nearDup.length.toLong))
