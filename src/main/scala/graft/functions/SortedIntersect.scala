@@ -14,13 +14,50 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * dominates at ~10⁶ candidate pairs). */
 object ArrayOps {
   def sortedIntersectSize(x: ArrayData, y: ArrayData): Int = {
-    var i = 0; var j = 0; var inter = 0
     val nx = x.numElements(); val ny = y.numElements()
+    if (nx == 0 || ny == 0) return 0
+    // Strategy picked per pair from the sizes, result identical either
+    // way. The merge walk is O(nx+ny) — right for the near-dup verify
+    // path where both sides are one document's shingles. But against a
+    // corpus-scale REFERENCE array (contamination's broadcast benchmark
+    // set, which grows with the corpus) the merge re-walks the big side
+    // once per row: O(docs·|bench|) = quadratic in corpus size (measured
+    // 16× time on 10× data). Binary-searching each small-side element
+    // costs small·log(big) reads — per-row cost grows only
+    // logarithmically with the reference set — so switch whenever that
+    // bound undercuts the merge.
+    val (s, g, ns, ng) =
+      if (nx <= ny) (x, y, nx, ny) else (y, x, ny, nx)
+    val log2g = 32 - Integer.numberOfLeadingZeros(ng)
+    if (ns.toLong * log2g < ns.toLong + ng) binarySearchCount(s, g, ns, ng)
+    else mergeCount(s, g, ns, ng)
+  }
+
+  private def mergeCount(x: ArrayData, y: ArrayData, nx: Int, ny: Int): Int = {
+    var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
       val a = x.getLong(i); val b = y.getLong(j)
       if (a == b) { inter += 1; i += 1; j += 1 }
       else if (a < b) i += 1
       else j += 1
+    }
+    inter
+  }
+
+  /** Both arrays sorted distinct: each probe binary-searches the big
+    * side within [lo, ng), where lo advances past confirmed positions —
+    * probes are ascending, so the search window only ever shrinks. */
+  private def binarySearchCount(s: ArrayData, g: ArrayData, ns: Int, ng: Int): Int = {
+    var i = 0; var lo = 0; var inter = 0
+    while (i < ns && lo < ng) {
+      val v = s.getLong(i)
+      var l = lo; var h = ng
+      while (l < h) {
+        val m = (l + h) >>> 1
+        if (g.getLong(m) < v) l = m + 1 else h = m
+      }
+      if (l < ng && g.getLong(l) == v) { inter += 1; lo = l + 1 } else lo = l
+      i += 1
     }
     inter
   }
