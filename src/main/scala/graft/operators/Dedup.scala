@@ -113,29 +113,6 @@ object Dedup {
     }
   }
 
-  /** n-permutation minhash signature, compiled: one md5 per shingle,
-    * then affine universal-hash permutations over the shared base hash —
-    * the JVM twin of the SQL the oracle evaluates (same constants, same
-    * mod-p arithmetic). */
-  private def minhashSigUdf(n: Int) = udf { sset: Seq[String] =>
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val as = Array.tabulate(n)(permA)
-    val bs = Array.tabulate(n)(permB)
-    val mins = Array.fill(n)(Long.MaxValue)
-    sset.foreach { x =>
-      val d = md.digest(x.getBytes("UTF-8"))
-      val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
-      var s = 0
-      while (s < n) {
-        val v = (as(s) * h + bs(s)) % P
-        if (v < mins(s)) mins(s) = v
-        s += 1
-      }
-    }
-    mins
-  }
-
   /** The default near-dup jaccard threshold. Engine functions AND oracle
     * builders both derive their LSH banding from the threshold they are
     * given, and the parameterless oracle `val`s below are built from THIS
@@ -181,20 +158,24 @@ object Dedup {
     * relative term dominates and the floor is inert. */
   val DfFloorDocs: Double = 25.0
 
-  /** Template-shingle removal: drop shingles with document frequency
-    * > max(maxDfFrac·|docs|, [[DfFloorDocs]]) from every doc's set, then
-    * drop docs whose set emptied (pure-template docs cannot near-dup
-    * match on content).
+  /** Template-shingle removal: drop hashed shingles with document
+    * frequency > max(maxDfFrac·|docs|, [[DfFloorDocs]]) from every doc's
+    * set, then drop docs whose set emptied (pure-template docs cannot
+    * near-dup match on content). Operates on the 32-bit-hashed sets the
+    * whole minhash pipeline ships (df at hash granularity, mirrored by
+    * the oracle at hash granularity — parity by construction).
+    * `array_except` preserves the left array's order, so the sorted
+    * contract [[hsetUdf]] establishes survives the filter.
     * Two extra LINEAR jobs over the shingle stage (a count and a
     * map-combined df aggregation collecting the KB-scale hot set), both
     * before the quadratic-prone candidate stage they protect. */
   private def dfFiltered(sh0: DataFrame, maxDfFrac: Double): DataFrame = {
     if (maxDfFrac >= 1.0) return sh0
     val n = sh0.count()
-    val hot = sh0.select(explode(col("sset")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val hot = sh0.select(explode(col("hset")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > greatest(lit(maxDfFrac) * lit(n.toDouble), lit(DfFloorDocs)))
-      .select(col("s")).collect().map(_.getString(0)).sorted
+      .select(col("h")).collect().map(_.getLong(0)).sorted
     // bound argument above: S̄/frac entries; a blowout means the input
     // is not a document corpus (or frac≈0) — refuse to broadcast it
     require(hot.length <= 100000,
@@ -203,9 +184,23 @@ object Dedup {
     if (hot.isEmpty) sh0
     else sh0
       .select(col("doc_id"),
-        array_except(col("sset"), typedLit(hot.toSeq)).as("sset"))
-      .filter(size(col("sset")) > 0)
+        array_except(col("hset"), typedLit(hot.toSeq)).as("hset"))
+      .filter(size(col("hset")) > 0)
   }
+
+  /** doc_id + sorted distinct 32-bit-md5-hashed shingle set — the dedup
+    * tier's shuffle representation: 8 bytes per shingle through every
+    * exchange (vs ~25-byte strings), and verification becomes the
+    * codegen'd [[graft.functions.SortedIntersectSize]] walk instead of
+    * an interpreted string `array_intersect`. Jaccard is DEFINED over
+    * the hashed sets on both engines (the oracle hashes identically), so
+    * parity holds by construction; a 32-bit within-doc collision merely
+    * shrinks both engines' sets the same way. */
+  private def hashShingled(documents: DataFrame): DataFrame =
+    Widen.widen(documents)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), hsetUdf(col("toks")).as("hset"))
 
   /** Session-scoped stage cache for verified minhash pairs: pair listing
     * (q25) and clustering (q59) share one signature+verify computation per
@@ -229,13 +224,20 @@ object Dedup {
       minhashPairsPlan(documents, threshold, maxDfFrac))
 
   /** Verified near-dup pairs (a, b, jac), unordered — the shared stage
-    * behind [[minhashDedup]] and [[dupClusters]]. */
+    * behind [[minhashDedup]] and [[dupClusters]]. Built entirely on the
+    * hashed shingle representation ([[hashShingled]]): signatures come
+    * from the shared mod-p permutations over the already-hashed ints
+    * (identical minima to hashing the strings directly — colliding
+    * duplicates share one affine image, which cannot change a minimum),
+    * and verification is the prefiltered codegen'd sorted-intersect walk
+    * [[verifyJaccardRaw]] instead of an interpreted string
+    * `array_intersect` per candidate. */
   private def minhashPairsPlan(documents: DataFrame, threshold: Double,
                                maxDfFrac: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val (b, r) = lshBanding(threshold)
-    val sh = dfFiltered(shingled(documents), maxDfFrac)
-    val sig = sh.select(col("doc_id"), col("sset"),
-      minhashSigUdf(b * r)(col("sset")).as("sig"))
+    val sh = dfFiltered(hashShingled(documents), maxDfFrac)
+    val sig = sh.select(col("doc_id"), permMinsUdf(b * r)(col("hset")).as("sig"))
     val bandCols = (0 until r).map(k => s"sig[band*$r+$k]").mkString(", ")
     val banded = sig
       .select(col("doc_id"), explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
@@ -248,14 +250,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id"), col("sset").as("sa")), cand("a") === col("doc_id")).drop("doc_id")
-      .join(sh.select(col("doc_id"), col("sset").as("sb")), cand("b") === col("doc_id")).drop("doc_id")
-      .select(col("a"), col("b"), expr(
-        """size(array_intersect(sa, sb)) /
-          |  CAST(size(sa) + size(sb) - size(array_intersect(sa, sb)) AS DOUBLE)""".stripMargin)
-        .as("jac"))
-      .filter(col("jac") >= threshold)
+    verifyJaccardRaw(cand, sh, threshold)
   }
 
   def minhashDedup(documents: DataFrame,
@@ -268,50 +263,53 @@ object Dedup {
   /** The minhash-pairs pipeline as reusable CTEs (shared by the q25
     * oracle and the q59 clustering oracle; final table `mp(a, b, jac)`
     * holds verified pairs at jaccard ≥ threshold). Banding derives from
-    * the same threshold the engine function receives. */
-  /** DuckDB note: `sh` and `mp` carry MATERIALIZED hints — DuckDB
+    * the same threshold the engine function receives, shingle sets are
+    * 32-bit-hashed exactly as [[hashShingled]] (jaccard is defined over
+    * the hashed sets on both engines), and the df-filter mirrors
+    * [[dfFiltered]] at hash granularity: df counted over per-doc
+    * DISTINCT hashes, the same IEEE ceiling product, empties dropped
+    * before signatures AND verification. */
+  /** DuckDB note: `sh`, `shf` and `mp` carry MATERIALIZED hints — DuckDB
     * inlines plain CTEs per REFERENCE, so without them the shingling
-    * pipeline evaluates 3× in the verify join (sa/sb/bh), and — fatally
-    * at scale — once per RECURSION ROUND in the connected-components
-    * oracles, whose recursive term references the pair graph every
-    * iteration (measured: q59's oracle went from >10 min at 50k docs to
-    * seconds). Spark never parses this text; it is oracle-only SQL. */
+    * pipeline evaluates once per reference (sig + both verify joins)
+    * and — fatally at scale — once per RECURSION ROUND in the
+    * connected-components oracles, whose recursive term references the
+    * pair graph every iteration (measured: q59's oracle went from
+    * >10 min at 50k docs to seconds). Spark never parses this text; it
+    * is oracle-only SQL. */
   private[operators] def oracleMinhashPairsCtes(
       threshold: Double, maxDfFrac: Double = DefaultMaxDfFrac): String = {
     val (b, r) = lshBanding(threshold)
     val bandCols = (1 to r).map(k => s"sig[band*$r+$k]").mkString(", ")
-    // template-shingle removal, mirroring [[dfFiltered]] exactly: df is
-    // counted over per-doc DISTINCT shingles, the ceiling compares the
-    // same IEEE product frac·n, and docs whose filtered set empties drop
-    // out before signatures AND verification
     val dfCtes =
-      if (maxDfFrac >= 1.0) "shf AS MATERIALIZED (SELECT doc_id, sset FROM sh)"
+      if (maxDfFrac >= 1.0) "shf AS MATERIALIZED (SELECT doc_id, hset FROM sh)"
       else
         s"""nd AS (SELECT COUNT(*) AS n FROM sh),
           |sdf AS (
-          |  SELECT s, COUNT(*) AS df
-          |  FROM (SELECT unnest(sset) AS s FROM sh) GROUP BY s),
+          |  SELECT h, COUNT(*) AS df
+          |  FROM (SELECT unnest(hset) AS h FROM sh) GROUP BY h),
           |hot AS (
-          |  SELECT coalesce(list(s), CAST([] AS VARCHAR[])) AS hl
+          |  SELECT coalesce(list(h), CAST([] AS BIGINT[])) AS hl
           |  FROM sdf, nd WHERE df > greatest($maxDfFrac * n, $DfFloorDocs)),
           |shf AS MATERIALIZED (
-          |  SELECT doc_id, sset FROM (
-          |    SELECT doc_id, list_filter(sset, x -> NOT list_contains(hl, x)) AS sset
+          |  SELECT doc_id, hset FROM (
+          |    SELECT doc_id, list_filter(hset, x -> NOT list_contains(hl, x)) AS hset
           |    FROM sh, hot)
-          |  WHERE len(sset) > 0)""".stripMargin
-    s"""$oracleShingled,
-      |$dfCtes,
-      |bh AS (
+          |  WHERE len(hset) > 0)""".stripMargin
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
-      |         list_transform(sset, x ->
-      |           CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS bh
-      |  FROM shf),
+      |         list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8)) AS BIGINT)
+      |                        for i in range(1, len(ts)-1)]) AS hset
+      |  FROM toks WHERE len(ts) >= 3),
+      |$dfCtes,
       |sig AS (
       |  SELECT doc_id,
       |         list_transform(range(0, ${b * r}), s ->
-      |           list_min(list_transform(bh, h ->
-      |             (((2*s + 1) * 1103515245 % 2147483647) * h + s * 12345 + 1) % 2147483647))) AS sig
-      |  FROM bh),
+      |           list_min(list_transform(hset, h ->
+      |             (((2*s + 1) * 1103515245 % 2147483647) * (h % 2147483647) + s * 12345 + 1) % 2147483647))) AS sig
+      |  FROM shf),
       |banded AS MATERIALIZED (
       |  SELECT doc_id,
       |         concat_ws('_', band, $bandCols) AS band_key
@@ -321,8 +319,8 @@ object Dedup {
       |  FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
       |j AS (
       |  SELECT c.a, c.b,
-      |         len(list_intersect(sa.sset, sb.sset)) /
-      |           CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) AS jac
+      |         len(list_intersect(sa.hset, sb.hset)) /
+      |           CAST(len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE) AS jac
       |  FROM cand c JOIN shf sa ON sa.doc_id = c.a JOIN shf sb ON sb.doc_id = c.b),
       |mp AS MATERIALIZED (SELECT a, b, jac FROM j WHERE jac >= $threshold)""".stripMargin
   }
@@ -711,7 +709,16 @@ object Dedup {
     * jac≥t ⟺ inter ≥ t/(1+t)·(|A|+|B|) evaluates the intersect ONCE per
     * candidate, the division only for survivors. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
+                            threshold: Double): DataFrame =
+    verifyJaccardRaw(cand, sh, threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+
+  /** As [[verifyJaccard]] but returning raw (a, b, jac) — the shape the
+    * memoized minhash pairs stage stores for its downstream consumers
+    * (clustering joins on (a, b); only the q25 listing rounds). */
+  private def verifyJaccardRaw(cand: DataFrame, sh: DataFrame,
+                               threshold: Double): DataFrame = {
     val d = threshold / (1.0 + threshold)
     cand
       .join(sh.select(col("doc_id"), col("hset").as("sa")), cand("a") === col("doc_id")).drop("doc_id")
@@ -723,8 +730,6 @@ object Dedup {
       .select(col("a"), col("b"),
         (col("inter") / (col("stot") - col("inter")).cast("double")).as("jac"))
       .filter(col("jac") >= threshold) // exact belt for arbitrary thresholds
-      .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
-      .orderBy(col("a"), col("b"))
   }
 
   val ngramJaccardOracle: String = ngramJaccardOracleAt(DefaultThreshold)
