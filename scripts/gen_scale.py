@@ -20,8 +20,11 @@ distributions the 100-TB arguments assume:
     carry the linear-scale story).
 
 Deterministic (numpy PCG64, fixed seed). Usage:
-    python3 scripts/gen_scale.py <outDir> [relScale]
-relScale is relative to sf0.1 (default 10).
+    python3 scripts/gen_scale.py <outDir> [relScale] [eventDays]
+relScale is relative to sf0.1 (default 10). eventDays (default 30)
+sets the events table's time span: 30 at any scale densifies windows
+(adversarial for interval joins); 30*relScale keeps density constant
+(how a real log grows).
 """
 import sys
 import numpy as np
@@ -125,11 +128,17 @@ def gen_lineitem(rng, out_dir, n_orders, odate_ms, n_part, n_supp):
         "l_shipdate": pa.array(sdate, pa.timestamp("ms"))}))
 
 
-def gen_events(rng, out_dir, n, n_users):
+def gen_events(rng, out_dir, n, n_users, days=30):
     # TIMESTAMP(NANOS) like the driver fixture — Spark reads it via the
-    # nanosAsLong conf (Tables.events), DuckDB natively
+    # nanosAsLong conf (Tables.events), DuckDB natively.
+    # days=30 at every relScale DENSIFIES time (per-window event counts
+    # grow with rel — the adversarial case for windowed/interval
+    # operators, whose per-window output is quadratic in density);
+    # days=30*rel instead EXTENDS the range (density constant — how a
+    # real event log grows), isolating operator scaling from the
+    # semantics-driven output growth.
     base = np.datetime64("2024-01-01").astype("datetime64[ns]").astype(np.int64)
-    ts = base + rng.integers(0, 30 * 86400 * 10**9, n, dtype=np.int64)
+    ts = base + rng.integers(0, days * 86400 * 10**9, n, dtype=np.int64)
     # SKEW: user 7 emits 5% of all events (hot session/window partition)
     users = rng.integers(0, n_users, n)
     users[rng.random(n) < 0.05] = 7
@@ -223,7 +232,8 @@ def main():
     gen_part(rng, out_dir, n_part)
     odate = gen_orders(rng, out_dir, n_orders, n_cust)
     gen_lineitem(rng, out_dir, n_orders, odate, n_part, n_supp)
-    gen_events(rng, out_dir, int(100000 * rel), int(1500 * rel))
+    days = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    gen_events(rng, out_dir, int(100000 * rel), int(1500 * rel), days)
     gen_documents(rng, out_dir, int(5000 * rel))
     # embeddings scale 2x, not rel-x: q28's exact all-pairs baseline is
     # quadratic BY CONTRACT (the banded/LSH tiers are the linear path),

@@ -177,7 +177,14 @@ object SparkEntry {
     // gate: merged sessions with Spark's (start, last + gap) bounds,
     // recomputed by the oracle via lag/island detection
     "q74_session_bounds" -> ((s, d) =>
-      streaming.EventStream.sessionWindowBounds(events(s, d)))
+      streaming.EventStream.sessionWindowBounds(events(s, d))),
+    // duplicated-span profile (Lee et al. 2022 §4.1 audit): positional
+    // k-token span hashes collapse to (doc, h, c) triples before any
+    // shuffle; corpus-wide occurrence via one window exchange on h
+    "q75_dup_spans" -> ((s, d) => Dedup.dupSpans(documents(s, d))),
+    // cross-split leakage audit: md5-bucket split x exact-content
+    // fingerprint; only (fp, split) pairs shuffle, rollup is 3 rows
+    "q76_split_leakage" -> ((s, d) => MLOps.splitLeakage(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,6 +263,8 @@ object SparkEntry {
     "q71_int8_quant" -> Similarity.int8QuantStatsOracle,
     "q72_bpe_pairs" -> TextAnalysis.bpePairsOracle,
     "q73_split_audit" -> MLOps.trainValTestSplitOracle,
-    "q74_session_bounds" -> streaming.EventStream.sessionWindowBoundsOracle
+    "q74_session_bounds" -> streaming.EventStream.sessionWindowBoundsOracle,
+    "q75_dup_spans" -> Dedup.dupSpansOracle,
+    "q76_split_leakage" -> MLOps.splitLeakageOracle
   )
 }

@@ -768,4 +768,98 @@ object Dedup {
       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
       |SELECT a, b, ROUND(jac, 4) AS jaccard FROM pairs WHERE jac >= $threshold ORDER BY a, b""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Duplicated-span profile — the scan-level audit run BEFORE committing
+  // to an exact-substring dedup pass ("how much of each document is
+  // copied text", cf. Lee et al. 2022, Deduplicating Training Data Makes
+  // Language Models Better, §4.1). Spans are POSITIONAL overlapping
+  // k-token windows, deliberately unlike the ngram tier's distinct
+  // shingle SETS: a doc that repeats one sentence 50 times has 50
+  // duplicated span positions but only a handful of distinct shingles,
+  // and it is the positional mass that measures removable bytes. A span
+  // position counts as duplicated when its 32-bit hash occurs >= 2 times
+  // corpus-wide (across docs or within one — both are copies).
+  //
+  // Scale shape: positions collapse to (doc_id, h, c) triples in the
+  // partial aggregate BEFORE any shuffle (raw span rows never cross the
+  // wire); the corpus-wide occurrence count is one window exchange on h
+  // over the collapsed triples; the per-doc rollup is integer-only.
+  // Every shuffled row is a ~20-byte triple — the wordcount shape, twice.
+  // --------------------------------------------------------------------
+  /** Default span width. 5 tokens ≈ the shortest run worth calling
+    * "copied text" at web scale while still yielding len−4 spans on the
+    * fixture's ~30-token docs (k=50-token spans as in the paper need
+    * long-form documents). */
+  val DefaultSpanTokens = 5
+
+  /** All positional k-token span hashes in one compiled pass — the JVM
+    * twin of `transform(sequence(...), i -> h32(concat_ws(' ',
+    * slice(toks, i, k))))`, which as a HigherOrderFunction chain is
+    * interpreted per element; same md5-derived 32-bit value as
+    * [[hsetUdf]] so the DuckDB oracle recomputes it exactly. */
+  private def spanHashUdf(k: Int) = udf { toks: Seq[String] =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = toks.length - k + 1
+    val out = new Array[Long](math.max(n, 0))
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); ()
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    out
+  }
+
+  /** Per-doc duplicated-span profile: doc_id, n_spans, n_dup_spans and
+    * the duplicated fraction in basis points (integer-only output — no
+    * float crosses the engine boundary). */
+  def dupSpans(documents: DataFrame, k: Int = DefaultSpanTokens): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    val perDoc = Widen.widen(documents)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(spanHashUdf(k)(col("toks"))).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    perDoc
+      .withColumn("g", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("g") >= 2, col("c")).otherwise(lit(0L))).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        expr("CAST(n_dup_spans * 10000L DIV n_spans AS BIGINT)").as("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupSpansOracle: String = dupSpansOracleAt(DefaultSpanTokens)
+
+  /** Oracle builder on the SAME span width as the engine function. */
+  def dupSpansOracleAt(k: Int): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+      |spans AS (
+      |  SELECT doc_id,
+      |         unnest([CAST(concat('0x', substr(md5(array_to_string(ts[i:i+${k - 1}], ' ')), 1, 8)) AS BIGINT)
+      |                 for i in range(1, len(ts) - ${k - 2})]) AS h
+      |  FROM toks WHERE len(ts) >= $k),
+      |perdoc AS (
+      |  SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS c FROM spans GROUP BY 1, 2),
+      |withg AS (
+      |  SELECT doc_id, c, SUM(c) OVER (PARTITION BY h) AS g FROM perdoc)
+      |SELECT doc_id,
+      |       CAST(SUM(c) AS BIGINT) AS n_spans,
+      |       CAST(SUM(CASE WHEN g >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |       CAST(SUM(CASE WHEN g >= 2 THEN c ELSE 0 END) * 10000 // SUM(c) AS BIGINT) AS dup_bp
+      |FROM withg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -696,6 +696,68 @@ object MLOps {
       |       CAST(n * 10000 // SUM(n) OVER (PARTITION BY label) AS BIGINT) AS frac_bp
       |FROM counts ORDER BY label, split""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Cross-split leakage audit — the eval-hygiene check run after any
+  // split assignment: a document whose exact-content fingerprint also
+  // appears in a DIFFERENT split leaks training signal into eval (the
+  // split was made by id, but duplicated content ignores ids). Combines
+  // the [[trainValTestSplit]] md5-bucket assignment (here keyed on
+  // doc_id) with [[Dedup.exactDedup]]'s normalized fingerprint.
+  //
+  // Scale shape: only (fp, split) pairs are shuffled — 32-hex-char
+  // fingerprints, never text. The fp-group stats and the join back to
+  // the assignment are both keyed on fp, so the second exchange reuses
+  // the first's partitioning; the final rollup is 3 rows.
+  // --------------------------------------------------------------------
+  /** Per-split leakage counts: n_docs, n_leaked (fingerprint also in a
+    * different split), n_train_leaked (non-train docs whose fingerprint
+    * appears in train — the classic eval-contamination direction). */
+  def splitLeakage(documents: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need train + val < 100, got $trainPct + $valPct")
+    val assigned = documents
+      .select(
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"),
+        (expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          % 100).as("bucket"))
+      .select(col("fp"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+    val fps = assigned.groupBy(col("fp")).agg(
+      countDistinct(col("split")).as("n_splits"),
+      max(when(col("split") === "train", 1).otherwise(0)).as("has_train"))
+    assigned.join(fps, "fp")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_splits") >= 2, 1L).otherwise(0L)).as("n_leaked"),
+        sum(when(col("n_splits") >= 2 && col("has_train") === 1
+          && col("split") =!= "train", 1L).otherwise(0L)).as("n_train_leaked"))
+      .orderBy(col("split"))
+  }
+
+  val splitLeakageOracle: String = splitLeakageOracleAt(80, 10)
+
+  /** Oracle builder on the SAME split percentages as the engine function. */
+  def splitLeakageOracleAt(trainPct: Int, valPct: Int): String =
+    s"""WITH assigned AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+      |         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $trainPct THEN 'train'
+      |              WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < ${trainPct + valPct} THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM documents),
+      |fps AS (
+      |  SELECT fp, COUNT(DISTINCT split) AS n_splits,
+      |         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+      |  FROM assigned GROUP BY 1)
+      |SELECT split,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+      |       CAST(SUM(CASE WHEN n_splits >= 2 AND has_train = 1 AND split <> 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train_leaked
+      |FROM assigned JOIN fps USING (fp)
+      |GROUP BY split ORDER BY split""".stripMargin
+
   /** quantized() lives in Similarity; the oracle must re-derive it. */
   val pairSeparationOracle: String =
     """WITH q AS (

@@ -158,4 +158,38 @@ class DedupSpec extends SparkSpec {
       (2L, nearDup, nearDup.length.toLong))
     assertDeterministic(Dedup.minhashDedup(d))
   }
+
+  test("dupSpans: cross-doc copies, within-doc repeats, short-doc filter") {
+    val shared = "one two three four five six seven eight" // 8 toks, 4 spans
+    val d = docs(
+      (1L, shared, 10L),                 // all 4 spans duplicated (doc 2)
+      (2L, shared, 10L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8", 10L), // 4 spans, all unique -> 0 dup
+      // period-5 repetition: 15 toks, 11 span positions, spans at offsets
+      // 0/5/10 (and 1/6, 2/7, ...) collide WITHIN the doc -> all 11 dup
+      (4L, ("x y z w v " * 3).trim, 15L),
+      (5L, "too short here", 3L))        // < k toks -> no output row
+    val out = Dedup.dupSpans(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((4L, 4L, 10000L)))
+    assert(out(2L) == ((4L, 4L, 10000L)))
+    assert(out(3L) == ((4L, 0L, 0L)))
+    assert(out(4L) == ((11L, 11L, 10000L)))
+  }
+
+  test("dupSpans: partial overlap yields exact floored basis points") {
+    // doc 1: 10 toks -> 6 spans; doc 2 shares doc 1's LAST 5 toks plus 5
+    // of its own -> exactly one colliding span position each
+    val d = docs(
+      (1L, "a b c d e f g h i j", 10L),
+      (2L, "f g h i j p q r s t", 10L))
+    val out = Dedup.dupSpans(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // 1 of 6 spans duplicated -> floor(1*10000/6) = 1666 bp
+    assert(out(1L) == ((6L, 1L, 1666L)) && out(2L) == ((6L, 1L, 1666L)))
+    assertDeterministic(Dedup.dupSpans(d))
+  }
 }

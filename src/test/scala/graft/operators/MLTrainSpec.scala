@@ -157,6 +157,54 @@ class MLTrainSpec extends SparkSpec {
       big.orderBy(org.apache.spark.sql.functions.rand())))
   }
 
+  // JVM twin of the operator's split assignment: first 8 md5 hex chars
+  // of the doc_id string, as a long, mod 100 -> 80/10/10 buckets
+  private def splitOf(docId: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(docId.toString.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val b = java.lang.Long.parseLong(hex, 16) % 100
+    if (b < 80) "train" else if (b < 90) "val" else "test"
+  }
+
+  test("splitLeakage: all-unique texts leak nothing, totals partition") {
+    val docs = (0 until 300).map(i => (i.toLong, s"unique text $i"))
+      .toDF("doc_id", "text")
+    val out = MLOps.splitLeakage(docs).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("test", "train", "val"))
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 300L)
+    assert(out.forall(_.getAs[Long]("n_leaked") == 0L))
+    assert(out.forall(_.getAs[Long]("n_train_leaked") == 0L))
+  }
+
+  test("splitLeakage matches a JVM recomputation on planted duplicates") {
+    // 60 distinct fingerprints, each duplicated across 5 doc_ids whose
+    // md5 buckets straddle splits; normalization folds case/whitespace
+    val docs = (0 until 300).map { i =>
+      (i.toLong, if (i % 2 == 0) s"Shared  TEXT ${i % 60}" else s"shared text ${i % 60}")
+    }.toDF("doc_id", "text")
+    val expected = (0 until 300)
+      .map(i => (i % 60, splitOf(i.toLong))) // fp-equivalence class, split
+      .groupBy(_._1).values.toSeq
+      .flatMap { grp =>
+        val splits = grp.map(_._2).toSet
+        val leaked = splits.size >= 2
+        grp.map { case (_, s) =>
+          (s, leaked, leaked && splits("train") && s != "train")
+        }
+      }
+      .groupBy(_._1).view.mapValues { rs =>
+        (rs.size.toLong, rs.count(_._2).toLong, rs.count(_._3).toLong)
+      }.toMap
+    val out = MLOps.splitLeakage(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_leaked"),
+          r.getAs[Long]("n_train_leaked"))).toMap
+    assert(out == expected, s"$out vs $expected")
+    assert(out.values.map(_._2).sum > 0L, "fixture must actually leak")
+    assertDeterministic(MLOps.splitLeakage(docs))
+  }
+
   test("an empty weights table fails fast on the driver, not per-row in tasks") {
     val single = emb.where($"label" === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_models_e").toString
