@@ -184,7 +184,11 @@ object SparkEntry {
     "q75_dup_spans" -> ((s, d) => Dedup.dupSpans(documents(s, d))),
     // cross-split leakage audit: md5-bucket split x exact-content
     // fingerprint; only (fp, split) pairs shuffle, rollup is 3 rows
-    "q76_split_leakage" -> ((s, d) => MLOps.splitLeakage(documents(s, d)))
+    "q76_split_leakage" -> ((s, d) => MLOps.splitLeakage(documents(s, d))),
+    // quality-aware dedup policy: each near-dup component keeps its
+    // BEST-quality member (exact integer argmax, ties -> min id) —
+    // composes the memoized component labels with the q32 scoring pass
+    "q77_quality_keepers" -> ((s, d) => Dedup.qualityKeepers(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -265,6 +269,7 @@ object SparkEntry {
     "q73_split_audit" -> MLOps.trainValTestSplitOracle,
     "q74_session_bounds" -> streaming.EventStream.sessionWindowBoundsOracle,
     "q75_dup_spans" -> Dedup.dupSpansOracle,
-    "q76_split_leakage" -> MLOps.splitLeakageOracle
+    "q76_split_leakage" -> MLOps.splitLeakageOracle,
+    "q77_quality_keepers" -> Dedup.qualityKeepersOracle
   )
 }

@@ -500,6 +500,80 @@ object Dedup {
       |       MAX(v) AS max_doc
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  /** Quality-aware keep/drop: like [[dedupKeepers]], but each
+    * component's representative is its BEST-quality member (ties → min
+    * doc_id) instead of its min id — "keep the best copy", the policy a
+    * real curation pipeline wants when near-dups differ in cleanliness
+    * (truncation, boilerplate, OCR noise). Quality is
+    * [[TextAnalysis.perDocQuality]]'s exact integer micro-units, so the
+    * argmax is engine-exact.
+    *
+    * Scale shape: the corpus pays one extra row-local scoring pass and
+    * one (doc_id, q6) exchange against the matched-vertex labels (small
+    * — dup density bounds it); the argmax window runs over that small
+    * joined table, and the final left joins are the [[dedupKeepers]]
+    * shape. Component labels themselves are session-memoized, so a
+    * session that already clustered pays only the scoring join. */
+  def qualityKeepers(documents: DataFrame, threshold: Double = DefaultThreshold,
+                     maxIters: Int = 25,
+                     maxDfFrac: Double = DefaultMaxDfFrac): DataFrame = {
+    val labels = componentLabels(documents, threshold, maxIters, maxDfFrac)
+    // matched vertices always tokenize (they shingled), so the inner
+    // join against the n_toks>0-filtered scoring pass loses nothing
+    val scored = labels.join(
+      TextAnalysis.perDocQuality(Widen.widen(documents))
+        .select(col("doc_id").as("v"), col("q6")), "v")
+    val best = scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lbl")).orderBy(col("q6").desc, col("v").asc)))
+      .filter(col("rn") === 1)
+      .select(col("lbl"), col("v").as("best_id"))
+    documents.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("v"), "left")
+      .join(best, Seq("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("best_id"), col("doc_id")).as("keeper_id"))
+      .withColumn("keep", col("keeper_id") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityKeepersOracle: String = qualityKeepersOracleAt(DefaultThreshold)
+
+  /** Oracle builder on the SAME threshold and df ceiling as the engine
+    * function; quality spelling identical to the q32 oracle. */
+  def qualityKeepersOracleAt(threshold: Double,
+                             maxDfFrac: Double = DefaultMaxDfFrac): String =
+    s"""WITH RECURSIVE ${oracleMinhashPairsCtes(threshold, maxDfFrac)},
+      |edges AS MATERIALIZED (
+      |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
+      |reach(v, w) AS (
+      |  SELECT DISTINCT a AS v, a AS w FROM edges
+      |  UNION
+      |  SELECT r.v, e.b AS w FROM reach r JOIN edges e ON e.a = r.w),
+      |comp AS (
+      |  SELECT v, MIN(w) AS component FROM reach GROUP BY v),
+      |q AS (
+      |  SELECT doc_id,
+      |         CAST(floor((
+      |           0.4 * least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) +
+      |           0.3 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) +
+      |           0.3 * least((CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts)) / 8.0, 1.0)
+      |         ) * 1000000 + 0.5) AS BIGINT) AS q6
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents)
+      |  WHERE len(ts) > 0),
+      |best AS (
+      |  SELECT component, v AS best_id,
+      |         row_number() OVER (PARTITION BY component ORDER BY q6 DESC, v ASC) AS rn
+      |  FROM comp JOIN q ON q.doc_id = comp.v)
+      |SELECT d.doc_id,
+      |       COALESCE(b.best_id, d.doc_id) AS keeper_id,
+      |       COALESCE(b.best_id, d.doc_id) = d.doc_id AS keep
+      |FROM documents d
+      |LEFT JOIN comp c ON c.v = d.doc_id
+      |LEFT JOIN best b ON b.component = c.component AND b.rn = 1
+      |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------------------------------------
   // SimHash: 32-bit fingerprint over the shingle set; near-dup pairs found
   // by byte-banding (pigeonhole: hamming ≤ 3 ⇒ at least one of the 4 bytes

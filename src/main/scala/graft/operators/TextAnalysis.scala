@@ -171,22 +171,28 @@ object TextAnalysis {
   // into a score, aggregated per source. Doc-level score is computed
   // row-local in double (deterministic), quantized, then integer-summed.
   // --------------------------------------------------------------------
-  def qualityScore(documents: DataFrame): DataFrame = {
-    val perDoc = documents
-      .select(col("doc_id"), col("source"), col("n_chars"),
+  /** Per-doc integer micro-unit quality (doc_id, source, n_toks, q6) —
+    * the row-local scoring pass shared by [[qualityScore]] and
+    * [[Dedup.qualityKeepers]]; exact spelling pinned by the q32 oracle. */
+  private[operators] def perDocQuality(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
         split(lower(col("text")), "\\s+").as("toks"))
-      .select(col("doc_id"), col("source"), col("n_chars"),
+      .select(col("doc_id"), col("source"),
         size(col("toks")).as("n_toks"),
         size(array_distinct(col("toks"))).as("n_uniq"),
         expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("tok_chars"))
       .filter(col("n_toks") > 0)
-      .select(col("source"), col("n_toks"), col("n_uniq"),
+      .select(col("doc_id"), col("source"), col("n_toks"),
         expr(
           """CAST(floor((
             |  0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
             |  0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
             |  0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
             |) * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("q6"))
+
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val perDoc = perDocQuality(documents)
     // NO round() on the outputs: the inputs are exact integer micro-units,
     // so both engines compute bit-identical doubles from identical integer
     // divisions — whereas round() diverges on decimal half-boundaries

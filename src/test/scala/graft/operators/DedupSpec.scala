@@ -159,6 +159,32 @@ class DedupSpec extends SparkSpec {
     assertDeterministic(Dedup.minhashDedup(d))
   }
 
+  test("qualityKeepers: the component keeps its BEST-quality member, " +
+    "ties fall back to min id, unmatched docs keep themselves") {
+    // doc 3 = base with every "epsilon" lengthened -> same token/uniq
+    // counts but higher avg token length -> strictly higher q6 than
+    // docs 1/2 (which tie); all three are one near-dup component
+    val longTok = base.replace("epsilon", "epsilonnnnn")
+    val d = docs(
+      (1L, base, base.length.toLong),
+      (2L, nearDup, nearDup.length.toLong),
+      (3L, longTok, longTok.length.toLong),
+      (9L, "totally different words nothing shared here at all whatsoever " * 6, 100L))
+    val out = Dedup.qualityKeepers(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> ((3L, false)), 2L -> ((3L, false)), 3L -> ((3L, true)),
+      9L -> ((9L, true))), out.toString)
+    // quality tie (base vs nearDup alone differ only in one character
+    // substitution of equal length) -> min doc_id wins
+    val tied = docs((1L, base, base.length.toLong),
+      (2L, nearDup, nearDup.length.toLong))
+    val out2 = Dedup.qualityKeepers(tied).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 1L, 2L -> 1L), out2.toString)
+    assertDeterministic(Dedup.qualityKeepers(d))
+  }
+
   test("dupSpans: cross-doc copies, within-doc repeats, short-doc filter") {
     val shared = "one two three four five six seven eight" // 8 toks, 4 spans
     val d = docs(
