@@ -188,7 +188,11 @@ object SparkEntry {
     // quality-aware dedup policy: each near-dup component keeps its
     // BEST-quality member (exact integer argmax, ties -> min id) —
     // composes the memoized component labels with the q32 scoring pass
-    "q77_quality_keepers" -> ((s, d) => Dedup.qualityKeepers(documents(s, d)))
+    "q77_quality_keepers" -> ((s, d) => Dedup.qualityKeepers(documents(s, d))),
+    // SemDeDup-style semantic clusters: cosine-threshold pairs from the
+    // blocked exact self-join, transitive closure via the shared
+    // pointer-doubling CC loop, one rollup row per cluster
+    "q78_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -270,6 +274,7 @@ object SparkEntry {
     "q74_session_bounds" -> streaming.EventStream.sessionWindowBoundsOracle,
     "q75_dup_spans" -> Dedup.dupSpansOracle,
     "q76_split_leakage" -> MLOps.splitLeakageOracle,
-    "q77_quality_keepers" -> Dedup.qualityKeepersOracle
+    "q77_quality_keepers" -> Dedup.qualityKeepersOracle,
+    "q78_semantic_clusters" -> Similarity.semanticClustersOracle
   )
 }

@@ -362,21 +362,34 @@ object Dedup {
     // LARGER maxIters must not silently inherit the smaller setting's
     // cache entry if that invariant ever changes
     memoized(documents, s"labels:$maxIters:df$maxDfFrac", threshold) {
-    val spark = documents.sparkSession
+      // the pairs stage itself is session-memoized ([[verifiedPairs]]) —
+      // a session that already ran the pair listing clusters for free
+      connectedComponents(
+        verifiedPairs(documents, threshold, maxDfFrac), maxIters,
+        "dupClusters")
+    }
+
+  /** Connected-component labels (v, lbl) over an undirected edge list
+    * (columns `a`, `b`) — the Pregel loop shared by the text dedup tier
+    * ([[componentLabels]]) and the embedding tier
+    * ([[Similarity.semanticClusters]]). Returns a persisted, materialized
+    * DataFrame (callers memoize; [[StageMemo]] skips re-persisting).
+    *
+    * The ROUND LOOP runs on co-partitioned RDDs, not DataFrames — the
+    * canonical Pregel shape and one of the few legitimate RDD uses:
+    * per-iteration Catalyst planning + fresh codegen cost ~2 s/round on
+    * a graph of a few hundred edges (measured), and a lazily-chained
+    * multi-round DataFrame plan duplicates every prior round's subtree
+    * 2× per level (measured 115 s for 4 unrolled rounds — physical
+    * plans are trees, only exchanges get reused). RDD rounds on the
+    * cached, hash-partitioned edge list are plain shuffles with zero
+    * planning. Only the derived GRAPH (edges + labels) is ever
+    * cached/collected-on — never the corpus. */
+  private[operators] def connectedComponents(pairs: DataFrame, maxIters: Int,
+                                             caller: String): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
-    // The ROUND LOOP runs on co-partitioned RDDs, not DataFrames — the
-    // canonical Pregel shape and one of the few legitimate RDD uses:
-    // per-iteration Catalyst planning + fresh codegen cost ~2 s/round on
-    // a graph of a few hundred edges (measured), and a lazily-chained
-    // multi-round DataFrame plan duplicates every prior round's subtree
-    // 2× per level (measured 115 s for 4 unrolled rounds — physical
-    // plans are trees, only exchanges get reused). RDD rounds on the
-    // cached, hash-partitioned edge list are plain shuffles with zero
-    // planning. Only the derived GRAPH (edges + labels) is ever
-    // cached/collected-on — never the corpus. The pairs stage itself is
-    // session-memoized ([[verifiedPairs]]) — a session that already ran
-    // the pair listing clusters for free.
-    val pairsRdd = verifiedPairs(documents, threshold, maxDfFrac)
+    val pairsRdd = pairs
       .select(col("a"), col("b")).as[(Long, Long)].rdd
     val part = new org.apache.spark.HashPartitioner(
       spark.sparkContext.defaultParallelism)
@@ -430,7 +443,7 @@ object Dedup {
     if (!converged) {
       labels.unpersist(false)
       throw new IllegalStateException(
-        s"dupClusters did not converge in $maxIters rounds — with pointer " +
+        s"$caller did not converge in $maxIters rounds — with pointer " +
           s"doubling that needs component diameter > ~2^$maxIters; raise maxIters")
     }
     // persist + materialize HERE (Slot.get skips already-persisted

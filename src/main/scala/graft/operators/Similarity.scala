@@ -145,6 +145,51 @@ object Similarity {
       |ORDER BY a, b""".stripMargin
 
   // --------------------------------------------------------------------
+  // Semantic dedup clusters (SemDeDup, Abbas et al. 2023): embeddings
+  // whose cosine clears the threshold are near-duplicates in MEANING
+  // even when their surface text shares no n-grams (translations,
+  // paraphrases, re-renderings) — cluster them transitively and keep one
+  // representative per cluster. The pair source is the exact blocked
+  // self-join ([[cosineNearDup]]'s plan); the embeddings table is
+  // quadratic-by-contract (the LSH/IVF tiers are the sub-quadratic
+  // candidate path at scale — swap them in as the pair source when the
+  // vector count makes exact all-pairs unaffordable). Components come
+  // from the dedup tier's pointer-doubling Pregel loop
+  // ([[Dedup.connectedComponents]]) — O(log diameter) rounds on
+  // co-partitioned RDDs, loud non-convergence.
+  // --------------------------------------------------------------------
+  /** Per-cluster rollup (component = min vec_id, n_vecs, max_vec) of the
+    * cosine-threshold transitive closure. */
+  def semanticClusters(embeddings: DataFrame, threshold: Double = 0.5,
+                       maxIters: Int = 25): DataFrame = {
+    val pairs = cosineNearDup(embeddings, threshold).select(col("a"), col("b"))
+    Dedup.connectedComponents(pairs, maxIters, "semanticClusters")
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("v")).as("max_vec"))
+      .orderBy(col("component"))
+  }
+
+  val semanticClustersOracle: String = semanticClustersOracleAt(0.5)
+
+  /** Oracle builder on the SAME cosine threshold as the engine function. */
+  def semanticClustersOracleAt(threshold: Double): String =
+    s"""WITH RECURSIVE $oracleQuantized,
+      |mp AS MATERIALIZED (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM qn x JOIN qn y ON x.vec_id < y.vec_id
+      |  WHERE $oracleCosExpr >= $threshold),
+      |edges AS MATERIALIZED (
+      |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
+      |reach(v, w) AS (
+      |  SELECT DISTINCT a AS v, a AS w FROM edges
+      |  UNION
+      |  SELECT r.v, e.b AS w FROM reach r JOIN edges e ON e.a = r.w),
+      |comp AS (
+      |  SELECT v, MIN(w) AS component FROM reach GROUP BY v)
+      |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_vecs, MAX(v) AS max_vec
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  // --------------------------------------------------------------------
   // Brute-force cosine top-k for a query set (vec_id < 10): the exact
   // baseline every ANN variant is measured against.
   // --------------------------------------------------------------------

@@ -16,6 +16,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("semanticClusters: a transitive cosine CHAIN merges into one " +
+    "component; orthogonal vectors join nothing") {
+    // 1-2 and 2-3 clear cos >= 0.5 but 1-3 does NOT (cos(1,3) ≈ 0.33):
+    // only the transitive closure puts all three in one cluster
+    val d = emb(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(1f, 1f, 0f), 0),
+      (3L, Seq(0.2f, 1f, 0f), 0),
+      (7L, Seq(0f, 0f, 1f), 1),   // orthogonal to all of 1/2/3
+      (8L, Seq(0f, 0f, 2f), 1))   // pairs only with 7
+    val out = Similarity.semanticClusters(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L, 3L), (7L, 2L, 8L)), out.toString)
+    assertDeterministic(Similarity.semanticClusters(d))
+  }
+
   test("annBruteTopK ranks nearer vectors first with stable tie-break") {
     val d = emb(
       (0L, Seq(1f, 0f), 0),   // query
