@@ -192,7 +192,11 @@ object SparkEntry {
     // SemDeDup-style semantic clusters: cosine-threshold pairs from the
     // blocked exact self-join, transitive closure via the shared
     // pointer-doubling CC loop, one rollup row per cluster
-    "q78_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(embeddings(s, d)))
+    "q78_semantic_clusters" -> ((s, d) => Similarity.semanticClusters(embeddings(s, d))),
+    // recrawl content novelty: distinct hashed 3-gram delta between the
+    // q65 snapshots, per source — (source, h) max-flag collapse before
+    // the only shuffle, |sources|-row rollup
+    "q79_snapshot_novelty" -> ((s, d) => Pipeline.snapshotNovelty(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -275,6 +279,7 @@ object SparkEntry {
     "q75_dup_spans" -> Dedup.dupSpansOracle,
     "q76_split_leakage" -> MLOps.splitLeakageOracle,
     "q77_quality_keepers" -> Dedup.qualityKeepersOracle,
-    "q78_semantic_clusters" -> Similarity.semanticClustersOracle
+    "q78_semantic_clusters" -> Similarity.semanticClustersOracle,
+    "q79_snapshot_novelty" -> Pipeline.snapshotNoveltyOracle
   )
 }

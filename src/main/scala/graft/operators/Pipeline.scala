@@ -412,6 +412,82 @@ object Pipeline {
       |FROM delta GROUP BY status ORDER BY status""".stripMargin
 
   // --------------------------------------------------------------------
+  // Snapshot CONTENT novelty — q65 diffs snapshots at doc granularity;
+  // this answers the question a recrawl budget actually turns on: how
+  // much genuinely NEW text did the new crawl bring, per source? Novelty
+  // = distinct 3-token shingles present today but absent yesterday (a
+  // re-serialized page with identical text contributes zero), using the
+  // dedup tier's 32-bit hashed shingle representation and the SAME
+  // deterministic snapshot derivation as [[snapshotDelta]].
+  //
+  // Scale shape: the exploded shingle stream collapses map-side behind
+  // (source, h) with max-flags BEFORE any shuffle (the wordcount shape —
+  // only distinct (source, h, flags) triples cross the wire); the
+  // rollup is |sources| rows. Two snapshot scans of one corpus, no
+  // joins, no pairwise work.
+  // --------------------------------------------------------------------
+  /** Per-source gram counts: n_today (distinct grams today), n_new
+    * (unseen yesterday), n_retired (gone today), novelty in basis
+    * points — integer-only output. */
+  def snapshotNovelty(documents: DataFrame): DataFrame = {
+    val docs = Widen.widen(documents)
+      .select(col("doc_id"), col("source"), col("text"))
+    val yesterday = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("source"), split(lower(col("text")), "\\s+").as("toks"),
+        lit(1).as("o"), lit(0).as("n"))
+    val today = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("source"),
+        split(lower(when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+          "\\s+").as("toks"),
+        lit(0).as("o"), lit(1).as("n"))
+    yesterday.union(today)
+      .select(col("source"), explode(Dedup.hsetUdf(col("toks"))).as("h"),
+        col("o"), col("n"))
+      .groupBy(col("source"), col("h"))
+      .agg(max(col("o")).as("o"), max(col("n")).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_today"),
+        sum(when(col("n") === 1 && col("o") === 0, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("o") === 1 && col("n") === 0, 1L).otherwise(0L)).as("n_retired"))
+      .select(col("source"), col("n_today"), col("n_new"), col("n_retired"),
+        // a source can vanish from today's crawl entirely (n_today = 0,
+        // e.g. every surviving doc under 3 tokens) — novelty of an empty
+        // crawl is 0, not a division error
+        expr("CAST(CASE WHEN n_today = 0 THEN 0 ELSE n_new * 10000L DIV n_today END AS BIGINT)")
+          .as("novelty_bp"))
+      .orderBy(col("source"))
+  }
+
+  val snapshotNoveltyOracle: String = {
+    val gram = "CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8)) AS BIGINT)"
+    s"""WITH yesterday AS (
+      |  SELECT source, string_split_regex(lower(text), '\\s+') AS ts
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |today AS (
+      |  SELECT source,
+      |         string_split_regex(lower(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END), '\\s+') AS ts
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |grams AS (
+      |  SELECT source, h, MAX(o) AS o, MAX(n) AS n FROM (
+      |    SELECT source, unnest(list_distinct([$gram for i in range(1, len(ts) - 1)])) AS h,
+      |           1 AS o, 0 AS n
+      |    FROM yesterday WHERE len(ts) >= 3
+      |    UNION ALL
+      |    SELECT source, unnest(list_distinct([$gram for i in range(1, len(ts) - 1)])) AS h,
+      |           0 AS o, 1 AS n
+      |    FROM today WHERE len(ts) >= 3)
+      |  GROUP BY 1, 2)
+      |SELECT source,
+      |       CAST(SUM(n) AS BIGINT) AS n_today,
+      |       CAST(SUM(CASE WHEN n = 1 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |       CAST(SUM(CASE WHEN o = 1 AND n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_retired,
+      |       CAST(CASE WHEN SUM(n) = 0 THEN 0
+      |            ELSE SUM(CASE WHEN n = 1 AND o = 0 THEN 1 ELSE 0 END) * 10000 // SUM(n) END AS BIGINT) AS novelty_bp
+      |FROM grams GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // End-to-end curation FUNNEL: the whole tier composed into one query —
   // per source, how many docs enter, pass repetition-quality, survive
   // near-dup dedup (component keeper), and make the per-source quota,

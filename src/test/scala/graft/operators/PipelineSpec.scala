@@ -272,6 +272,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("snapshotNovelty counts new/retired grams per source; an empty " +
+    "today-crawl yields novelty 0, not a division error") {
+    // snapshot membership by the q65 derivation: id%7==0 absent
+    // yesterday, id%5==0 absent today, id%11==0 recrawled with ' v2';
+    // source = src(id%3) from the fixture helper
+    val d = docs(
+      (1L, "a b c d"),  // src1, both snapshots
+      (3L, "a b c d"),  // src0, both (same grams as src1 — per-source!)
+      (7L, "x y z"),    // src1, today only -> new gram
+      (5L, "p q r"),    // src2, yesterday only -> retired gram
+      (11L, "m n o"))   // src2, recrawl: today = "m n o v2"
+    val out = Pipeline.snapshotNovelty(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      "src0" -> ((2L, 0L, 0L, 0L)),
+      "src1" -> ((3L, 1L, 0L, 3333L)),
+      "src2" -> ((2L, 1L, 1L, 5000L))), out.toString)
+    // zero-gram today: the only doc vanishes from today's snapshot
+    val z = Pipeline.snapshotNovelty(docs((5L, "p q r"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(z == Seq(("src2", 0L, 0L)), z.toString)
+    assertDeterministic(Pipeline.snapshotNovelty(d))
+  }
+
   test("snapshotDelta classifies added/removed/changed/unchanged " +
     "against an independent reference computation") {
     val ids = 0L until 70L
