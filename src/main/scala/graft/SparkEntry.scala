@@ -196,7 +196,11 @@ object SparkEntry {
     // recrawl content novelty: distinct hashed 3-gram delta between the
     // q65 snapshots, per source — (source, h) max-flag collapse before
     // the only shuffle, |sources|-row rollup
-    "q79_snapshot_novelty" -> ((s, d) => Pipeline.snapshotNovelty(documents(s, d)))
+    "q79_snapshot_novelty" -> ((s, d) => Pipeline.snapshotNovelty(documents(s, d))),
+    // training-shard manifest audit: md5-bucket shard assignment,
+    // per-shard doc/token mass + exact-bp fill vs the ideal S-way split;
+    // row-local + |S|-row aggregate, DECIMAL(38,0) mass arithmetic
+    "q80_shard_balance" -> ((s, d) => Pipeline.shardBalance(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -280,6 +284,7 @@ object SparkEntry {
     "q76_split_leakage" -> MLOps.splitLeakageOracle,
     "q77_quality_keepers" -> Dedup.qualityKeepersOracle,
     "q78_semantic_clusters" -> Similarity.semanticClustersOracle,
-    "q79_snapshot_novelty" -> Pipeline.snapshotNoveltyOracle
+    "q79_snapshot_novelty" -> Pipeline.snapshotNoveltyOracle,
+    "q80_shard_balance" -> Pipeline.shardBalanceOracle
   )
 }

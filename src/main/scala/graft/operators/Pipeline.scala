@@ -412,6 +412,51 @@ object Pipeline {
       |FROM delta GROUP BY status ORDER BY status""".stripMargin
 
   // --------------------------------------------------------------------
+  // Training-shard balance audit: assign every document to one of S
+  // output shards by the md5(doc_id) bucket (the q73 assignment shape at
+  // shard granularity — content-independent, stable under recrawls) and
+  // report per-shard doc/token mass plus fill vs the ideal S-way split
+  // in exact basis points. Hash sharding balances DOC counts by
+  // construction; token totals still skew with document length — this
+  // is the manifest check a pretraining run does before writing shards.
+  //
+  // Scale shape: row-local assignment + one |S|-row aggregate (map-side
+  // combined); the fill ratio is a window over |S| rows. Mass arithmetic
+  // in DECIMAL(38,0) ↔ HUGEINT: tokens × S × 10⁴ overflows a 64-bit long
+  // at real corpus sizes.
+  // --------------------------------------------------------------------
+  def shardBalance(documents: DataFrame, shards: Int = 32): DataFrame = {
+    require(shards > 0, s"need a positive shard count, got $shards")
+    documents
+      .select(
+        (expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          % shards).cast("int").as("shard"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("fill_bp", expr(
+        s"""CAST((CAST(n_tokens AS DECIMAL(38,0)) * ${shards}L * 10000L)
+           | DIV SUM(n_tokens) OVER () AS BIGINT)""".stripMargin))
+      .orderBy(col("shard"))
+  }
+
+  val shardBalanceOracle: String = shardBalanceOracleAt(32)
+
+  /** Oracle builder on the SAME shard count as the engine function. */
+  def shardBalanceOracleAt(shards: Int): String =
+    s"""WITH assigned AS (
+      |  SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $shards AS INT) AS shard,
+      |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |per AS (
+      |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(tok) AS BIGINT) AS n_tokens
+      |  FROM assigned GROUP BY 1)
+      |SELECT shard, n_docs, n_tokens,
+      |       CAST(n_tokens * $shards * 10000 // SUM(n_tokens) OVER () AS BIGINT) AS fill_bp
+      |FROM per ORDER BY shard""".stripMargin
+
+  // --------------------------------------------------------------------
   // Snapshot CONTENT novelty — q65 diffs snapshots at doc granularity;
   // this answers the question a recrawl budget actually turns on: how
   // much genuinely NEW text did the new crawl bring, per source? Novelty

@@ -272,6 +272,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shardBalance: shards partition the corpus, fill_bp is the exact " +
+    "floored S-way ratio, assignment matches the md5 twin") {
+    val d = docs((0L until 200L).map(i =>
+      (i, ("tok " * (1 + (i % 7).toInt)).trim)): _*)
+    val s = 8
+    val out = Pipeline.shardBalance(d, shards = s).collect()
+    assert(out.map(_.getInt(0)).toSeq == (0 until s), "every shard present, ordered")
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 200L)
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    out.foreach { r =>
+      assert(r.getAs[Long]("fill_bp") ==
+        r.getAs[Long]("n_tokens") * s * 10000L / total)
+    }
+    // JVM twin of the assignment (the q73/q76 md5-bucket spelling)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shardOf(id: Long): Int = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % s).toInt
+    }
+    val expDocs = (0L until 200L).groupBy(shardOf).view
+      .mapValues(_.size.toLong).toMap
+    assert(out.map(r => r.getInt(0) -> r.getAs[Long]("n_docs")).toMap == expDocs)
+    assertDeterministic(Pipeline.shardBalance(d, shards = s))
+  }
+
   test("snapshotNovelty counts new/retired grams per source; an empty " +
     "today-crawl yields novelty 0, not a division error") {
     // snapshot membership by the q65 derivation: id%7==0 absent
