@@ -200,7 +200,11 @@ object SparkEntry {
     // training-shard manifest audit: md5-bucket shard assignment,
     // per-shard doc/token mass + exact-bp fill vs the ideal S-way split;
     // row-local + |S|-row aggregate, DECIMAL(38,0) mass arithmetic
-    "q80_shard_balance" -> ((s, d) => Pipeline.shardBalance(documents(s, d)))
+    "q80_shard_balance" -> ((s, d) => Pipeline.shardBalance(documents(s, d))),
+    // q78's sub-quadratic twin: pairs from 4x4 multi-table hyperplane
+    // LSH (union of same-bucket candidates, exact-cosine verified),
+    // same CC loop and rollup — the semantic-dedup path at 100 TB
+    "q81_semantic_lsh" -> ((s, d) => Similarity.semanticClustersLsh(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -285,6 +289,7 @@ object SparkEntry {
     "q77_quality_keepers" -> Dedup.qualityKeepersOracle,
     "q78_semantic_clusters" -> Similarity.semanticClustersOracle,
     "q79_snapshot_novelty" -> Pipeline.snapshotNoveltyOracle,
-    "q80_shard_balance" -> Pipeline.shardBalanceOracle
+    "q80_shard_balance" -> Pipeline.shardBalanceOracle,
+    "q81_semantic_lsh" -> Similarity.semanticClustersLshOracle
   )
 }

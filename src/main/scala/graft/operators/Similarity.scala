@@ -303,6 +303,99 @@ object Similarity {
   // so both engines order plain integers — no cross-engine struct
   // comparison semantics anywhere.
   // --------------------------------------------------------------------
+  // --------------------------------------------------------------------
+  // LSH near-dup pair source — the SUB-QUADRATIC path into
+  // [[semanticClusters]]: candidates are same-bucket pairs in ANY of L
+  // independent hyperplane tables (union raises recall: P[caught] =
+  // 1 − (1 − (1 − θ/π)^planes)^L — at cos ≥ 0.9, 4 tables × 4 planes
+  // catch ~95% of true pairs), each verified by the exact quantized
+  // cosine before it becomes an edge. Work is Σ_buckets n_b² instead of
+  // n²/2; more planes → smaller buckets (the knob to turn when a
+  // degenerate embedding distribution concentrates one bucket — that,
+  // plus AQE skew-split, is the hot-bucket story at scale).
+  // --------------------------------------------------------------------
+  /** Verified near-dup pairs (a, b) from L hyperplane tables. Table t
+    * uses planes [t·planes, (t+1)·planes) of the shared (p, d) weight
+    * formula, so the oracle recomputes every bucket bit-identically. */
+  private[graft] def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
+                                     tables: Int, planes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val bucketsUdf = udf { qv: Seq[Long] =>
+      val wts = LshWeights.upTo(tables * planes, qv.length)
+      Array.tabulate(tables) { t =>
+        var bucket = 0
+        var p = 0
+        while (p < planes) {
+          val w = wts(t * planes + p)
+          var dot = 0L
+          var d = 0
+          while (d < qv.length) { dot += w(d) * qv(d); d += 1 }
+          if (dot > 0) bucket |= 1 << p
+          p += 1
+        }
+        // fold the table id into the join key: tables must not cross-match
+        (t.toLong << 32) | (bucket.toLong & 0xffffffffL)
+      }
+    }
+    val bucketed = quantized(embeddings)
+      .select(col("vec_id"), col("qv"), col("n2"),
+        explode(bucketsUdf(col("qv"))).as("bkey"))
+      // exchange barrier: the self-join's branches reuse one shuffle
+      .repartition(col("bkey"))
+    bucketed.as("x")
+      .join(bucketed.as("y").hint("shuffle_hash"), Seq("bkey"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        (expr("CAST(graft_dot_long(x.qv, y.qv) AS DOUBLE)") /
+          sqrt(col("x.n2").cast("double") * col("y.n2").cast("double"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      // a true pair can collide in several tables — one edge each
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** [[semanticClusters]] on the LSH pair source — identical rollup,
+    * sub-quadratic candidate generation; recall bounded by the table ×
+    * plane configuration rather than exactness. */
+  def semanticClustersLsh(embeddings: DataFrame, threshold: Double = 0.5,
+                          tables: Int = 4, planes: Int = 4,
+                          maxIters: Int = 25): DataFrame =
+    Dedup.connectedComponents(
+      lshNearDupPairs(embeddings, threshold, tables, planes), maxIters,
+      "semanticClustersLsh")
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("v")).as("max_vec"))
+      .orderBy(col("component"))
+
+  val semanticClustersLshOracle: String = semanticClustersLshOracleAt(0.5, 4, 4)
+
+  /** Oracle builder on the SAME threshold/tables/planes as the engine. */
+  def semanticClustersLshOracleAt(threshold: Double, tables: Int,
+                                  planes: Int): String =
+    s"""WITH RECURSIVE $oracleQuantized,
+      |bucketed AS (
+      |  SELECT vec_id, qv, n2, t,
+      |         CAST(list_sum(list_transform(range(0, $planes), p ->
+      |           CASE WHEN list_sum(list_transform(range(1, len(qv)+1), d ->
+      |                  (CAST(concat('0x', substr(md5(concat(CAST(t * $planes + p AS VARCHAR), ':', CAST(d-1 AS VARCHAR))), 1, 8)) AS BIGINT)
+      |                   - 2147483648) * qv[d])) > 0
+      |                THEN 1 << p ELSE 0 END)) AS INT) AS bucket
+      |  FROM qn, (SELECT unnest(range(0, $tables)) AS t)),
+      |mp AS MATERIALIZED (
+      |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      |  FROM bucketed x JOIN bucketed y
+      |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+      |  WHERE $oracleCosExpr >= $threshold),
+      |edges AS MATERIALIZED (
+      |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
+      |reach(v, w) AS (
+      |  SELECT DISTINCT a AS v, a AS w FROM edges
+      |  UNION
+      |  SELECT r.v, e.b AS w FROM reach r JOIN edges e ON e.a = r.w),
+      |comp AS (
+      |  SELECT v, MIN(w) AS component FROM reach GROUP BY v)
+      |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_vecs, MAX(v) AS max_vec
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
   /** Scored IVF candidates (qid, nid, cos) BEFORE ranking — see
     * [[annLshScored]]; AnnRecallSpec sweeps nProbe/centroids over this. */
   private[graft] def annIvfScored(embeddings: DataFrame, nQueries: Int,

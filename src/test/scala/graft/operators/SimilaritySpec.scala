@@ -32,6 +32,29 @@ class SimilaritySpec extends SparkSpec {
     assertDeterministic(Similarity.semanticClusters(d))
   }
 
+  test("semanticClustersLsh: exact duplicates always cluster (identical " +
+    "buckets in every table); LSH components refine the exact ones") {
+    val d = emb(
+      (1L, Seq(1f, 0f, 2f), 0), (2L, Seq(1f, 0f, 2f), 0), // identical pair
+      (3L, Seq(0f, 5f, 0f), 1),                           // orthogonal
+      (4L, Seq(2f, 0f, 4f), 0))                           // scaled copy of 1
+    val out = Similarity.semanticClustersLsh(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // cos(1,2)=cos(1,4)=1.0 — same bucket in every table, recall 1.0
+    assert(out == Seq((1L, 3L, 4L)), out.toString)
+    // refinement: every LSH edge is an exact-cosine edge, so each LSH
+    // component sits inside one exact component
+    val rnd = new scala.util.Random(7)
+    val big = emb((0L until 60L).map(i =>
+      (i, Seq.fill(6)(rnd.nextFloat() - 0.5f), 0)): _*)
+    val exact = Similarity.cosineNearDup(big).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Similarity.lshNearDupPairs(big, 0.5, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.subsetOf(exact), (lshPairs -- exact).toString)
+    assertDeterministic(Similarity.semanticClustersLsh(d))
+  }
+
   test("annBruteTopK ranks nearer vectors first with stable tie-break") {
     val d = emb(
       (0L, Seq(1f, 0f), 0),   // query
