@@ -204,7 +204,12 @@ object SparkEntry {
     // q78's sub-quadratic twin: pairs from 4x4 multi-table hyperplane
     // LSH (union of same-bucket candidates, exact-cosine verified),
     // same CC loop and rollup — the semantic-dedup path at 100 TB
-    "q81_semantic_lsh" -> ((s, d) => Similarity.semanticClustersLsh(embeddings(s, d)))
+    "q81_semantic_lsh" -> ((s, d) => Similarity.semanticClustersLsh(embeddings(s, d))),
+    // streaming admission quota (batch twin): first k events per
+    // (user, 5-min-gap session) pass; the stateful gate's TTL is
+    // semantically exact — state drops when the watermark closes the
+    // session — so per-key state is two longs bounded by active keys
+    "q82_session_quota" -> ((s, d) => streaming.EventStream.sessionQuotaBatch(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -290,6 +295,7 @@ object SparkEntry {
     "q78_semantic_clusters" -> Similarity.semanticClustersOracle,
     "q79_snapshot_novelty" -> Pipeline.snapshotNoveltyOracle,
     "q80_shard_balance" -> Pipeline.shardBalanceOracle,
-    "q81_semantic_lsh" -> Similarity.semanticClustersLshOracle
+    "q81_semantic_lsh" -> Similarity.semanticClustersLshOracle,
+    "q82_session_quota" -> streaming.EventStream.sessionQuotaOracle
   )
 }

@@ -9,6 +9,9 @@ import graft.operators.Relational.exactSumRounded
 /** Running per-user state carried across micro-batches. */
 final case class UserRunning(user_id: Long, events_seen: Long, total_value: Double)
 
+final case class QuotaState(last_us: Long, in_session: Long)
+final case class QuotaAdmit(user_id: Long, event_id: Long, session_rank: Long)
+
 /** Structured Streaming transforms over the `events` table.
   *
   * Each transform is a pure `DataFrame => DataFrame` that works in BOTH
@@ -324,4 +327,101 @@ object EventStream {
       |       CAST(SUM(n_events) AS BIGINT) AS n_events,
       |       CAST(MAX(n_events) AS BIGINT) AS max_session_events
       |FROM per_session GROUP BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Streaming admission quota: at most k events per (user, session) pass
+  // the gate — the stateful rate-cap a streaming ingest puts in front of
+  // an expensive sink (featurization, external calls). Session = the
+  // q39/q74 gap semantics (new session when the event-time gap is >= the
+  // gap), so the TTL is semantically EXACT, not hygiene: once the
+  // watermark passes last-event + gap, any future event necessarily
+  // opens a new session, so the key's state can be dropped and its
+  // budget reset — per-key state is two longs, bounded by ACTIVE keys.
+  //
+  // Arrival-order contract: rows are processed in (ts, event_id) order
+  // within each call (sorted — flatMapGroupsWithState buffers the group
+  // either way); across micro-batches the watermark orders sessions. On
+  // a BATCH Dataset the whole history arrives as one sorted pass, which
+  // makes the batch run the exact lag/island oracle twin.
+  // --------------------------------------------------------------------
+  /** Admitted events only: (user_id, event_id, session_rank <= k). Gap
+    * arithmetic in MICROSECONDS (the fixture's native precision —
+    * Timestamp.getTime would truncate to ms and misalign the >= gap
+    * boundary against the oracle's interval compare). */
+  def sessionQuota(events: DataFrame, k: Int = 3,
+                   gapMinutes: Int = 5): Dataset[QuotaAdmit] = {
+    require(k > 0, s"need a positive admission budget, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, QuotaAdmit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+              state: GroupState[QuotaState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the session is closed for good
+            state.remove()
+            Iterator.empty
+          } else {
+            def us(t: java.sql.Timestamp): Long =
+              t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+            val sorted = rows.toArray.sortBy(r => (us(r._3), r._2))
+            val st = state.getOption.getOrElse(QuotaState(Long.MinValue, 0L))
+            var lastUs = st.last_us
+            var inSession = st.in_session
+            val out = Array.newBuilder[QuotaAdmit]
+            sorted.foreach { case (_, eid, t) =>
+              val m = us(t)
+              if (lastUs != Long.MinValue && m - lastUs >= gapUs) inSession = 0L
+              inSession += 1
+              if (inSession <= k) { out += QuotaAdmit(user, eid, inSession); () }
+              lastUs = m
+            }
+            state.update(QuotaState(lastUs, inSession))
+            // same legal-timestamp floor as userRunningCounts
+            try {
+              val floor = state.getCurrentWatermarkMs() + 1L
+              state.setTimeoutTimestamp(math.max(lastUs / 1000L + gapMinutes * 60000L, floor))
+            } catch {
+              case _: UnsupportedOperationException => () // batch run
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Batch/driver form of [[sessionQuota]] with a deterministic output
+    * order (streaming append mode cannot sort). */
+  def sessionQuotaBatch(events: DataFrame, k: Int = 3,
+                        gapMinutes: Int = 5): DataFrame =
+    sessionQuota(events, k, gapMinutes).toDF()
+      .orderBy(col("user_id"), col("event_id"))
+
+  val sessionQuotaOracle: String = sessionQuotaOracleAt(3, 5)
+
+  /** Oracle builder on the SAME budget and gap as the engine function. */
+  def sessionQuotaOracleAt(k: Int, gapMinutes: Int): String =
+    s"""WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL $gapMinutes MINUTE OR
+      |                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, event_id, ts,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |ranked AS (
+      |  SELECT user_id, event_id,
+      |         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rk
+      |  FROM isl)
+      |SELECT user_id, event_id, CAST(rk AS BIGINT) AS session_rank
+      |FROM ranked WHERE rk <= $k ORDER BY user_id, event_id""".stripMargin
 }

@@ -232,6 +232,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionQuota: budget continues across micro-batches, a gap opens " +
+    "a new session, an evicted key restarts, streaming equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val rows = Seq(
+      // b1: user 10 burst — k=2 admits e1/e2, rejects e3
+      Seq((1L, at("00:01:00"), 10L, "click", 1.0, "{}"),
+        (2L, at("00:02:00"), 10L, "click", 1.0, "{}"),
+        (3L, at("00:03:00"), 10L, "click", 1.0, "{}"),
+        (6L, at("00:01:00"), 11L, "view", 1.0, "{}")),
+      // b2: same session resumes in a LATER batch — still over budget
+      Seq((4L, at("00:04:00"), 10L, "click", 1.0, "{}")),
+      // b3: 16-min gap -> new session, budget resets (state survived)
+      Seq((5L, at("00:20:00"), 10L, "click", 1.0, "{}")),
+      // b4: watermark pusher — user 11's state (timeout 00:06) evicts
+      Seq((8L, at("03:00:00"), 12L, "error", 1.0, "{}")),
+      // b5: user 11 returns after eviction -> fresh session
+      Seq((7L, at("03:30:00"), 11L, "view", 1.0, "{}")))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.sessionQuota(streamDf, k = 2)
+      .writeStream.format("memory").queryName("quota_test")
+      .outputMode("append").start()
+    try {
+      rows.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("quota_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == Set(
+        (10L, 1L, 1L), (10L, 2L, 2L),          // burst capped at k=2
+        (10L, 5L, 1L),                         // new session after the gap
+        (11L, 6L, 1L), (11L, 7L, 1L),          // restart after eviction
+        (12L, 8L, 1L)), streamed.toString)
+      // the batch twin on the SAME rows (one pass, no eviction) agrees
+      val batch = EventStream.sessionQuotaBatch(toDf(rows.flatten), k = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == streamed, s"batch $batch vs streamed $streamed")
+    } finally q.stop()
+  }
+
   test("userRunningCounts on a BATCH Dataset spans the whole input " +
     "(timeouts never fire in batch — the TTL is a streaming-only bound)") {
     val out = EventStream.userRunningCounts(toDf(sample)).collect()
