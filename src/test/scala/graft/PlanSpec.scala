@@ -228,4 +228,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("ReusedExchange"),
       "self-join must broadcast the banded side or reuse its exchange:\n" + p.take(1200))
   }
+
+  /** Every HASH-keyed exchange in the plan sits above a partial
+    * aggregate — i.e. raw exploded rows (spans, grams) never cross the
+    * wire keyed. Range (presentation sort) and round-robin (the
+    * fixture-only Widen split) exchanges are out of scope. */
+  private def assertAllShufflesAboveAggregates(query: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries(query)(spark, sf).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    assert(shuffles.nonEmpty, s"expected at least one keyed shuffle in $query")
+    val offenders = shuffles.filterNot(
+      _.child.exists(_.isInstanceOf[BaseAggregateExec]))
+    assert(offenders.isEmpty,
+      s"$query shuffles raw (pre-aggregate) rows:\n" +
+        offenders.map(_.treeString.take(600)).mkString("\n"))
+  }
+
+  test("q75: the exploded span stream collapses map-side — every exchange " +
+    "carries (doc, hash, count) triples, never raw span rows") {
+    assertAllShufflesAboveAggregates("q75_dup_spans")
+  }
+
+  test("q79: the exploded gram stream collapses map-side — every exchange " +
+    "carries (source, hash, flags) triples, never raw gram rows") {
+    assertAllShufflesAboveAggregates("q79_snapshot_novelty")
+  }
+
+  test("q80: shard balance shuffles only aggregated |S|-row state") {
+    assertAllShufflesAboveAggregates("q80_shard_balance")
+  }
+
+  test("q81: the LSH bucket self-join reuses one exchange — the bucketed " +
+    "vectors materialize once") {
+    // the registered query's plan hides the join behind the persisted
+    // CC-labels stage; assert on the pair source itself. AQE off: at
+    // fixture scale the pair set is EMPTY and adaptive empty-relation
+    // propagation would erase the join before it can be inspected — the
+    // PREPARED plan (ReuseExchangeAndSubquery has run) is what we pin.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = graft.operators.Similarity.lshNearDupPairs(
+        Tables.embeddings(spark, sf), 0.5, 4, 4)
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        "bucketed self-join must not scan/bucket the vectors twice:\n" + p.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
