@@ -209,7 +209,23 @@ object SparkEntry {
     // (user, 5-min-gap session) pass; the stateful gate's TTL is
     // semantically exact — state drops when the watermark closes the
     // session — so per-key state is two longs bounded by active keys
-    "q82_session_quota" -> ((s, d) => streaming.EventStream.sessionQuotaBatch(events(s, d)))
+    "q82_session_quota" -> ((s, d) => streaming.EventStream.sessionQuotaBatch(events(s, d))),
+    // per-source salient terms by tf·idf with RAW linear idf = N/df (a
+    // ratio of exact integers → engine-independent ranking); reads the
+    // session-memoized docWords collapse, guarded-broadcast df side,
+    // bounded-heap top-k — |sources|·k rows out
+    "q83_tfidf_terms" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      TextAnalysis.tfidfTerms(documents(s, d))
+    }),
+    // curriculum difficulty bins: exact BY-VALUE quality quantiles via
+    // a bounded (≤10⁶-row) micro-unit histogram — no global row sort
+    // of the corpus at any scale
+    "q84_difficulty_bins" -> ((s, d) => TextAnalysis.difficultyBins(documents(s, d))),
+    // token-budget mixture sampling: per-source md5-priority running
+    // token sum (q62's range-sharded two-pass cumsum), keep while the
+    // budget lasts; |sources|-row rollup with exact fill bp
+    "q85_token_budget" -> ((s, d) => Pipeline.tokenBudgetSample(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -296,6 +312,9 @@ object SparkEntry {
     "q79_snapshot_novelty" -> Pipeline.snapshotNoveltyOracle,
     "q80_shard_balance" -> Pipeline.shardBalanceOracle,
     "q81_semantic_lsh" -> Similarity.semanticClustersLshOracle,
-    "q82_session_quota" -> streaming.EventStream.sessionQuotaOracle
+    "q82_session_quota" -> streaming.EventStream.sessionQuotaOracle,
+    "q83_tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
+    "q84_difficulty_bins" -> TextAnalysis.difficultyBinsOracle,
+    "q85_token_budget" -> Pipeline.tokenBudgetSampleOracle
   )
 }

@@ -726,4 +726,90 @@ object Pipeline {
       |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS INT) AS rk
       |  FROM pri)
       |SELECT source, rk, doc_id, tok FROM ranked WHERE rk <= $k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Token-budget sampling: the mixture-weighting step of assembling a
+  // training set — each source contributes documents in a deterministic
+  // content-independent priority order (md5(doc_id), the q63/q73
+  // convention: recrawl-stable, engine-independent) until a fixed token
+  // budget fills. q63 caps DOC counts; real mixes are specified in
+  // TOKENS, which needs a running sum, not a rank.
+  //
+  // Scale shape: the per-source cumsum is q62's two-pass trick with
+  // RANGE sharding — shard = pr·S / 2³², so shards are contiguous
+  // slices of the (pr, doc_id) priority order and an exclusive
+  // per-shard offset turns |S| independent local windows into the exact
+  // global cumsum. A hot source spreads over all S shards (no
+  // single-partition window over a 90%-source corpus); the offsets side
+  // is |sources|·S rows, broadcast. One scan, one window exchange, one
+  // broadcast join.
+  // --------------------------------------------------------------------
+  def tokenBudgetSample(documents: DataFrame, budget: Long = 800L,
+                        shards: Int = 32): DataFrame = {
+    require(budget > 0, s"need a positive token budget, got $budget")
+    require(shards > 0 && shards <= 4096, s"bad shard count $shards")
+    // ONE explicit (source, shard) shuffle consumed by pass 1's window,
+    // pass 2's aggregate, and the offset join — [[tokenPacking]]'s
+    // structure (see its ReuseExchange reasoning); the difference is the
+    // ORDER: priority shards must be contiguous in (pr, doc_id), so
+    // shard = pr·S/2³² (pr ∈ [0, 2³²) — shard order ∘ within-shard
+    // (pr, doc_id) order ≡ the global priority order).
+    val parted = documents
+      .select(col("source"), col("doc_id"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .as("pr"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("tok"))
+      .withColumn("shard", expr(s"CAST(pr * ${shards}L DIV 4294967296L AS INT)"))
+      .repartition(col("source"), col("shard"))
+    val wLocal = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("pr"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wShards = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("lcum", sum(col("tok")).over(wLocal))
+    // shard totals from max(lcum) of the SAME windowed plan (not a
+    // second pass over the scan) — both join branches share one
+    // canonical Exchange(Project(scan)) subtree
+    val offsets = local.groupBy(col("source"), col("shard"))
+      .agg(max(col("lcum")).as("shard_tok"))
+      .select(col("source"), col("shard"),
+        coalesce(sum(col("shard_tok")).over(wShards), lit(0L)).as("off"))
+    // null-safe keys keep ReuseExchange eligible (see tokenPacking)
+    local.as("l")
+      .join(offsets.as("r"),
+        col("l.source") <=> col("r.source") && col("l.shard") <=> col("r.shard"))
+      .select(col("l.source").as("source"), col("l.tok").as("tok"),
+        (col("l.lcum") + col("r.off")).as("cum"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_docs"),
+        sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("cum") <= budget, col("tok")).otherwise(0L))
+          .as("kept_tokens"))
+      // kept_tokens ≤ budget by construction, so fill_bp ≤ 10000 exact
+      .withColumn("fill_bp", expr(s"kept_tokens * 10000L DIV ${budget}L"))
+      .orderBy(col("source"))
+  }
+
+  val tokenBudgetSampleOracle: String = tokenBudgetSampleOracleAt(800L)
+
+  /** Oracle builder on the SAME budget as the engine function. The
+    * shard two-pass is invisible to semantics (range shards are
+    * contiguous in the priority order), so the oracle is the plain
+    * per-source running sum. */
+  def tokenBudgetSampleOracleAt(budget: Long): String =
+    s"""WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS pr,
+      |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, tok,
+      |         SUM(tok) OVER (PARTITION BY source ORDER BY pr, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS total_docs,
+      |       CAST(SUM(CASE WHEN cum <= $budget THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |       CAST(SUM(CASE WHEN cum <= $budget THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |       CAST(SUM(CASE WHEN cum <= $budget THEN tok ELSE 0 END) * 10000 // $budget AS BIGINT) AS fill_bp
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
 }

@@ -543,4 +543,154 @@ object TextAnalysis {
       |       CASE WHEN len(hs) > 1 THEN hs[2] ELSE hs[1] END AS fp_min2,
       |       CAST(len(hs) AS INT) AS n_windows
       |FROM hs ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // TF-IDF salient terms: top-k terms per source ranked by tf·idf with
+  // the RAW linear inverse frequency idf = N/df (unsmoothed) — chosen
+  // over ln-idf deliberately: the score is then a ratio of exact
+  // integers, so both engines rank by bit-identical doubles (one IEEE
+  // multiply + one divide over exactly-represented integers) instead of
+  // by libm's ln, whose last-ulp platform disagreements would make the
+  // top-k boundary engine-dependent. What a source's salient terms are
+  // for ("what is this crawl about") survives any monotone idf variant.
+  //
+  // Scale shape: reads the session-memoized docWords collapse (ONE
+  // corpus scan shared with q31/q68); tf aggregates behind (source, w)
+  // and df behind w — both partial+final HashAggregates, so the zipfian
+  // token stream never crosses a shuffle raw; the |V|-row df side is
+  // guarded-broadcast (join fallback for open vocabularies) so the
+  // stopword-skewed join on `w` never shuffles by token; the final
+  // rank is the bounded-heap TopKPerKey operator — |sources|·k rows out.
+  // --------------------------------------------------------------------
+  /** @param broadcastDf as [[langId]]'s profile flag: the df table is
+    *   |V| rows — broadcast with an in-plan size guard by default;
+    *   false takes the plain aggregated-join fallback. */
+  def tfidfTerms(documents: DataFrame, k: Int = 10,
+                 broadcastDf: Boolean = true,
+                 maxDfRows: Long = 10000000L): DataFrame = {
+    val docWords = docWordsShared(documents)
+    val tf = docWords.groupBy(col("source"), col("w"))
+      .agg(sum(col("n")).as("tf"))
+    // docWords carries one row per (containing doc, word): counting
+    // rows per w IS the document frequency
+    val dfCounts = docWords.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docWords.select(countDistinct(col("doc_id")).as("nd"))
+    val dfSide =
+      if (!broadcastDf) dfCounts
+      else {
+        val cnt = dfCounts.agg(count(lit(1)).as("df_rows"))
+        broadcast(dfCounts.crossJoin(cnt).select(col("w"),
+          expr(Guards.guardedSql("df_rows", maxDfRows,
+            "tfidf df table", "df", "BIGINT",
+            "call tfidfTerms with broadcastDf = false")).as("df")))
+      }
+    val scored = tf.join(dfSide, "w").crossJoin(nDocs)
+      .select(col("source"), col("w"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("nd") / col("df")).as("tfidf"))
+    scored
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, w ASC)"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("w"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val tfidfTermsOracle: String = tfidfTermsOracleAt(10)
+
+  /** Oracle builder on the SAME k as the engine function. */
+  def tfidfTermsOracleAt(k: Int): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, t.w FROM documents,
+      |       unnest(string_split_regex(lower(text), '\\s+')) AS t(w)
+      |  WHERE len(t.w) > 0),
+      |docwords AS (
+      |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS n
+      |  FROM toks GROUP BY 1, 2, 3),
+      |tf AS (SELECT source, w, CAST(SUM(n) AS BIGINT) AS tf
+      |       FROM docwords GROUP BY 1, 2),
+      |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM docwords GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM docwords),
+      |scored AS (
+      |  SELECT source, w, tf.tf, df.df,
+      |         CAST(tf.tf AS DOUBLE) * nd.nd / df.df AS tfidf
+      |  FROM tf JOIN df USING (w), nd),
+      |ranked AS (
+      |  SELECT source, w, tf, df, tfidf,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY tfidf DESC, w ASC) AS rnk
+      |  FROM scored)
+      |SELECT source, CAST(rnk AS INT) AS rnk, w, tf, df, tfidf
+      |FROM ranked WHERE rnk <= $k ORDER BY source, rnk""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Curriculum difficulty bins: exact quality-quantile binning of the
+  // corpus (curriculum-learning order: feed easy/clean bins first, hard
+  // bins later). bin(d) = floor(B · |{docs with q6 < q6(d)}| / N) — a
+  // BY-VALUE quantile, so equal scores always share a bin (unlike
+  // ntile, which splits ties by arbitrary row order).
+  //
+  // Scale shape: the corpus collapses to a (q6 → count, tokens)
+  // HISTOGRAM first — q6 is an integer micro-unit in [0, 10⁶], so the
+  // histogram is a BOUNDED table (≤ 10⁶+1 rows) independent of corpus
+  // size. The rank cumsum then runs as a single-partition window over
+  // that bounded table (exact quantiles with no global row sort of the
+  // corpus — the same two-pass trick as q62's shard offsets), and the
+  // per-bin rollup is ≤ B rows. One corpus scan, one histogram
+  // exchange, O(10⁶) window work regardless of N.
+  // --------------------------------------------------------------------
+  def difficultyBins(documents: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"need a positive bin count, got $bins")
+    val hist = perDocQuality(documents).groupBy(col("q6"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_toks")).as("tok"))
+    val binned = hist.select(col("q6"), col("cnt"), col("tok"),
+        expr("""COALESCE(SUM(cnt) OVER (ORDER BY q6
+            | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"""
+          .stripMargin).as("below"),
+        expr("SUM(cnt) OVER ()").as("nd"))
+      // below < nd always, so bins land in [0, B-1]; B·below fits a
+      // long to ~10¹⁸/B docs
+      .select(col("cnt"), col("tok"), col("q6"),
+        expr(s"CAST((${bins}L * below) DIV nd AS INT)").as("bin"))
+    binned.groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("docs"), sum(col("tok")).as("total_tokens"),
+        (min(col("q6")) / lit(1000000.0)).as("min_quality"),
+        (max(col("q6")) / lit(1000000.0)).as("max_quality"))
+      .orderBy(col("bin"))
+  }
+
+  val difficultyBinsOracle: String = difficultyBinsOracleAt(10)
+
+  /** Oracle builder on the SAME bin count as the engine function; the
+    * perdoc/scored CTEs are the exact [[qualityScoreOracle]] spelling. */
+  def difficultyBinsOracleAt(bins: Int): String =
+    s"""WITH perdoc AS (
+      |  SELECT len(ts) AS n_toks, len(list_distinct(ts)) AS n_uniq,
+      |         CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS tok_chars
+      |  FROM (SELECT string_split_regex(lower(text), '\\s+') AS ts FROM documents)
+      |  WHERE len(ts) > 0),
+      |scored AS (
+      |  SELECT n_toks,
+      |         CAST(floor((
+      |           0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
+      |           0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
+      |           0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
+      |         ) * 1000000 + 0.5) AS BIGINT) AS q6
+      |  FROM perdoc),
+      |hist AS (
+      |  SELECT q6, CAST(count(*) AS BIGINT) AS cnt,
+      |         CAST(SUM(n_toks) AS BIGINT) AS tok
+      |  FROM scored GROUP BY 1),
+      |c AS (
+      |  SELECT q6, cnt, tok,
+      |         COALESCE(SUM(cnt) OVER (ORDER BY q6
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |         SUM(cnt) OVER () AS nd
+      |  FROM hist)
+      |SELECT CAST(($bins * below) // nd AS INT) AS bin,
+      |       CAST(SUM(cnt) AS BIGINT) AS docs,
+      |       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |       MIN(q6) / 1000000.0 AS min_quality,
+      |       MAX(q6) / 1000000.0 AS max_quality
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -265,6 +265,17 @@ class PlanSpec extends SparkSpec {
     assertAllShufflesAboveAggregates("q80_shard_balance")
   }
 
+  test("q83: tf and df collapse map-side — no exchange carries the raw " +
+    "zipfian token stream") {
+    assertAllShufflesAboveAggregates("q83_tfidf_terms")
+  }
+
+  test("q84: the quantile cumsum runs over the bounded (q6) histogram — " +
+    "every hash exchange sits above the collapse; the corpus is never " +
+    "globally row-sorted") {
+    assertAllShufflesAboveAggregates("q84_difficulty_bins")
+  }
+
   test("q81: the LSH bucket self-join reuses one exchange — the bucketed " +
     "vectors materialize once") {
     // the registered query's plan hides the join behind the persisted

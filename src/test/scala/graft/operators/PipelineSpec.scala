@@ -347,4 +347,58 @@ class PipelineSpec extends SparkSpec {
       assert(out(status).getAs[Long]("max_doc") == docIds.max, status)
     }
   }
+
+  test("tokenBudgetSample: the kept set is the md5-priority prefix whose " +
+    "running token sum fits the budget, and the shard count is invisible") {
+    import org.apache.commons.codec.digest.DigestUtils
+    val d = docs((0L until 60L).map(i =>
+      (i, ("tok " * (1 + (i % 7)).toInt).trim)): _*)
+    val budget = 25L
+    // brute force: per source, order by (md5-prefix, doc_id), keep while
+    // the running sum stays within the budget
+    def pr(id: Long): Long =
+      java.lang.Long.parseLong(DigestUtils.md5Hex(id.toString).take(8), 16)
+    val raw = d.select("doc_id", "source", "text").collect().map(r =>
+      (r.getString(1), pr(r.getLong(0)), r.getLong(0),
+        r.getString(2).split("\\s+").length.toLong))
+    val expected = raw.groupBy(_._1).map { case (src, rs) =>
+      var cum = 0L; var kd = 0L; var kt = 0L
+      rs.sortBy(t => (t._2, t._3)).foreach { t =>
+        cum += t._4
+        if (cum <= budget) { kd += 1; kt += t._4 }
+      }
+      src -> ((rs.length.toLong, kd, kt, kt * 10000L / budget))
+    }
+    val out = Pipeline.tokenBudgetSample(d, budget = budget, shards = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == expected, s"$out vs $expected")
+    // budget is a hard cap
+    out.values.foreach { case (_, _, kt, fill) =>
+      assert(kt <= budget && fill <= 10000L)
+    }
+    // the range-shard two-pass decomposition is invisible to semantics
+    val oneShard = Pipeline.tokenBudgetSample(d, budget = budget, shards = 1)
+      .collect().map(_.toSeq).toSeq
+    val manyShards = Pipeline.tokenBudgetSample(d, budget = budget, shards = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(oneShard == manyShards)
+  }
+
+  test("tokenBudgetSample plan: one (source, shard) exchange feeds the local " +
+    "window, the offsets aggregate, and the join — no second corpus pass") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = docs((0L until 40L).map(i => (i, s"alpha beta gamma g$i")): _*)
+      val q = Pipeline.tokenBudgetSample(d, budget = 10L, shards = 4)
+      val plan = q.queryExecution.executedPlan.toString
+      val partLines =
+        plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(partLines.exists(l => l.contains("source") && l.contains("shard")),
+        s"no (source, shard)-keyed exchange in:\n${partLines.mkString("\n")}")
+      assert(plan.contains("ReusedExchange"),
+        "offsets branch re-scans the corpus (no ReusedExchange):\n" +
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

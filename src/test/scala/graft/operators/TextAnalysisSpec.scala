@@ -204,4 +204,66 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(udfOut == sqlOut)
   }
+
+  test("tfidfTerms ranks by tf·N/df with exact integers: source-exclusive " +
+    "repeated terms beat corpus-wide stopwords; double-ties break by word") {
+    val d = docs(
+      (1L, "zebra zebra zebra the the", "en", "a"),
+      (2L, "zebra the yak", "en", "a"),
+      (3L, "the quokka quokka", "en", "b"),
+      (4L, "the yak", "en", "b"))
+    // N=4. a: zebra tf=4 df=2 → 8.0; the tf=3 df=4 → 3.0; yak 1·4/2 → 2.0
+    //      b: quokka tf=2 df=1 → 8.0; the tf=2 df=4 → 2.0 ties yak
+    //      1·4/2 → 2.0, 'the' < 'yak' wins rank 2
+    val out = TextAnalysis.tfidfTerms(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("a", 1)) == (("zebra", 4L, 2L, 8.0)), out.toString)
+    assert(out(("a", 2)) == (("the", 3L, 4L, 3.0)), out.toString)
+    assert(out(("b", 1)) == (("quokka", 2L, 1L, 8.0)), out.toString)
+    assert(out(("b", 2)) == (("the", 2L, 4L, 2.0)), out.toString)
+    assert(out.size == 4)
+  }
+
+  test("tfidfTerms: the join fallback matches the broadcast path, and an " +
+    "over-bound df table raises loudly instead of broadcasting") {
+    val d = docs((1L to 6L).map(i =>
+      (i, s"alpha beta gamma delta w$i w$i", "en", s"s${i % 2}")): _*)
+    val bc = TextAnalysis.tfidfTerms(d, k = 3).collect().map(_.toSeq).toSeq
+    val jn = TextAnalysis.tfidfTerms(d, k = 3, broadcastDf = false)
+      .collect().map(_.toSeq).toSeq
+    assert(bc == jn)
+    val e = intercept[Exception] {
+      TextAnalysis.tfidfTerms(d, k = 1, maxDfRows = 2L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("broadcastDf = false")),
+      e.toString)
+  }
+
+  test("difficultyBins: by-value quantile bins — equal scores share a bin, " +
+    "ids live in [0, B), mass is conserved, ranges are disjoint and ordered") {
+    // four exact quality levels (identical texts tie bit-for-bit):
+    // ascending q6 with 3, 4, 2, 1 docs → cum-below ranks 0, 3, 7, 9
+    // → B=5 bins 0, 1, 3, 4
+    val texts =
+      Seq.fill(4)("a b") ++ Seq.fill(3)("c c c c") ++
+        Seq.fill(2)((1 to 50).map(i => s"w$i").mkString(" ")) :+
+        (1 to 120).map(i => s"x$i").mkString(" ")
+    val d = docs(texts.zipWithIndex.map {
+      case (t, i) => (i.toLong, t, "en", "s") }: _*)
+    val out = TextAnalysis.difficultyBins(d, bins = 5).collect()
+    val byBin = out.map(r => r.getAs[Int]("bin") -> r.getAs[Long]("docs")).toMap
+    assert(byBin == Map(0 -> 3L, 1 -> 4L, 3 -> 2L, 4 -> 1L), byBin.toString)
+    assert(out.map(_.getAs[Long]("docs")).sum == 10L)
+    val sorted = out.sortBy(_.getAs[Int]("bin"))
+    val ranges = sorted.map(r =>
+      (r.getAs[Double]("min_quality"), r.getAs[Double]("max_quality")))
+    assert(ranges.forall { case (lo, hi) => lo <= hi && lo >= 0.0 && hi <= 1.0 })
+    assert(ranges.sliding(2).forall {
+      case Array((_, h1), (l2, _)) => h1 < l2
+      case _ => true
+    }, ranges.mkString(", "))
+  }
 }
