@@ -225,7 +225,11 @@ object SparkEntry {
     // token-budget mixture sampling: per-source md5-priority running
     // token sum (q62's range-sharded two-pass cumsum), keep while the
     // budget lasts; |sources|-row rollup with exact fill bp
-    "q85_token_budget" -> ((s, d) => Pipeline.tokenBudgetSample(documents(s, d)))
+    "q85_token_budget" -> ((s, d) => Pipeline.tokenBudgetSample(documents(s, d))),
+    // temperature-based source mixing (p_i ∝ √T_i): ONE partial-agg
+    // shuffle to |sources| rows, then Σw window + DECIMAL(38,0)
+    // allocation math on the tiny table
+    "q86_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -315,6 +319,7 @@ object SparkEntry {
     "q82_session_quota" -> streaming.EventStream.sessionQuotaOracle,
     "q83_tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
     "q84_difficulty_bins" -> TextAnalysis.difficultyBinsOracle,
-    "q85_token_budget" -> Pipeline.tokenBudgetSampleOracle
+    "q85_token_budget" -> Pipeline.tokenBudgetSampleOracle,
+    "q86_mix_temperature" -> Pipeline.mixTemperatureOracle
   )
 }

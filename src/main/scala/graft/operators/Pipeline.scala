@@ -812,4 +812,80 @@ object Pipeline {
       |       CAST(SUM(CASE WHEN cum <= $budget THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens,
       |       CAST(SUM(CASE WHEN cum <= $budget THEN tok ELSE 0 END) * 10000 // $budget AS BIGINT) AS fill_bp
       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Temperature-based source mixing (the multilingual-sampling rule of
+  // XLM-R / mT5: sample source i with p_i ∝ T_i^α, α = 1/2): per-source
+  // token totals → integer-exact √ weight → floor-allocated share of a
+  // global token budget → repeat factor (epochs over the source's own
+  // data) in micro-units. α < 1 down-weights head sources and up-weights
+  // the tail — the knob that keeps a 90%-one-source crawl from drowning
+  // everything else in the training mix. Distinct from [[sourceMixture]]
+  // (independent per-source Bernoulli rates; no cross-source coupling)
+  // and [[tokenBudgetSample]] (a per-source priority cutoff): the
+  // temperature rule is GLOBAL — every allocation depends on Σ√T.
+  //
+  // Scale shape: ONE partial-agg shuffle collapses the corpus to
+  // |sources| rows; the Σw window and all allocation math run on that
+  // tiny table (same bounded-table trick as difficultyBins' histogram).
+  // isqrt is exact: T fits 2^53 so the double-sqrt candidate is within
+  // ±1 of floor(√T), and a two-sided integer correction lands it —
+  // identical arithmetic in the DuckDB oracle. Allocation multiplies in
+  // DECIMAL(38,0) (q41's pattern): weight·budget overflows int64 once
+  // budget ≳ 10¹³ tokens — exactly the 100 TB regime.
+  // --------------------------------------------------------------------
+  def mixTemperature(documents: DataFrame, budget: Long = 100000L): DataFrame = {
+    require(budget > 0, s"need a positive token budget, got $budget")
+    val totals = documents
+      .select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("total_tokens"))
+    totals
+      .withColumn("cand",
+        expr("CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("weight", expr(
+        """CASE WHEN (cand + 1) * (cand + 1) <= total_tokens THEN cand + 1
+          |     WHEN cand * cand > total_tokens THEN cand - 1
+          |     ELSE cand END""".stripMargin))
+      // whole-table window over the |sources|-row aggregate — bounded,
+      // single partition by design (difficultyBins precedent)
+      .withColumn("wsum", sum(col("weight")).over(Window.partitionBy()))
+      .withColumn("share_bp", expr("weight * 10000L DIV wsum"))
+      .withColumn("alloc_tokens", expr(
+        s"CAST(CAST(weight AS DECIMAL(38,0)) * ${budget}L DIV CAST(wsum AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("epochs_micro", expr(
+        "CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000L DIV CAST(total_tokens AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("source"), col("total_tokens"), col("weight"),
+        col("share_bp"), col("alloc_tokens"), col("epochs_micro"))
+      .orderBy(col("source"))
+  }
+
+  val mixTemperatureOracle: String = mixTemperatureOracleAt(100000L)
+
+  /** Oracle builder on the SAME budget as the engine function; the isqrt
+    * correction is spelled identically, and the allocation multiplies in
+    * HUGEINT where Spark multiplies in DECIMAL(38,0). */
+  def mixTemperatureOracleAt(budget: Long): String =
+    s"""WITH totals AS (
+      |  SELECT source,
+      |         CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, total_tokens,
+      |         CASE WHEN (c + 1) * (c + 1) <= total_tokens THEN c + 1
+      |              WHEN c * c > total_tokens THEN c - 1
+      |              ELSE c END AS weight
+      |  FROM (SELECT source, total_tokens,
+      |               CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS c
+      |        FROM totals)),
+      |s AS (SELECT source, total_tokens, weight, SUM(weight) OVER () AS wsum FROM w),
+      |a AS (
+      |  SELECT source, total_tokens, weight,
+      |         weight * 10000 // wsum AS share_bp,
+      |         CAST(CAST(weight AS HUGEINT) * $budget // wsum AS BIGINT) AS alloc_tokens
+      |  FROM s)
+      |SELECT source, total_tokens, weight,
+      |       CAST(share_bp AS BIGINT) AS share_bp, alloc_tokens,
+      |       CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS epochs_micro
+      |FROM a ORDER BY source""".stripMargin
 }

@@ -401,4 +401,59 @@ class PipelineSpec extends SparkSpec {
           plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("mixTemperature: √-weight allocation matches an exact BigInt brute " +
+    "force, including perfect-square and off-by-one totals") {
+    import spark.implicits._
+    // per-source totals engineered around isqrt boundaries: 16 (exact
+    // square), 17 (square+1), 24 (next square−1), 25, 99, 100
+    val totals = Seq("a" -> 16, "b" -> 17, "c" -> 24, "d" -> 25,
+      "e" -> 99, "f" -> 100)
+    val rows = totals.zipWithIndex.map { case ((src, n), i) =>
+      (i.toLong, ("tok " * n).trim, "en", src, 0L)
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val budget = 1000L
+    def isqrt(n: Long): Long = {
+      val c = math.sqrt(n.toDouble).toLong
+      if ((c + 1) * (c + 1) <= n) c + 1 else if (c * c > n) c - 1 else c
+    }
+    val w = totals.map { case (s, n) => (s, n.toLong, isqrt(n.toLong)) }
+    val wsum = w.map(_._3).sum
+    val expected = w.map { case (s, n, wi) =>
+      val alloc = (BigInt(wi) * budget / wsum).toLong
+      (s, n, wi, wi * 10000L / wsum, alloc,
+        (BigInt(alloc) * 1000000L / n).toLong)
+    }.sortBy(_._1)
+    val out = Pipeline.mixTemperature(d, budget = budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == expected, s"$out\nvs\n$expected")
+    // floor allocation never over-commits the budget
+    assert(out.map(_._5).sum <= budget)
+    // √-temperature flattens the mix: the 100-token source gets ≤ 2.5×
+    // the 16-token source's share (√ ratio), not the 6.25× raw ratio
+    val shares = out.map(t => t._1 -> t._4).toMap
+    assert(shares("f") * 2 <= shares("a") * 5,
+      s"head share not flattened: ${shares}")
+  }
+
+  test("mixTemperature plan: the corpus collapses in ONE source-keyed " +
+    "partial-agg exchange; the Σw window runs single-partition on the " +
+    "|sources|-row table after it") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = docs((0L until 40L).map(i => (i, s"alpha beta g$i")): _*)
+      val q = Pipeline.mixTemperature(d, budget = 500L)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val hashEx =
+        plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(hashEx.size == 1 && hashEx.head.contains("source"),
+        s"expected exactly one source-keyed exchange:\n${hashEx.mkString("\n")}")
+      assert(plan.contains("SinglePartition"),
+        "Σw window should run on the post-agg tiny table via a " +
+          s"SinglePartition exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
