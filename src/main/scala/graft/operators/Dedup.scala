@@ -949,4 +949,75 @@ object Dedup {
       |       CAST(SUM(CASE WHEN g >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans,
       |       CAST(SUM(CASE WHEN g >= 2 THEN c ELSE 0 END) * 10000 // SUM(c) AS BIGINT) AS dup_bp
       |FROM withg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Cross-source duplication matrix: which sources copy from which.
+  // A (src_a, src_b) cell counts the DISTINCT k-token span hashes
+  // present in both sources ([[dupSpans]]' span hash, so the two
+  // profiles agree on what a "repeated span" is), plus each side's own
+  // distinct-span count and the overlap as per-mille of the smaller
+  // side — the provenance view a curation pipeline needs before
+  // deciding which of two overlapping crawls to keep. Exact-fingerprint
+  // overlap ([[exactDedup]]'s fp) is the wrong granularity here:
+  // cross-source copying is span-level (templates, syndication), not
+  // whole-document.
+  //
+  // Scale shape: spans collapse to DISTINCT (source, h) pairs map-side
+  // before any shuffle (8 B hash + source id per row — never the text);
+  // the h-keyed self-join groups are bounded by |sources| per hash, so
+  // the join output is ≤ |H|·|S|²; per-source totals are a |S|-row
+  // aggregate broadcast back onto the ≤ |S|²/2-row pair table. One
+  // corpus scan, one (source, h) exchange, one h-keyed barrier
+  // exchange reused by both join branches.
+  // --------------------------------------------------------------------
+  def sourceOverlap(documents: DataFrame, k: Int = DefaultSpanTokens): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    val spans = Widen.widen(documents)
+      .select(col("source"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("source"), explode(spanHashUdf(k)(col("toks"))).as("h"))
+      .distinct()
+      // barrier: one h-keyed exchange feeds BOTH self-join branches
+      // (ReusedExchange) instead of re-deriving the span explosion per
+      // branch (the CollapseProject trap — see simhashDedup)
+      .repartition(col("h"))
+    val perSource = spans.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_spans"))
+    val pairs = spans.as("x").join(spans.as("y"), "h")
+      .filter(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+    pairs
+      .join(broadcast(perSource.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_spans", "a_spans")), Seq("src_a"))
+      .join(broadcast(perSource.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_spans", "b_spans")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_spans"),
+        col("a_spans"), col("b_spans"),
+        expr("shared_spans * 1000L DIV least(a_spans, b_spans)").as("overlap_pm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapOracle: String = sourceOverlapOracleAt(DefaultSpanTokens)
+
+  /** Oracle builder on the SAME span width (and 32-bit md5-prefix span
+    * hash) as the engine function. */
+  def sourceOverlapOracleAt(k: Int): String =
+    s"""WITH toks AS (
+      |  SELECT source, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+      |sp AS MATERIALIZED (
+      |  SELECT DISTINCT source,
+      |         unnest([CAST(concat('0x', substr(md5(array_to_string(ts[i:i+${k - 1}], ' ')), 1, 8)) AS BIGINT)
+      |                 for i in range(1, len(ts) - ${k - 2})]) AS h
+      |  FROM toks WHERE len(ts) >= $k),
+      |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sp GROUP BY source),
+      |pairs AS (
+      |  SELECT x.source AS src_a, y.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared_spans
+      |  FROM sp x JOIN sp y ON x.h = y.h AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, shared_spans,
+      |       ca.n AS a_spans, cb.n AS b_spans,
+      |       CAST(shared_spans * 1000 // least(ca.n, cb.n) AS BIGINT) AS overlap_pm
+      |FROM pairs JOIN cnt ca ON ca.source = src_a JOIN cnt cb ON cb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
 }

@@ -218,4 +218,46 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((6L, 1L, 1666L)) && out(2L) == ((6L, 1L, 1666L)))
     assertDeterministic(Dedup.dupSpans(d))
   }
+
+  test("sourceOverlap: hand-computed span-overlap matrix; sources with no " +
+    "shared span emit no row") {
+    import spark.implicits._
+    val d = Seq(
+      // a∩b = exactly the span "p q r s t"; b∩c = exactly "m n o k l";
+      // d shares nothing and must not appear
+      (1L, "p q r s t u1a u2a u3a", "a"),
+      (2L, "p q r s t v1b v2b v3b", "b"),
+      (3L, "m n o k l w1b w2b", "b"),
+      (4L, "m n o k l z1c z2c z3c z4c", "c"),
+      (5L, "d1 d2 d3 d4 d5", "d"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val out = Dedup.sourceOverlap(d, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // distinct spans: a=4, b=4+3=7, c=5, d=1
+    assert(out == Seq(
+      ("a", "b", 1L, 4L, 7L, 1000L * 1 / 4),
+      ("b", "c", 1L, 7L, 5L, 1000L * 1 / 5)), s"got $out")
+    assertDeterministic(Dedup.sourceOverlap(d, k = 5))
+  }
+
+  test("sourceOverlap plan: both self-join branches read ONE h-keyed " +
+    "exchange (ReusedExchange), not a re-derived span explosion") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = (0L until 30L).map(i =>
+        (i, s"alpha beta gamma delta epsilon tail$i", s"s${i % 4}"))
+        .toDF("doc_id", "text", "source")
+        .selectExpr("doc_id", "text", "'en' AS lang", "source",
+          "CAST(length(text) AS BIGINT) AS n_chars")
+      val q = Dedup.sourceOverlap(d, k = 5)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        "self-join re-derives the span stage (no ReusedExchange):\n" +
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
