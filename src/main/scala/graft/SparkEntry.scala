@@ -229,7 +229,21 @@ object SparkEntry {
     // temperature-based source mixing (p_i ∝ √T_i): ONE partial-agg
     // shuffle to |sources| rows, then Σw window + DECIMAL(38,0)
     // allocation math on the tiny table
-    "q86_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(documents(s, d)))
+    "q86_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(documents(s, d))),
+    // cross-source span-overlap matrix: distinct (source, span-hash)
+    // collapse map-side, h-keyed self-join bounded by |sources| per
+    // hash, |S|-row totals broadcast onto the ≤|S|²/2 pair table
+    "q87_source_overlap" -> ((s, d) => Dedup.sourceOverlap(documents(s, d))),
+    // SemDeDup exemplar per semantic cluster: integer centroid from a
+    // map-side-collapsed (lbl, pos) partial agg, codegen'd dot scoring,
+    // rank-1 bounded-heap argmax. Threshold 0.4 (vs q78's 0.5) keeps a
+    // rich cluster population at fixture scale; on a denser embedding
+    // space it may percolate into few giant components — the CC is
+    // O(log diameter) rounds either way
+    "q88_cluster_reps" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      Similarity.clusterReps(embeddings(s, d), threshold = 0.4)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -320,6 +334,8 @@ object SparkEntry {
     "q83_tfidf_terms" -> TextAnalysis.tfidfTermsOracle,
     "q84_difficulty_bins" -> TextAnalysis.difficultyBinsOracle,
     "q85_token_budget" -> Pipeline.tokenBudgetSampleOracle,
-    "q86_mix_temperature" -> Pipeline.mixTemperatureOracle
+    "q86_mix_temperature" -> Pipeline.mixTemperatureOracle,
+    "q87_source_overlap" -> Dedup.sourceOverlapOracle,
+    "q88_cluster_reps" -> Similarity.clusterRepsOracleAt(0.4)
   )
 }

@@ -604,4 +604,86 @@ object Similarity {
       |  FROM scored)
       |SELECT qid, CAST(rank AS INT) AS rank, nid, ROUND(cos, 6) AS cosine
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // SemDeDup-style cluster representative selection (Abbas et al. 2023:
+  // prune semantic duplicates by keeping one exemplar per embedding
+  // cluster): for every [[semanticClusters]] component, keep the member
+  // whose embedding points most along the cluster centroid — argmax of
+  // dot(x, Σ members). The centroid is the INTEGER sum of quantized
+  // member vectors, never divided by n (same argmax, zero float error);
+  // products stay in int64 to ~10⁹ members/cluster (|x_i| ≤ 10⁴,
+  // |Σy_i| ≤ n·10⁴, d = 64).
+  //
+  // Scale shape: the member↔vector join is vec_id-keyed; the centroid
+  // builds from a (lbl, pos) posexplode that partial-aggregates
+  // MAP-SIDE (members·d rows collapse to |clusters|·d before the
+  // shuffle); scoring joins the |clusters|-row centroid table back on
+  // lbl; the per-cluster argmax is a rank-1 window (bounded-heap
+  // TopKPerKey when installed). The oracle avoids centroid construction
+  // entirely via the exact identity dot(x, Σy) = Σy dot(x, y) — same
+  // integers, quadratic only at oracle scale.
+  // --------------------------------------------------------------------
+  def clusterReps(embeddings: DataFrame, threshold: Double = 0.5,
+                  maxIters: Int = 25): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = quantized(embeddings)
+    val pairs = cosineNearDup(embeddings, threshold).select(col("a"), col("b"))
+    val members = Dedup.connectedComponents(pairs, maxIters, "clusterReps")
+      .select(col("lbl"), col("v"))
+    val mq = members.join(q, col("v") === col("vec_id"))
+      .select(col("lbl"), col("v"), col("qv"))
+    val cent = mq.select(col("lbl"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("lbl"), col("pos")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("lbl"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sx))), s -> s.sx)")
+        .as("cv"))
+    mq.join(cent, Seq("lbl"))
+      .select(col("lbl"), col("v"),
+        expr("CAST(graft_dot_long(qv, cv) AS BIGINT)").as("dot"))
+      .withColumn("n_vecs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))))
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY lbl ORDER BY dot DESC, v ASC)"))
+      .filter(col("rnk") === 1)
+      .select(col("lbl").as("component"), col("n_vecs"),
+        col("v").as("rep_vec"), col("dot").as("rep_dot"))
+      .orderBy(col("component"))
+  }
+
+  val clusterRepsOracle: String = clusterRepsOracleAt(0.5)
+
+  /** Oracle builder on the SAME cosine threshold as the engine function.
+    * Scores via Σy dot(x, y) ≡ dot(x, Σy) — exact in integers. */
+  def clusterRepsOracleAt(threshold: Double): String =
+    s"""WITH RECURSIVE $oracleQuantized,
+      |mp AS MATERIALIZED (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM qn x JOIN qn y ON x.vec_id < y.vec_id
+      |  WHERE $oracleCosExpr >= $threshold),
+      |edges AS MATERIALIZED (
+      |  SELECT a, b FROM mp UNION ALL SELECT b AS a, a AS b FROM mp),
+      |reach(v, w) AS (
+      |  SELECT DISTINCT a AS v, a AS w FROM edges
+      |  UNION
+      |  SELECT r.v, e.b AS w FROM reach r JOIN edges e ON e.a = r.w),
+      |comp AS MATERIALIZED (
+      |  SELECT v, MIN(w) AS component FROM reach GROUP BY v),
+      |scored AS (
+      |  SELECT cx.component, cx.v,
+      |         CAST(SUM(list_sum(list_transform(range(1, len(x.qv)+1),
+      |           i -> x.qv[i] * y.qv[i]))) AS BIGINT) AS dot
+      |  FROM comp cx JOIN qn x ON x.vec_id = cx.v
+      |       JOIN comp cy ON cy.component = cx.component
+      |       JOIN qn y ON y.vec_id = cy.v
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT component, v, dot,
+      |         COUNT(*) OVER (PARTITION BY component) AS n_vecs,
+      |         row_number() OVER (PARTITION BY component
+      |                            ORDER BY dot DESC, v ASC) AS rnk
+      |  FROM scored)
+      |SELECT component, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |       v AS rep_vec, dot AS rep_dot
+      |FROM ranked WHERE rnk = 1 ORDER BY component""".stripMargin
 }

@@ -55,6 +55,35 @@ class SimilaritySpec extends SparkSpec {
     assertDeterministic(Similarity.semanticClustersLsh(d))
   }
 
+  test("clusterReps: the exemplar is the member with max integer " +
+    "centroid-dot, matching a BigInt brute force; singletons are absent") {
+    // chain cluster {1,2,3} (1-2, 2-3 similar; 1-3 only transitively) and
+    // pair {7,8}; vec 9 is orthogonal to everything -> no edge, no row
+    val d = emb(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(1f, 1f, 0f), 0),
+      (3L, Seq(0.2f, 1f, 0f), 0),
+      (7L, Seq(0f, 0f, 1f), 1),
+      (8L, Seq(0f, 0f, 2f), 1),
+      (9L, Seq(0f, -3f, 0.1f), 2))
+    // brute force on the SAME quantization: qv = round(x * 10^4)
+    val qv = Map(
+      1L -> Seq(10000L, 0L, 0L), 2L -> Seq(10000L, 10000L, 0L),
+      3L -> Seq(2000L, 10000L, 0L), 7L -> Seq(0L, 0L, 10000L),
+      8L -> Seq(0L, 0L, 20000L))
+    def repOf(ms: Seq[Long]): (Long, Long) = {
+      val cent = ms.map(qv).transpose.map(_.sum)
+      ms.map(v => (v, qv(v).zip(cent).map { case (a, b) => a * b }.sum))
+        .minBy { case (v, dot) => (-dot, v) }
+    }
+    val (r1, d1) = repOf(Seq(1L, 2L, 3L))
+    val (r2, d2) = repOf(Seq(7L, 8L))
+    val out = Similarity.clusterReps(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 3L, r1, d1), (7L, 2L, r2, d2)), s"got $out")
+    assertDeterministic(Similarity.clusterReps(d))
+  }
+
   test("annBruteTopK ranks nearer vectors first with stable tie-break") {
     val d = emb(
       (0L, Seq(1f, 0f), 0),   // query
