@@ -243,6 +243,13 @@ object SparkEntry {
     "q88_cluster_reps" -> ((s, d) => {
       plans.TopKInstall.install(s)
       Similarity.clusterReps(embeddings(s, d), threshold = 0.4)
+    }),
+    // source-pair Jaccard from bounded KMV sketches: q87's sketch-tier
+    // twin — |S|·k state instead of the full distinct span stream,
+    // deterministic estimator so the ESTIMATE itself is oracle-checked
+    "q89_source_jaccard" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      Sketches.sourceJaccardKmv(documents(s, d))
     })
   )
 
@@ -336,6 +343,7 @@ object SparkEntry {
     "q85_token_budget" -> Pipeline.tokenBudgetSampleOracle,
     "q86_mix_temperature" -> Pipeline.mixTemperatureOracle,
     "q87_source_overlap" -> Dedup.sourceOverlapOracle,
-    "q88_cluster_reps" -> Similarity.clusterRepsOracleAt(0.4)
+    "q88_cluster_reps" -> Similarity.clusterRepsOracleAt(0.4),
+    "q89_source_jaccard" -> Sketches.sourceJaccardKmvOracle
   )
 }

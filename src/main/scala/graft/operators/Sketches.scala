@@ -214,4 +214,81 @@ object Sketches {
         |             SUM(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS nn
         |      FROM lineitem)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // --------------------------------------------------------------------
+  // Source-pair Jaccard similarity from bounded KMV sketches — the
+  // sketch-tier twin of Dedup.sourceOverlap's exact span matrix: instead
+  // of carrying every distinct (source, hash) pair to a self-join, each
+  // source is reduced to its k SMALLEST distinct 3-gram hashes (the
+  // hashed-shingle contract of the minhash tier, Dedup.hsetUdf), and the
+  // standard KMV union estimator runs on the |sources|·k-row table:
+  // J(A, B) ≈ |U ∩ A_k ∩ B_k| / |U| where U = the k smallest of
+  // A_k ∪ B_k. Deterministic (pure function of the hash sets), so the
+  // estimate — not just the true value — is oracle-checkable.
+  //
+  // Scale shape: shingle hashes collapse to DISTINCT (source, h)
+  // map-side; the bottom-k per source is a rank-1..k window the
+  // bounded-heap TopKPerKey operator runs in O(k) state per source
+  // (install TopKInstall); everything after lives on |S| k-length
+  // arrays — the all-pairs stage is |S|²/2 array intersections of
+  // k longs, driver-scale work for any |S| that fits a dashboard.
+  // --------------------------------------------------------------------
+  def sourceJaccardKmv(documents: DataFrame, k: Int = 256): DataFrame = {
+    require(k > 0, s"need a positive sketch size, got $k")
+    val spans = Widen.widen(documents)
+      .select(col("source"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(Dedup.hsetUdf(col("toks"))).as("h"))
+      .distinct()
+    val bottomK = spans
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY source ORDER BY h ASC)"))
+      .filter(col("rn") <= k)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("n_k"))
+    bottomK.as("x").join(bottomK.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.n_k").as("a_k"), col("y.n_k").as("b_k"),
+        col("x.hs").as("ah"), col("y.hs").as("bh"),
+        expr(s"slice(array_sort(array_union(x.hs, y.hs)), 1, $k)").as("u"))
+      .select(col("src_a"), col("src_b"), col("a_k"), col("b_k"),
+        size(col("u")).cast("long").as("u_k"),
+        expr("CAST(size(array_intersect(array_intersect(u, ah), bh)) AS BIGINT)")
+          .as("n_both"))
+      .select(col("src_a"), col("src_b"), col("a_k"), col("b_k"),
+        col("n_both"),
+        expr("n_both * 1000L DIV u_k").as("jaccard_pm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceJaccardKmvOracle: String = sourceJaccardKmvOracleAt(256)
+
+  /** Oracle builder on the SAME k (and 32-bit md5-prefix 3-gram hash)
+    * as the engine function. */
+  def sourceJaccardKmvOracleAt(k: Int): String =
+    s"""WITH toks AS (
+      |  SELECT source, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+      |sp AS (
+      |  SELECT DISTINCT source,
+      |         unnest([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8)) AS BIGINT)
+      |                 for i in range(1, len(ts) - 1)]) AS h
+      |  FROM toks WHERE len(ts) >= 3),
+      |bk AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |    FROM sp) WHERE rn <= $k),
+      |sk AS MATERIALIZED (
+      |  SELECT source, list_sort(list(h)) AS hs, CAST(COUNT(*) AS BIGINT) AS n_k
+      |  FROM bk GROUP BY source),
+      |pairs AS (
+      |  SELECT x.source AS src_a, y.source AS src_b, x.n_k AS a_k, y.n_k AS b_k,
+      |         list_sort(list_distinct(x.hs || y.hs))[1:$k] AS u,
+      |         x.hs AS ah, y.hs AS bh
+      |  FROM sk x JOIN sk y ON x.source < y.source)
+      |SELECT src_a, src_b, a_k, b_k,
+      |       CAST(len(list_filter(u, e -> list_contains(ah, e) AND list_contains(bh, e))) AS BIGINT) AS n_both,
+      |       CAST(len(list_filter(u, e -> list_contains(ah, e) AND list_contains(bh, e))) * 1000 // len(u) AS BIGINT) AS jaccard_pm
+      |FROM pairs ORDER BY src_a, src_b""".stripMargin
 }
