@@ -250,7 +250,10 @@ object SparkEntry {
     "q89_source_jaccard" -> ((s, d) => {
       plans.TopKInstall.install(s)
       Sketches.sourceJaccardKmv(documents(s, d))
-    })
+    }),
+    // cohort retention matrix: ONE user-keyed exchange serves distinct,
+    // first-week agg and join; cohort rollup is ≤ |weeks|² rows
+    "q90_retention" -> ((s, d) => EventOps.retentionCohorts(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -344,6 +347,7 @@ object SparkEntry {
     "q86_mix_temperature" -> Pipeline.mixTemperatureOracle,
     "q87_source_overlap" -> Dedup.sourceOverlapOracle,
     "q88_cluster_reps" -> Similarity.clusterRepsOracleAt(0.4),
-    "q89_source_jaccard" -> Sketches.sourceJaccardKmvOracle
+    "q89_source_jaccard" -> Sketches.sourceJaccardKmvOracle,
+    "q90_retention" -> EventOps.retentionCohortsOracle
   )
 }

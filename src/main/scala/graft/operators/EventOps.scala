@@ -149,4 +149,60 @@ object EventOps {
       |             CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS delay
       |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
       |GROUP BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Cohort retention matrix: users bucketed by first-activity epoch-week
+  // (cohort); cell (cohort_wk, wk_offset) = users from that cohort active
+  // `offset` weeks later, with retention as exact per-mille of the cohort
+  // size. The standard product-analytics view — and the canonical "join
+  // back to a per-key minimum" shape.
+  //
+  // Scale shape: ONE user-keyed exchange serves the whole query — the
+  // (user, week) distinct, the per-user first-week aggregate, AND the
+  // join all cluster by user_id (HashPartitioning(user_id) satisfies the
+  // (user, wk) clustering requirement, so neither aggregate re-shuffles;
+  // the explicit repartition gives both join branches one canonical
+  // exchange to reuse). The cohort rollup shuffles ≤ |weeks|² tiny rows;
+  // the offset-0 backfill window runs on that bounded matrix, never the
+  // event stream. Epoch-week floors integer seconds, so the fractional-
+  // second difference between Spark's unix_timestamp truncation and
+  // DuckDB's fractional epoch() cannot move a row across a week boundary
+  // (week boundaries are integer-second multiples).
+  // --------------------------------------------------------------------
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val parted = events
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)").as("wk"))
+      .repartition(col("user_id"))
+    val uw = parted.distinct()
+    val first = parted.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .withColumn("cohort_users", expr(
+        "MAX(CASE WHEN wk_offset = 0 THEN active_users END) OVER (PARTITION BY cohort_wk)"))
+      .select(col("cohort_wk"), col("wk_offset"), col("active_users"),
+        col("cohort_users"),
+        expr("active_users * 1000L DIV cohort_users").as("retention_pm"))
+      .orderBy(col("cohort_wk"), col("wk_offset"))
+  }
+
+  val retentionCohortsOracle: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id),
+      |m AS (
+      |  SELECT f.cohort_wk, uw.wk - f.cohort_wk AS wk_offset,
+      |         CAST(COUNT(*) AS BIGINT) AS active_users
+      |  FROM uw JOIN f USING (user_id) GROUP BY 1, 2),
+      |w AS (
+      |  SELECT cohort_wk, wk_offset, active_users,
+      |         MAX(CASE WHEN wk_offset = 0 THEN active_users END)
+      |           OVER (PARTITION BY cohort_wk) AS cohort_users
+      |  FROM m)
+      |SELECT cohort_wk, wk_offset, active_users,
+      |       CAST(cohort_users AS BIGINT) AS cohort_users,
+      |       CAST(active_users * 1000 // cohort_users AS BIGINT) AS retention_pm
+      |FROM w ORDER BY cohort_wk, wk_offset""".stripMargin
 }
