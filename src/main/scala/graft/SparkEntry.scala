@@ -253,7 +253,10 @@ object SparkEntry {
     }),
     // cohort retention matrix: ONE user-keyed exchange serves distinct,
     // first-week agg and join; cohort rollup is ≤ |weeks|² rows
-    "q90_retention" -> ((s, d) => EventOps.retentionCohorts(events(s, d)))
+    "q90_retention" -> ((s, d) => EventOps.retentionCohorts(events(s, d))),
+    // ordered conversion funnel: strict per-user temporal staging on
+    // ONE user-keyed exchange; constant-size output
+    "q91_funnel" -> ((s, d) => EventOps.funnelStages(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -348,6 +351,7 @@ object SparkEntry {
     "q87_source_overlap" -> Dedup.sourceOverlapOracle,
     "q88_cluster_reps" -> Similarity.clusterRepsOracleAt(0.4),
     "q89_source_jaccard" -> Sketches.sourceJaccardKmvOracle,
-    "q90_retention" -> EventOps.retentionCohortsOracle
+    "q90_retention" -> EventOps.retentionCohortsOracle,
+    "q91_funnel" -> EventOps.funnelStagesOracle
   )
 }

@@ -205,4 +205,83 @@ object EventOps {
       |       CAST(cohort_users AS BIGINT) AS cohort_users,
       |       CAST(active_users * 1000 // cohort_users AS BIGINT) AS retention_pm
       |FROM w ORDER BY cohort_wk, wk_offset""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Ordered conversion funnel: view → click → purchase with STRICT
+  // temporal ordering per user (a click only counts after that user's
+  // first view; a purchase only after that user's qualifying click).
+  // The ordering constraint is what separates a funnel from three
+  // independent counts — and what forces the staged per-user minima:
+  // t1 = min(view ts), t2 = min(click ts > t1), t3 = min(purchase
+  // ts > t2). Output: one row per stage with reaching-user counts and
+  // exact per-mille conversion vs the previous stage.
+  //
+  // Scale shape: ONE user-keyed exchange feeds every stage — the three
+  // filtered minima and both stage joins cluster by user_id, so stages
+  // chain as local joins over the same partitioning (ReusedExchange;
+  // no per-stage corpus re-shuffle). Stage tables only shrink
+  // (t3 ⊆ t2 ⊆ t1 as user sets), and the final output is four
+  // single-row aggregates stacked — constant bytes to the driver.
+  // Timestamps are only COMPARED, never formatted, so there is no
+  // cross-engine timestamp-rendering surface.
+  // --------------------------------------------------------------------
+  def funnelStages(events: DataFrame): DataFrame = {
+    val parted = events.select(col("user_id"), col("event_type"), col("ts"))
+      .repartition(col("user_id"))
+    val t1 = parted.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = parted.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = parted.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n0 = parted.select(col("user_id")).distinct().agg(count(lit(1)).as("n0"))
+    val counts = n0
+      .crossJoin(t1.agg(count(lit(1)).as("n1")))
+      .crossJoin(t2.agg(count(lit(1)).as("n2")))
+      .crossJoin(t3.agg(count(lit(1)).as("n3")))
+    counts.select(explode(expr(
+      """array(
+        |  struct(1 AS stage, 'any_event' AS event, n0 AS users,
+        |         1000L AS conv_pm),
+        |  struct(2 AS stage, 'view' AS event, n1 AS users,
+        |         CAST(CASE WHEN n0 = 0 THEN 0L ELSE n1 * 1000L DIV n0 END AS BIGINT) AS conv_pm),
+        |  struct(3 AS stage, 'click' AS event, n2 AS users,
+        |         CAST(CASE WHEN n1 = 0 THEN 0L ELSE n2 * 1000L DIV n1 END AS BIGINT) AS conv_pm),
+        |  struct(4 AS stage, 'purchase' AS event, n3 AS users,
+        |         CAST(CASE WHEN n2 = 0 THEN 0L ELSE n3 * 1000L DIV n2 END AS BIGINT) AS conv_pm))"""
+        .stripMargin)).as("s"))
+      .select(col("s.stage"), col("s.event"), col("s.users"), col("s.conv_pm"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelStagesOracle: String =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN t1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN t2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+      |n AS (
+      |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n0,
+      |         (SELECT COUNT(*) FROM t1) AS n1,
+      |         (SELECT COUNT(*) FROM t2) AS n2,
+      |         (SELECT COUNT(*) FROM t3) AS n3)
+      |SELECT CAST(stage AS INT) AS stage, event, CAST(users AS BIGINT) AS users,
+      |       CAST(conv_pm AS BIGINT) AS conv_pm
+      |FROM (
+      |  SELECT 1 AS stage, 'any_event' AS event, n0 AS users, 1000 AS conv_pm FROM n
+      |  UNION ALL
+      |  SELECT 2, 'view', n1, CASE WHEN n0 = 0 THEN 0 ELSE n1 * 1000 // n0 END FROM n
+      |  UNION ALL
+      |  SELECT 3, 'click', n2, CASE WHEN n1 = 0 THEN 0 ELSE n2 * 1000 // n1 END FROM n
+      |  UNION ALL
+      |  SELECT 4, 'purchase', n3, CASE WHEN n2 = 0 THEN 0 ELSE n3 * 1000 // n2 END FROM n)
+      |ORDER BY stage""".stripMargin
 }

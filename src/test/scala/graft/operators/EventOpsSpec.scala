@@ -63,6 +63,37 @@ class EventOpsSpec extends SparkSpec {
     assertDeterministic(EventOps.retentionCohorts(events))
   }
 
+  test("funnelStages: strict ordering — a click BEFORE the first view does " +
+    "not convert; equal timestamps do not convert (strict >)") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val rows = Seq(
+      // u1: full ordered funnel view(10) < click(20) < purchase(30)
+      (1L, ts(10), 1L, "view"), (2L, ts(20), 1L, "click"),
+      (3L, ts(30), 1L, "purchase"),
+      // u2: click at 5 BEFORE first view at 10 -> no click conversion;
+      // later purchase irrelevant without a qualifying click
+      (4L, ts(5), 2L, "click"), (5L, ts(10), 2L, "view"),
+      (6L, ts(40), 2L, "purchase"),
+      // u3: click EXACTLY at the view instant -> strict > rejects it
+      (7L, ts(10), 3L, "view"), (8L, ts(10), 3L, "click"),
+      // u4: view then click, purchase BETWEEN view and click -> rejected
+      (9L, ts(10), 4L, "view"), (10L, ts(30), 4L, "click"),
+      (11L, ts(20), 4L, "purchase"),
+      // u5: no view at all
+      (12L, ts(10), 5L, "purchase"))
+    val events = rows.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.funnelStages(events).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // stage users: any=5, view={1,2,3,4}=4, click(after view)={1,4}=2,
+    // purchase(after click)={1}=1
+    assert(out == Seq(
+      (1, "any_event", 5L, 1000L), (2, "view", 4L, 4000L / 5),
+      (3, "click", 2L, 2000L / 4), (4, "purchase", 1L, 1000L / 2)),
+      s"got $out")
+    assertDeterministic(EventOps.funnelStages(events))
+  }
+
   test("retentionCohorts plan: ONE user-keyed exchange serves the distinct, " +
     "the first-week aggregate and the join (ReusedExchange)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
