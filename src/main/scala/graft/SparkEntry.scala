@@ -256,7 +256,13 @@ object SparkEntry {
     "q90_retention" -> ((s, d) => EventOps.retentionCohorts(events(s, d))),
     // ordered conversion funnel: strict per-user temporal staging on
     // ONE user-keyed exchange; constant-size output
-    "q91_funnel" -> ((s, d) => EventOps.funnelStages(events(s, d)))
+    "q91_funnel" -> ((s, d) => EventOps.funnelStages(events(s, d))),
+    // first-order event-type transition matrix: one user-keyed window
+    // exchange, |types|² rollup, exact per-mille probabilities
+    "q92_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
+    // hour-of-day anomaly flags: all-integer cleared-denominator z-test
+    // on a ≤|types|·24 matrix; one partial-agg shuffle total
+    "q93_hourly_anomaly" -> ((s, d) => EventOps.hourlyAnomaly(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -352,6 +358,8 @@ object SparkEntry {
     "q88_cluster_reps" -> Similarity.clusterRepsOracleAt(0.4),
     "q89_source_jaccard" -> Sketches.sourceJaccardKmvOracle,
     "q90_retention" -> EventOps.retentionCohortsOracle,
-    "q91_funnel" -> EventOps.funnelStagesOracle
+    "q91_funnel" -> EventOps.funnelStagesOracle,
+    "q92_transitions" -> EventOps.eventTransitionsOracle,
+    "q93_hourly_anomaly" -> EventOps.hourlyAnomalyOracle
   )
 }

@@ -284,4 +284,107 @@ object EventOps {
       |  UNION ALL
       |  SELECT 4, 'purchase', n3, CASE WHEN n2 = 0 THEN 0 ELSE n3 * 1000 // n2 END FROM n)
       |ORDER BY stage""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Per-user event-type transition matrix (first-order Markov estimate):
+  // order each user's events by (ts, event_id) — event_id breaks
+  // timestamp ties deterministically, so both engines see the same
+  // successor for every event — lag the type, count (prev, next) pairs,
+  // and attach an exact per-mille transition probability against the
+  // prev-type row total.
+  //
+  // Scale shape: ONE user-keyed exchange carries the lag window (the
+  // only per-event shuffle; the user key is well-distributed and each
+  // partition sorts locally). The (prev, next) rollup is ≤ |types|²
+  // rows, and the per-prev total is a window over that bounded matrix —
+  // never the event stream. Integer per-mille (×1000 DIV) keeps the
+  // probability exact cross-engine; numerators are non-negative so
+  // DIV ≡ DuckDB //.
+  // --------------------------------------------------------------------
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val nexts = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", expr(
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"))
+      .filter(col("prev_type").isNotNull)
+    nexts
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("prev_total",
+        expr("SUM(n_trans) OVER (PARTITION BY prev_type)"))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        expr("CAST(n_trans * 1000L DIV prev_total AS BIGINT)").as("trans_pm"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val eventTransitionsOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           AS prev_type
+      |  FROM events),
+      |m AS (
+      |  SELECT prev_type, event_type AS next_type,
+      |         CAST(COUNT(*) AS BIGINT) AS n_trans
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n_trans,
+      |       CAST(n_trans * 1000 // SUM(n_trans) OVER (PARTITION BY prev_type)
+      |            AS BIGINT) AS trans_pm
+      |FROM m ORDER BY prev_type, next_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Hour-of-day load anomaly detection per event type, with EXACT integer
+  // arithmetic end-to-end. For a type with counts c_h over H observed
+  // hour buckets (total T, sum of squares S), the two-sided z-test
+  // |c − μ| > z·σ with μ = T/H and σ² = (S·H − T²)/H² clears its
+  // denominators to the all-integer form
+  //     (c·H − T)² > z²·(S·H − T²)          (z = 2 here, so z² = 4)
+  // — no float mean, no sqrt, no rounding surface between engines. The
+  // per-mille load share (c·H·1000 DIV T) is the integer-exact "how far
+  // off the flat line" companion (1000 = exactly at the per-bucket mean).
+  //
+  // Scale shape: one scan collapsed map-side into a ≤ |types|·24-row
+  // (type, hod) aggregate; the per-type moment rollup and the flag
+  // evaluation both run on that bounded matrix (window over ≤24 rows per
+  // type), so the event volume only ever crosses the one partial-agg
+  // shuffle. Counts fit the inequality comfortably: c ≤ 10¹² keeps
+  // (c·24)² inside the 9.2·10¹⁸ Long range at petabyte event counts.
+  // --------------------------------------------------------------------
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val byHod = events
+      .select(col("event_type"), hour(col("ts")).as("hod"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    byHod
+      .withColumn("h", expr("COUNT(1) OVER (PARTITION BY event_type)"))
+      .withColumn("t", expr("SUM(n_events) OVER (PARTITION BY event_type)"))
+      .withColumn("s", expr(
+        "SUM(n_events * n_events) OVER (PARTITION BY event_type)"))
+      .select(col("event_type"), col("hod"), col("n_events"),
+        expr("CAST(n_events * h * 1000L DIV t AS BIGINT)").as("load_pm"),
+        expr("""CAST(CASE
+          |  WHEN (n_events * h - t) * (n_events * h - t) > 4 * (s * h - t * t)
+          |  THEN CASE WHEN n_events * h > t THEN 1 ELSE -1 END
+          |  ELSE 0 END AS INT)""".stripMargin).as("anomaly"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  val hourlyAnomalyOracle: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hod,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, hod, n_events,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS h,
+      |         SUM(n_events) OVER (PARTITION BY event_type) AS t,
+      |         SUM(n_events * n_events) OVER (PARTITION BY event_type) AS s
+      |  FROM c)
+      |SELECT event_type, hod, n_events,
+      |       CAST(n_events * h * 1000 // t AS BIGINT) AS load_pm,
+      |       CAST(CASE
+      |         WHEN (n_events * h - t) * (n_events * h - t) > 4 * (s * h - t * t)
+      |         THEN CASE WHEN n_events * h > t THEN 1 ELSE -1 END
+      |         ELSE 0 END AS INT) AS anomaly
+      |FROM m ORDER BY event_type, hod""".stripMargin
 }
