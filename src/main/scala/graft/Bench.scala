@@ -90,13 +90,24 @@ object Bench {
     // does the full version; paths only need backslash + quote)
     val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"failed":$failedArr,"sf":"$sfEsc"}"""
-    println(json)
-    // stdout passes through raw now (run/outputStrategy) — and the line is
-    // also written to a file so BENCH_r*.json always gets machine-readable
-    // per-query numbers even if stdout capture changes
+    // FULL artifact (exact times + per-query shuffle io) → file; the
+    // committed BENCH.json is the canonical per-round record
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
+    // stdout gets a COMPACT single line instead: the driver snapshots only
+    // a ~2,000-char tail of the run, and the full line (~10 KB with the io
+    // map) overflowed it, leaving BENCH_r*.json with "parsed": null — no
+    // machine-readable totals for round-over-round comparison. Short qNN
+    // keys (the numbering is unique by construction) + 3-decimal times
+    // keep all 93 queries + total + failures within ~1.4 KB, so the tail
+    // parses even with sbt's trailing "[success]" line.
+    val shortQs = results.map { case (k, v, _, _, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+      "short query keys must stay unique")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$shortQs,"failed":$failedArr,"sf":"$sfEsc","detail":"$out full names + per-query shuffle io"}""")
     spark.stop()
   }
 }
