@@ -20,10 +20,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** The events fixture carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-    * long (legacy conf) and convert to a proper timestamp; the fixture's
-    * values are whole microseconds so the division is lossless.
+  /** The events fixture's `ts` encoding has varied across driver
+    * generations — parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects with [PARQUET_TYPE_ILLEGAL] unless read as long via
+    * the legacy conf) and plain TIMESTAMP(MICROS) (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize both to a session-zone TIMESTAMP so every
+    * downstream query sees one type.
     *
     * SIDE EFFECT, by necessity session-wide: the legacy conf cannot be
     * scoped to this one read — Spark re-reads it when the scan is
@@ -35,12 +37,22 @@ object Tables {
     * for their own reads). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // ts DIV 1000, NOT ts / 1000: `/` is double division and epoch-nanos
-    // (~1.7e18) exceed double's 2^53 exact range — timestamps came out
-    // ±1µs off (invisible to windowed aggs, fatal to raw-micros compares)
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    normalizeTs(load(s, d, "events"))
+  }
+
+  /** Nanos-as-long → timestamp_micros(ts DIV 1000) (DIV, not `/`:
+    * epoch-nanos ~1.7e18 exceed double's 2^53 exact range, so float
+    * division came out ±1µs off — invisible to windowed aggs, fatal to
+    * raw-micros compares); TIMESTAMP_NTZ → session-zone TIMESTAMP (the
+    * session is pinned UTC, so the cast is identity on the instant). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

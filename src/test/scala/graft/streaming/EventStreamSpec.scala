@@ -64,8 +64,7 @@ class EventStreamSpec extends SparkSpec {
       val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
       val streamRaw = spark.readStream.schema(rawSchema)
         .parquet(dir.toString)
-      val streamDf = streamRaw.withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast("long")))
+      val streamDf = graft.Tables.normalizeTs(streamRaw)
       val q = EventStream.tumblingStats(streamDf)
         .writeStream.format("memory").queryName("file_stream_test")
         .outputMode("complete")
