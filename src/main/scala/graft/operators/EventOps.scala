@@ -347,27 +347,39 @@ object EventOps {
   // (type, hod) aggregate; the per-type moment rollup and the flag
   // evaluation both run on that bounded matrix (window over ≤24 rows per
   // type), so the event volume only ever crosses the one partial-agg
-  // shuffle. Counts fit the inequality comfortably: c ≤ 10¹² keeps
-  // (c·24)² inside the 9.2·10¹⁸ Long range at petabyte event counts.
+  // shuffle. The squared terms ((c·H−T)², T², S·H) exceed int64 once a
+  // single (type, hour) bucket passes ~3·10⁹ events, where Spark would
+  // wrap silently and DuckDB would error — so every term of the
+  // inequality is computed in DECIMAL(38,0) (HUGEINT on the oracle
+  // side): exact to c ≈ 4·10¹⁷ events per bucket (~10²⁰ per type),
+  // far past the 100 TB regime, and still a fixed-width integer
+  // comparison with no float/rounding surface between engines.
   // --------------------------------------------------------------------
-  def hourlyAnomaly(events: DataFrame): DataFrame = {
-    val byHod = events
+  def hourlyAnomaly(events: DataFrame): DataFrame =
+    hourlyAnomalyFromCounts(events
       .select(col("event_type"), hour(col("ts")).as("hod"))
       .groupBy(col("event_type"), col("hod"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The flag arithmetic on a pre-built (event_type, hod, n_events)
+    * matrix — split out so specs can drive it with counts past the
+    * int64 t·t wrap point without generating billions of rows. */
+  private[operators] def hourlyAnomalyFromCounts(byHod: DataFrame): DataFrame =
     byHod
       .withColumn("h", expr("COUNT(1) OVER (PARTITION BY event_type)"))
       .withColumn("t", expr("SUM(n_events) OVER (PARTITION BY event_type)"))
       .withColumn("s", expr(
-        "SUM(n_events * n_events) OVER (PARTITION BY event_type)"))
+        "SUM(CAST(n_events AS DECIMAL(38,0)) * n_events)" +
+          " OVER (PARTITION BY event_type)"))
+      .withColumn("dev", expr("CAST(n_events AS DECIMAL(38,0)) * h - t"))
       .select(col("event_type"), col("hod"), col("n_events"),
-        expr("CAST(n_events * h * 1000L DIV t AS BIGINT)").as("load_pm"),
+        expr("CAST(CAST(n_events AS DECIMAL(38,0)) * h * 1000 DIV t AS BIGINT)")
+          .as("load_pm"),
         expr("""CAST(CASE
-          |  WHEN (n_events * h - t) * (n_events * h - t) > 4 * (s * h - t * t)
-          |  THEN CASE WHEN n_events * h > t THEN 1 ELSE -1 END
+          |  WHEN dev * dev > 4 * (s * h - CAST(t AS DECIMAL(38,0)) * t)
+          |  THEN CASE WHEN dev > 0 THEN 1 ELSE -1 END
           |  ELSE 0 END AS INT)""".stripMargin).as("anomaly"))
       .orderBy(col("event_type"), col("hod"))
-  }
 
   val hourlyAnomalyOracle: String =
     """WITH c AS (
@@ -378,13 +390,17 @@ object EventOps {
       |  SELECT event_type, hod, n_events,
       |         COUNT(*) OVER (PARTITION BY event_type) AS h,
       |         SUM(n_events) OVER (PARTITION BY event_type) AS t,
-      |         SUM(n_events * n_events) OVER (PARTITION BY event_type) AS s
-      |  FROM c)
+      |         SUM(CAST(n_events AS HUGEINT) * n_events)
+      |           OVER (PARTITION BY event_type) AS s
+      |  FROM c),
+      |d AS (
+      |  SELECT *, CAST(n_events AS HUGEINT) * h - t AS dev FROM m)
       |SELECT event_type, hod, n_events,
-      |       CAST(n_events * h * 1000 // t AS BIGINT) AS load_pm,
+      |       CAST(CAST(n_events AS HUGEINT) * h * 1000 // t AS BIGINT)
+      |         AS load_pm,
       |       CAST(CASE
-      |         WHEN (n_events * h - t) * (n_events * h - t) > 4 * (s * h - t * t)
-      |         THEN CASE WHEN n_events * h > t THEN 1 ELSE -1 END
+      |         WHEN dev * dev > 4 * (s * h - CAST(t AS HUGEINT) * t)
+      |         THEN CASE WHEN dev > 0 THEN 1 ELSE -1 END
       |         ELSE 0 END AS INT) AS anomaly
-      |FROM m ORDER BY event_type, hod""".stripMargin
+      |FROM d ORDER BY event_type, hod""".stripMargin
 }

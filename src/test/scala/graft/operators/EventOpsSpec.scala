@@ -94,6 +94,107 @@ class EventOpsSpec extends SparkSpec {
     assertDeterministic(EventOps.funnelStages(events))
   }
 
+  test("eventTransitions: hand-computed matrix — LAG ties on equal ts break " +
+    "by event_id, single-event users contribute nothing, per-mille is exact") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val rows = Seq(
+      // u1: view(10) then a TIE at t=20 — click has the lower event_id, so
+      // the deterministic order is view(10) → click(20,#2) → view(20,#3)
+      (1L, ts(10), 1L, "view"), (2L, ts(20), 1L, "click"),
+      (3L, ts(20), 1L, "view"),
+      // u2: click → click
+      (4L, ts(5), 2L, "click"), (5L, ts(6), 2L, "click"),
+      // u3: single event → no transition
+      (6L, ts(1), 3L, "purchase"))
+    val events = rows.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // matrix: click→click 1, click→view 1 (prev-total click = 2 → 500‰ each),
+    // view→click 1 (prev-total view = 1 → 1000‰)
+    assert(out == Seq(
+      ("click", "click", 1L, 500L), ("click", "view", 1L, 500L),
+      ("view", "click", 1L, 1000L)), s"got $out")
+    assertDeterministic(EventOps.eventTransitions(events))
+  }
+
+  test("eventTransitions plan: the event stream crosses ONE user-keyed " +
+    "exchange (the lag window); the rollup exchanges only the bounded matrix") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val events = (0L until 60L).map(i =>
+        (i, new java.sql.Timestamp(1704067200000L + i * 60000L), i % 5,
+          if (i % 3 == 0) "view" else "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val plan = EventOps.eventTransitions(events)
+        .queryExecution.executedPlan.toString
+      val userEx = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("user_id") &&
+          !l.contains("ReusedExchange"))
+      assert(userEx == 1,
+        s"expected ONE user-keyed exchange, got $userEx:\n" +
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("hourlyAnomaly: hand-computed flags — hot hour trips the z²-cleared " +
+    "inequality, flat type stays 0, load_pm is the integer per-mille share") {
+    def ev(id: Long, ty: String, hod: Int) =
+      (id, new java.sql.Timestamp(1704067200000L + hod * 3600000L), 1L, ty,
+        1.0, "{}")
+    // type a: hod 0 has 20 events, hods 1..7 one each → H=8, T=27, S=407;
+    // dev₀=20·8−27=133, 133²=17689 > 4·(407·8−27²)=10108 → +1; cold devs
+    // −19, 361 < 10108 → 0. load_pm: 20·8·1000//27=5925, 1·8·1000//27=296.
+    val aHot = (0 until 20).map(i => ev(100 + i, "a", 0))
+    val aCold = (1 to 7).map(h => ev(200 + h, "a", h))
+    // type b: two hours, one event each → dev=0 everywhere → 0, 1000‰
+    val b = Seq(ev(300, "b", 0), ev(301, "b", 1))
+    val events = (aHot ++ aCold ++ b)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.hourlyAnomaly(events).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    val expected =
+      Seq(("a", 0, 20L, 5925L, 1)) ++
+        (1 to 7).map(h => ("a", h, 1L, 296L, 0)) ++
+        Seq(("b", 0, 1L, 1000L, 0), ("b", 1, 1L, 1000L, 0))
+    assert(out == expected, s"got ${out.mkString("\n")}")
+    assertDeterministic(EventOps.hourlyAnomaly(events))
+  }
+
+  test("hourlyAnomaly: moment arithmetic is exact past the int64 t·t wrap " +
+    "(counts in the billions — DECIMAL(38,0) path, no silent wrap)") {
+    // One hot bucket of 5e9 and 23 buckets of 4e9: T=9.7e10 so T²≈9.4e21
+    // and S≈3.9e20 both exceed Long.MaxValue (9.2e18) — the pre-fix int64
+    // arithmetic wraps here. Exact values: dev_hot=23e9, dev²=5.29e20 >
+    // 4·(S·24−T²)=9.2e19 → +1; dev_cold=−1e9, 1e18 < 9.2e19 → 0.
+    val hot = 5000000000L
+    val cold = 4000000000L
+    val counts = ((0, hot) +: (1 to 23).map(h => (h, cold)))
+      .map { case (h, c) => ("x", h, c) }
+      .toDF("event_type", "hod", "n_events")
+    val out = EventOps.hourlyAnomalyFromCounts(counts).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSeq
+    // BigInt reference, same formula
+    val bigT = BigInt(hot) + BigInt(cold) * 23
+    val bigS = BigInt(hot) * hot + BigInt(cold) * cold * 23
+    val rhs = 4 * (bigS * 24 - bigT * bigT)
+    def expect(c: Long) = {
+      val dev = BigInt(c) * 24 - bigT
+      val flag = if (dev * dev > rhs) (if (dev > 0) 1 else -1) else 0
+      ((BigInt(c) * 24 * 1000 / bigT).toLong, flag)
+    }
+    assert(rhs > 0 && bigS > Long.MaxValue / 24,
+      "fixture must exercise the wrap regime")
+    val (hotPm, hotFlag) = expect(hot)
+    val (coldPm, coldFlag) = expect(cold)
+    assert(hotFlag == 1 && coldFlag == 0, "fixture must separate hot from cold")
+    assert(out.head == ((0, hot, hotPm, hotFlag)), s"hot row: ${out.head}")
+    assert(out.tail.forall(r => r._2 == cold && r._3 == coldPm &&
+      r._4 == coldFlag), s"cold rows: ${out.tail.mkString("\n")}")
+  }
+
   test("retentionCohorts plan: ONE user-keyed exchange serves the distinct, " +
     "the first-week aggregate and the join (ReusedExchange)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
