@@ -396,6 +396,40 @@ object Dedup {
     val edgesBySrc = pairsRdd
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(part).cache()
+    val labels = ccLabelsRdd(edgesBySrc, part, maxIters, caller)
+    edgesBySrc.unpersist(false)
+    // persist + materialize HERE (Slot.get skips already-persisted
+    // builds) so the final round's cached RDD can be freed — otherwise
+    // every clustered corpus pins its label RDD for the session lifetime
+    val out = labels.toDF("v", "lbl")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labels.unpersist(false)
+    out
+  }
+
+  /** The round loop proper, on a cached, hash-partitioned bidirectional
+    * edge list. Returns the converged (cached) labels RDD; the caller
+    * owns unpersisting it. Split from [[connectedComponents]] so specs
+    * can drive deep graphs and assert the lineage stays bounded.
+    *
+    * Every `checkpointEvery` rounds the new labels RDD is
+    * `localCheckpoint()`ed instead of plain-cached: each round's RDD
+    * chains joins on the previous round's, so without truncation the
+    * DAG deepens per round — fine for the ≤6 rounds a typical corpus
+    * needs, but a high-diameter component at 100× scale (or an executor
+    * loss forcing recompute of a deep chain) turns it into the classic
+    * iterative-lineage blowup. Local (executor-block) checkpointing is
+    * the right cost point here: the loop tolerates a lost block by
+    * rerunning from the last action, and a cluster deployment that
+    * needs loss-proof truncation can set a checkpoint dir and swap
+    * `localCheckpoint` for reliable `checkpoint` without touching the
+    * loop. `checkpointEvery = 0` disables truncation (spec use only). */
+  private[operators] def ccLabelsRdd(
+      edgesBySrc: org.apache.spark.rdd.RDD[(Long, Long)],
+      part: org.apache.spark.HashPartitioner,
+      maxIters: Int, caller: String,
+      checkpointEvery: Int = 5): org.apache.spark.rdd.RDD[(Long, Long)] = {
     // init folds the first propagation round in: every vertex starts at
     // min(self, min neighbor) straight off the cached edge partitions
     var labels = edgesBySrc
@@ -426,7 +460,12 @@ object Dedup {
         .join(prop)
         .map { case (_, (v, ll)) => (v, ll) }
         .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
-        .cache()
+      // lineage truncation (see Scaladoc); the convergence action below
+      // materializes the round either way, so the checkpoint is free of
+      // extra passes
+      if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0)
+        next.localCheckpoint()
+      else next.cache()
       val s = next.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
       prop.unpersist(false)
       labels.unpersist(false)
@@ -435,7 +474,6 @@ object Dedup {
       converged = s == prevSum
       prevSum = s
     }
-    edgesBySrc.unpersist(false)
     // an unconverged exit would silently return WRONG components (the
     // oracle computes the exact transitive closure) — fail loudly instead
     // (unpersisting the final round's cached labels first: the throw path
@@ -446,14 +484,7 @@ object Dedup {
         s"$caller did not converge in $maxIters rounds — with pointer " +
           s"doubling that needs component diameter > ~2^$maxIters; raise maxIters")
     }
-    // persist + materialize HERE (Slot.get skips already-persisted
-    // builds) so the final round's cached RDD can be freed — otherwise
-    // every clustered corpus pins its label RDD for the session lifetime
-    val out = labels.toDF("v", "lbl")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    labels.unpersist(false)
-    out
+    labels
   }
 
   /** The keep/drop decision the whole dedup tier exists for: every
@@ -870,9 +901,17 @@ object Dedup {
   //
   // Scale shape: positions collapse to (doc_id, h, c) triples in the
   // partial aggregate BEFORE any shuffle (raw span rows never cross the
-  // wire); the corpus-wide occurrence count is one window exchange on h
-  // over the collapsed triples; the per-doc rollup is integer-only.
-  // Every shuffled row is a ~20-byte triple — the wordcount shape, twice.
+  // wire). The corpus-wide test "does h occur >= 2 times" is NOT joined
+  // back onto the triples (a window over them needs a full h-sort and
+  // then re-shuffles every triple to the doc rollup — measured as the
+  // suite's heaviest executor plan): instead n_dup_spans is computed by
+  // complement, n_spans − (spans this doc solely owns with c = 1). A
+  // g = 1 span has exactly one (doc, h, 1) row corpus-wide, so the
+  // h-rollup itself can name the owning doc (min = only), and every
+  // stage after the triple collapse is a hash aggregate whose exchange
+  // carries partial-agg-compressed counts — no sort anywhere, and the
+  // final join is #docs-sized per side. Every shuffled row is a ~20-byte
+  // triple or smaller — the wordcount shape end to end.
   // --------------------------------------------------------------------
   /** Default span width. 5 tokens ≈ the shortest run worth calling
     * "copied text" at web scale while still yielding len−4 spans on the
@@ -918,12 +957,20 @@ object Dedup {
       .select(col("doc_id"), explode(spanHashUdf(k)(col("toks"))).as("h"))
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("c"))
-    perDoc
-      .withColumn("g", sum(col("c")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    // corpus-wide singles: g = 1 ⟺ one doc, one occurrence — min(doc_id)
+    // IS the owner; collapses to ≤ #docs rows before its exchange
+    val singles = perDoc
+      .groupBy(col("h"))
+      .agg(sum(col("c")).as("g"), min(col("doc_id")).as("doc_id"))
+      .filter(col("g") === 1L)
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_spans"),
-        sum(when(col("g") >= 2, col("c")).otherwise(lit(0L))).as("n_dup_spans"))
+      .agg(count(lit(1)).as("n_single"))
+    perDoc
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_spans"))
+      .join(singles, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_single"), lit(0L))).as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         expr("CAST(n_dup_spans * 10000L DIV n_spans AS BIGINT)").as("dup_bp"))
       .orderBy(col("doc_id"))

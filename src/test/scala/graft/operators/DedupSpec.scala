@@ -260,4 +260,47 @@ class DedupSpec extends SparkSpec {
           plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("connectedComponents round loop: localCheckpoint bounds lineage on a " +
+    "deep (≥10-round) chain — labels exact, DAG does not grow per round") {
+    // WHY the bound matters and why this test never disables truncation:
+    // each round's doubling join references the round's `prop` RDD twice,
+    // so the UNtruncated lineage is a tree that doubles per round — even
+    // `toDebugString` on it is exponential (measured: minutes, then
+    // StackOverflow, at ~13 rounds). localCheckpoint resets the tree
+    // every `checkpointEvery` rounds, so depth is bounded by the interval
+    // regardless of diameter; a run needing 2× the rounds must come back
+    // with the SAME order of lineage, which is what this asserts.
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(sc.defaultParallelism)
+    // a path 0–1–2–…–n has diameter n; pointer doubling needs ~log₂(n)
+    // rounds, so n = 4096 forces ≥ 10 rounds through the loop
+    def pathEdges(n: Long) = sc
+      .parallelize((0L until n).map(i => (i, i + 1)), 8)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(part).cache()
+    def run(n: Long): (Int, Long) = {
+      val edges = pathEdges(n)
+      val labels = Dedup.ccLabelsRdd(edges, part, maxIters = 30, "spec")
+      val depth = labels.toDebugString.linesIterator.size
+      assert(labels.filter(_._2 != 0L).isEmpty(),
+        s"path($n) must collapse to the single label 0")
+      val cnt = labels.count()
+      // a localCheckpoint'ed RDD has no lineage to fall back on —
+      // unpersist only after the last action that reads it
+      labels.unpersist(false)
+      edges.unpersist(false)
+      (depth, cnt)
+    }
+    val (shallowDepth, shallowCnt) = run(128L)   // ~7 rounds
+    val (deepDepth, deepCnt) = run(4096L)        // ~13 rounds
+    assert(shallowCnt == 129L && deepCnt == 4097L)
+    // bounded = a function of the ≤5-round post-checkpoint tail only
+    // (measured 193 lines for BOTH runs; the 4× slack covers a ±2-round
+    // tail misalignment, each tail round ~doubling the debug tree) —
+    // without truncation the 13-round run would be ~2⁶× the 7-round one
+    assert(deepDepth <= shallowDepth * 4 && deepDepth < 500,
+      s"lineage grew with round count despite truncation: " +
+        s"${shallowDepth} lines at ~7 rounds vs ${deepDepth} at ~13")
+  }
 }
