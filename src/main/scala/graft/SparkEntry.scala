@@ -262,7 +262,13 @@ object SparkEntry {
     "q92_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     // hour-of-day anomaly flags: all-integer cleared-denominator z-test
     // on a ≤|types|·24 matrix; one partial-agg shuffle total
-    "q93_hourly_anomaly" -> ((s, d) => EventOps.hourlyAnomaly(events(s, d)))
+    "q93_hourly_anomaly" -> ((s, d) => EventOps.hourlyAnomaly(events(s, d))),
+    // Efraimidis–Spirakis quality-weighted sampling: row-local integer
+    // exponential keys, bounded-heap per-source top-k, |sources| rollup
+    "q94_weighted_sample" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      Pipeline.weightedSample(documents(s, d))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -360,6 +366,7 @@ object SparkEntry {
     "q90_retention" -> EventOps.retentionCohortsOracle,
     "q91_funnel" -> EventOps.funnelStagesOracle,
     "q92_transitions" -> EventOps.eventTransitionsOracle,
-    "q93_hourly_anomaly" -> EventOps.hourlyAnomalyOracle
+    "q93_hourly_anomaly" -> EventOps.hourlyAnomalyOracle,
+    "q94_weighted_sample" -> Pipeline.weightedSampleOracle
   )
 }

@@ -888,4 +888,98 @@ object Pipeline {
       |       CAST(share_bp AS BIGINT) AS share_bp, alloc_tokens,
       |       CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS epochs_micro
       |FROM a ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Quality-weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+  // 2006, "Weighted random sampling with a reservoir"): per source, keep
+  // the k docs minimizing the exponential key e_i = −ln(u_i)/w_i — the
+  // distributed-friendly formulation of weighted reservoir sampling
+  // (key computation is row-local; selection is a bounded top-k). The
+  // weight is the q32 quality micro-score, so the sample tilts toward
+  // high-quality docs while every doc keeps nonzero probability — the
+  // standard curation step between scoring and fixed-size selection
+  // (q63 ranks by UNWEIGHTED hash priority; q85 fills a token budget).
+  //
+  // Determinism: u_i = (h+0.5)/2³² from the md5-derived 32-bit doc hash
+  // (both engines compute the identical h; the division by 2³² is exact
+  // in binary), −ln(u) is quantized to integer micro-units (the q31
+  // pattern — a last-ulp libm divergence flips a floor only when
+  // ln·10⁶ lands within ~1e-10 of an integer), and the key is the
+  // all-integer l6·10⁶ DIV q6, ties broken by doc_id. q6 ≥ 4000 for any
+  // 1-token doc (0.4·n_toks/100 term), but DIV guards with greatest 1.
+  //
+  // Scale shape: key computation is row-local (no shuffle); the top-k
+  // side is row_number ≤ k over (source) — the TopKPerKey bounded-heap
+  // operator when installed, so the 90%-hot source costs a k-heap per
+  // partition, never a partition sort; the corpus side is a partial-agg
+  // collapse to |sources| rows; the final join is tiny-⋈-tiny.
+  // --------------------------------------------------------------------
+  def weightedSample(documents: DataFrame, k: Int = 25): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val keyed = TextAnalysis.perDocQuality(documents)
+      .withColumn("h", expr("graft_h32(CAST(doc_id AS STRING))"))
+      .withColumn("l6", expr(
+        "CAST(floor(-ln((h + 0.5) / 4294967296.0) * 1000000 + 0.5) AS BIGINT)"))
+      .withColumn("ekey", expr("l6 * 1000000L DIV greatest(q6, 1L)"))
+    val sampled = keyed
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("ekey").asc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_toks")).as("sample_tokens"),
+        sum(col("q6")).as("sq6"))
+    keyed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q6")).as("cq6"))
+      .join(sampled, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        col("sample_tokens"),
+        expr("sq6 DIV n_sampled").as("sample_q6_avg"),
+        expr("cq6 DIV n_docs").as("corpus_q6_avg"))
+      .orderBy(col("source"))
+  }
+
+  val weightedSampleOracle: String = weightedSampleOracleAt(25)
+
+  /** Oracle builder on the SAME k as the engine function; h, the ln
+    * quantization and the integer key are spelled identically. */
+  def weightedSampleOracleAt(k: Int): String =
+    s"""WITH perdoc AS (
+      |  SELECT doc_id, source, len(ts) AS n_toks,
+      |         len(list_distinct(ts)) AS n_uniq,
+      |         CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS tok_chars
+      |  FROM (SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS ts
+      |        FROM documents)
+      |  WHERE len(ts) > 0),
+      |scored AS (
+      |  SELECT doc_id, source, n_toks,
+      |         CAST(floor((
+      |           0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
+      |           0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
+      |           0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
+      |         ) * 1000000 + 0.5) AS BIGINT) AS q6
+      |  FROM perdoc),
+      |keyed AS (
+      |  SELECT *,
+      |         CAST(floor(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+      |                         / 4294967296.0) * 1000000 + 0.5) AS BIGINT)
+      |           * 1000000 // greatest(q6, 1) AS ekey
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY ekey ASC, doc_id ASC) AS rk
+      |  FROM keyed),
+      |samp AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+      |         CAST(SUM(n_toks) AS BIGINT) AS sample_tokens,
+      |         CAST(SUM(q6) AS BIGINT) AS sq6
+      |  FROM ranked WHERE rk <= $k GROUP BY source),
+      |corpus AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(q6) AS BIGINT) AS cq6
+      |  FROM keyed GROUP BY source)
+      |SELECT c.source, n_docs, n_sampled, sample_tokens,
+      |       CAST(sq6 // n_sampled AS BIGINT) AS sample_q6_avg,
+      |       CAST(cq6 // n_docs AS BIGINT) AS corpus_q6_avg
+      |FROM corpus c JOIN samp s ON c.source = s.source
+      |ORDER BY c.source""".stripMargin
 }

@@ -456,4 +456,59 @@ class PipelineSpec extends SparkSpec {
           s"SinglePartition exchange:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("weightedSample: matches an exact independent recomputation of the " +
+    "Efraimidis–Spirakis integer keys — rank, counts and q6 averages") {
+    val fixture = (0L until 24L).map { i =>
+      // vary token count and vocabulary so q6 spreads across docs
+      val words = (0 to (i % 7).toInt).map(j => s"w${(i + j) % 5}")
+      (i, (words ++ words).mkString(" "))
+    }
+    val d = docs(fixture: _*)
+    val k = 3
+    val out = Pipeline.weightedSample(d, k).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+
+    // independent recomputation, same integer arithmetic
+    def h32(id: Long): Long = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+    }
+    val perDoc = fixture.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val nToks = toks.length
+      val nUniq = toks.distinct.length
+      val tokChars = toks.map(_.length.toLong).sum
+      val q6 = math.floor((
+        0.4 * math.min(nToks / 100.0, 1.0) +
+          0.3 * (nUniq.toDouble / nToks) +
+          0.3 * math.min((tokChars.toDouble / nToks) / 8.0, 1.0)) * 1e6 + 0.5)
+        .toLong
+      val l6 = math.floor(-math.log((h32(id) + 0.5) / 4294967296.0) * 1e6 + 0.5)
+        .toLong
+      (s"src${id % 3}", id, nToks.toLong, q6, l6 * 1000000L / math.max(q6, 1L))
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, rows) =>
+      val sample = rows.sortBy(r => (r._5, r._2)).take(k)
+      src -> (rows.size.toLong, sample.size.toLong,
+        sample.map(_._3).sum,
+        sample.map(_._4).sum / sample.size,
+        rows.map(_._4).sum / rows.size)
+    }
+    assert(out == expected, s"got $out\nexpected $expected")
+    assertDeterministic(Pipeline.weightedSample(d, k))
+  }
+
+  test("weightedSample plan: the per-source selection is the bounded-heap " +
+    "TopKPerKey operator, not a partition sort (hot-source safety)") {
+    graft.plans.TopKInstall.install(spark)
+    val d = docs((0L until 40L).map(i => (i, s"alpha beta gamma t$i")): _*)
+    val q = Pipeline.weightedSample(d, 5)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      q.queryExecution.executedPlan.toString.take(800))
+  }
 }
