@@ -98,7 +98,10 @@ object TextOps {
               .map(w => (w, 1L)))
         },
       shuffle = MRJob.hashShuffle[String](n),
-      reduce = (k, vs) => Iterator((k, vs.sum)))
+      reduce = (k, vs) => Iterator((k, vs.sum)),
+      // sum is associative+commutative → map-side combine: the shuffle
+      // carries |partitions|·|vocab| partials instead of every token
+      combine = Some(_ + _))
     spark.createDataFrame(counts).toDF("word", "cnt")
   }
 }

@@ -90,4 +90,67 @@ class MRJobSpec extends SparkSpec {
       assert(out == expected)
     }
   }
+
+  test("map-side combine: identical result to the uncombined run for an " +
+    "associative reduce; multicast and null keys still exact") {
+    val rnd = new scala.util.Random(11)
+    val pairs = List.fill(500)(
+      (if (rnd.nextInt(10) == 0) null else s"k${rnd.nextInt(25)}",
+        rnd.nextLong() % 100))
+    def run(combine: Option[(Long, Long) => Long], maxKeys: Int = 1 << 20) =
+      MRJob.run[(String, Long), String, Long, (String, Long)](
+        spark.sparkContext.parallelize(pairs, 4),
+        numPartitions = 3,
+        map = (it, _) => it,
+        // multicast: every key goes to TWO reducers — each must see the
+        // full per-key partial stream and produce the doubled total
+        shuffle = k => Seq(if (k == null) 0 else k.hashCode, 1),
+        reduce = (k, vs) => Iterator((k, vs.sum)),
+        combine = combine,
+        combineMaxKeys = maxKeys
+      ).collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val plain = run(None)
+    assert(run(Some(_ + _)) == plain)
+    // overflow path: a 4-key cap forces emit-and-reset many times per
+    // partition — partials multiply, totals must not change
+    assert(run(Some(_ + _), maxKeys = 4) == plain)
+    assert(plain.contains(null), "null keys must survive the combiner")
+  }
+
+  test("map-side combine cuts shuffled records (wordcount shape): " +
+    "|partitions|x|vocab| partials instead of every token") {
+    val records = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) records.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val words = (0 until 2000).map(i => s"w${i % 10}")
+      val rdd = spark.sparkContext.parallelize(words, 4)
+      def count(combine: Option[(Long, Long) => Long]): (Map[String, Long], Long) = {
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        val before = records.sum
+        val out = MRJob.run[String, String, Long, (String, Long)](
+          rdd, numPartitions = 4,
+          map = (it, _) => it.map(w => (w, 1L)),
+          shuffle = MRJob.hashShuffle[String](4),
+          reduce = (k, vs) => Iterator((k, vs.sum)),
+          combine = combine).collect().toMap
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        (out, records.sum - before)
+      }
+      val (plain, plainRecs) = count(None)
+      val (combined, combinedRecs) = count(Some(_ + _))
+      assert(combined == plain)
+      assert(plain.values.sum == 2000L)
+      // 4 partitions x 10-word vocab = 40 partials vs 2000 raw tokens
+      assert(plainRecs >= 2000L, s"uncombined shuffle wrote $plainRecs")
+      assert(combinedRecs <= 80L,
+        s"combined shuffle wrote $combinedRecs records, expected ~40")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
