@@ -268,7 +268,10 @@ object SparkEntry {
     "q94_weighted_sample" -> ((s, d) => {
       plans.TopKInstall.install(s)
       Pipeline.weightedSample(documents(s, d))
-    })
+    }),
+    // freshness-decayed engagement: exact integer half-life weights
+    // (v4 DIV 2^weeks), 1-row max-ts broadcast, one partial-agg shuffle
+    "q95_decayed_engagement" -> ((s, d) => EventOps.decayedEngagement(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -367,6 +370,7 @@ object SparkEntry {
     "q91_funnel" -> EventOps.funnelStagesOracle,
     "q92_transitions" -> EventOps.eventTransitionsOracle,
     "q93_hourly_anomaly" -> EventOps.hourlyAnomalyOracle,
-    "q94_weighted_sample" -> Pipeline.weightedSampleOracle
+    "q94_weighted_sample" -> Pipeline.weightedSampleOracle,
+    "q95_decayed_engagement" -> EventOps.decayedEngagementOracle
   )
 }

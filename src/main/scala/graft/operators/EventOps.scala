@@ -381,6 +381,62 @@ object EventOps {
           |  ELSE 0 END AS INT)""".stripMargin).as("anomaly"))
       .orderBy(col("event_type"), col("hod"))
 
+  // --------------------------------------------------------------------
+  // Freshness-decayed engagement: per event type, the value mass with
+  // weights HALVING per week of age relative to the newest event — the
+  // recency weighting a freshness-aware source mix or feature-store
+  // aggregate applies. The half-life decay is computed EXACTLY in
+  // integers: value quantized to 10⁻⁴ units, age in whole weeks from
+  // microsecond arithmetic, decay = v4 DIV 2^weeks (a bigint shift —
+  // no exp(), no float drift; ages ≥ 63 weeks decay to 0 explicitly
+  // rather than overflowing the shift).
+  //
+  // Scale shape: the corpus max-ts is a 1-row aggregate cross-joined
+  // (broadcast) onto the stream; decay is row-local; the only shuffle
+  // is the partial-agg collapse to |types| rows. Sums and the final
+  // per-mille run in DECIMAL(38,0): Σv4 stays inside int64 to ~1.8·10¹²
+  // max-value events per type, but the ×1000 per-mille would wrap far
+  // earlier — the decimal widening makes the whole surface exact.
+  // --------------------------------------------------------------------
+  def decayedEngagement(events: DataFrame): DataFrame = {
+    val mx = events.agg(max(unix_micros(col("ts"))).as("mx"))
+    events
+      .select(col("event_type"),
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("v4"),
+        unix_micros(col("ts")).as("us"))
+      .crossJoin(broadcast(mx))
+      .withColumn("wk", expr("(mx - us) DIV 604800000000"))
+      .withColumn("dec", expr(
+        "CASE WHEN wk >= 63 THEN 0L" +
+          " ELSE v4 DIV shiftleft(1L, CAST(wk AS INT)) END"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(v4 AS DECIMAL(38,0))")).as("r4"),
+        sum(expr("CAST(dec AS DECIMAL(38,0))")).as("d4"))
+      .select(col("event_type"), col("n_events"),
+        expr("CAST(r4 AS BIGINT)").as("raw_v4"),
+        expr("CAST(d4 AS BIGINT)").as("decayed_v4"),
+        expr("CAST(d4 * 1000 DIV r4 AS BIGINT)").as("freshness_pm"))
+      .orderBy(col("event_type"))
+  }
+
+  val decayedEngagementOracle: String =
+    """WITH m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+      |d AS (
+      |  SELECT event_type,
+      |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+      |         (mx - epoch_us(ts)) // 604800000000 AS wk
+      |  FROM events, m)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(v4) AS BIGINT) AS raw_v4,
+      |       CAST(SUM(CASE WHEN wk >= 63 THEN 0
+      |                     ELSE v4 // (CAST(1 AS BIGINT) << wk) END) AS BIGINT)
+      |         AS decayed_v4,
+      |       CAST(SUM(CAST(CASE WHEN wk >= 63 THEN 0
+      |                          ELSE v4 // (CAST(1 AS BIGINT) << wk) END AS HUGEINT))
+      |              * 1000 // SUM(v4) AS BIGINT) AS freshness_pm
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val hourlyAnomalyOracle: String =
     """WITH c AS (
       |  SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hod,

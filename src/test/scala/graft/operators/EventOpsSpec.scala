@@ -195,6 +195,51 @@ class EventOpsSpec extends SparkSpec {
       r._4 == coldFlag), s"cold rows: ${out.tail.mkString("\n")}")
   }
 
+  test("decayedEngagement: hand-computed half-life weights — exact integer " +
+    "DIV-by-2^weeks decay, week boundary inclusive, deep ages flatten to 0") {
+    val base = 1704067200000L // newest event anchors week 0
+    def ev(id: Long, ty: String, weeksAgo: Double, value: Double) =
+      (id, new java.sql.Timestamp(base - (weeksAgo * 604800000L).toLong), 1L,
+        ty, value, "{}")
+    val events = Seq(
+      ev(1, "a", 0.0, 2.0),    // wk 0: 20000
+      ev(2, "a", 0.9, 1.0),    // wk 0 (age < 1 week): 10000
+      ev(3, "a", 1.0, 1.0),    // wk 1 exactly: 10000 DIV 2 = 5000
+      ev(4, "a", 2.5, 0.7),    // wk 2: 7000 DIV 4 = 1750
+      ev(5, "b", 70.0, 3.0),   // wk 70 >= 63: decays to 0
+      ev(6, "b", 0.0, 0.0001)) // v4 = 1 (the newest b event, wk 0)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.decayedEngagement(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // a: raw 47000, decayed 20000+10000+5000+1750 = 36750 → 781‰
+    // b: raw 30001, decayed 0+1 = 1 → 0‰
+    assert(out == Seq(("a", 4L, 47000L, 36750L, 781L),
+      ("b", 2L, 30001L, 1L, 0L)), s"got $out")
+    assertDeterministic(EventOps.decayedEngagement(events))
+  }
+
+  test("decayedEngagement plan: 1-row max-ts broadcast + ONE partial-agg " +
+    "exchange — the event stream never shuffles raw") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val events = (0L until 50L).map(i =>
+        (i, new java.sql.Timestamp(1704067200000L + i * 3600000L), i % 5,
+          if (i % 2 == 0) "x" else "y", 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val q = EventOps.decayedEngagement(events)
+      val plan = q.queryExecution.executedPlan.toString
+      val hashEx = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") &&
+          !l.contains("ReusedExchange")).toSeq
+      assert(hashEx.size == 1 && hashEx.head.contains("event_type"),
+        s"expected ONE type-keyed exchange:\n${hashEx.mkString("\n")}")
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        "max-ts side must broadcast, not shuffle:\n" + plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("retentionCohorts plan: ONE user-keyed exchange serves the distinct, " +
     "the first-week aggregate and the join (ReusedExchange)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
