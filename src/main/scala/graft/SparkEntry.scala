@@ -271,7 +271,10 @@ object SparkEntry {
     }),
     // freshness-decayed engagement: exact integer half-life weights
     // (v4 DIV 2^weeks), 1-row max-ts broadcast, one partial-agg shuffle
-    "q95_decayed_engagement" -> ((s, d) => EventOps.decayedEngagement(events(s, d)))
+    "q95_decayed_engagement" -> ((s, d) => EventOps.decayedEngagement(events(s, d))),
+    // median/MAD robust quality outliers: one bounded-histogram corpus
+    // shuffle, doubled-unit integer medians, |sources|-row broadcasts
+    "q96_quality_outliers" -> ((s, d) => TextAnalysis.qualityOutliers(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -371,6 +374,7 @@ object SparkEntry {
     "q92_transitions" -> EventOps.eventTransitionsOracle,
     "q93_hourly_anomaly" -> EventOps.hourlyAnomalyOracle,
     "q94_weighted_sample" -> Pipeline.weightedSampleOracle,
-    "q95_decayed_engagement" -> EventOps.decayedEngagementOracle
+    "q95_decayed_engagement" -> EventOps.decayedEngagementOracle,
+    "q96_quality_outliers" -> TextAnalysis.qualityOutliersOracle
   )
 }

@@ -659,6 +659,99 @@ object TextAnalysis {
       .orderBy(col("bin"))
   }
 
+  // --------------------------------------------------------------------
+  // Robust quality outliers per source: median/MAD (median absolute
+  // deviation), the standard outlier test that a mean/stddev z-score
+  // cannot do on heavy-tailed quality distributions (the outliers
+  // being hunted corrupt the mean that would detect them). A doc is
+  // flagged when |q6 − median| > 3·MAD.
+  //
+  // Exactness: interpolated medians of integers live in halves, so the
+  // whole test is computed in DOUBLED units — med2 = v_lo + v_hi (the
+  // two middle order statistics; equal when n is odd), dev2 =
+  // |2·q6 − med2|, mad4 = the same doubling over the dev2 distribution
+  // — and the flag is the all-integer 2·dev2 > 3·mad4. The oracle uses
+  // DuckDB's interpolated median ×2, which lands on the same integers.
+  //
+  // Scale shape: ONE corpus shuffle — the (source, q6) histogram
+  // collapse (bounded at ≤ |sources|·(10⁶+1) rows since q6 is an
+  // integer micro-unit; the q84 pattern); both median picks are cumsum
+  // windows over that bounded table (its exchange is REUSED by the
+  // deviation branch), the dev2 re-histogram is bounded the same way,
+  // and every join is a ≤ |sources|-row broadcast.
+  // --------------------------------------------------------------------
+  def qualityOutliers(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val hist = perDocQuality(documents)
+      .groupBy(col("source"), col("q6"))
+      .agg(count(lit(1)).as("cnt"))
+    // weighted median in doubled units over a (source, value, cnt)
+    // histogram: the value at 1-indexed position p is the row where
+    // below < p <= below + cnt; p_lo = (n+1) DIV 2, p_hi = n DIV 2 + 1
+    def med2Of(h: DataFrame, value: String, out: String): DataFrame =
+      h.select(col("source"), col(value), col("cnt"),
+          expr(s"""COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY $value
+            | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"""
+            .stripMargin).as("below"),
+          expr("SUM(cnt) OVER (PARTITION BY source)").as("n"))
+        .groupBy(col("source"))
+        .agg(
+          (sum(when(expr(s"below < (n + 1) DIV 2 AND (n + 1) DIV 2 <= below + cnt"),
+            col(value)).otherwise(lit(0L))) +
+            sum(when(expr(s"below < n DIV 2 + 1 AND n DIV 2 + 1 <= below + cnt"),
+              col(value)).otherwise(lit(0L)))).as(out),
+          max(col("n")).as("n_docs"))
+    val med = med2Of(hist, "q6", "med2")
+    val devHist = hist.join(broadcast(med.select("source", "med2")), Seq("source"))
+      .select(col("source"), expr("abs(2L * q6 - med2)").as("dev2"), col("cnt"))
+      .groupBy(col("source"), col("dev2"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = med2Of(devHist, "dev2", "mad4").select("source", "mad4")
+    val outs = devHist.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(when(expr("2L * dev2 > 3L * mad4"), col("cnt"))
+        .otherwise(lit(0L))).as("n_outliers"))
+    med.join(mad, Seq("source")).join(outs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("med2"), col("mad4"),
+        col("n_outliers"),
+        expr("n_outliers * 1000L DIV n_docs").as("outlier_pm"))
+      .orderBy(col("source"))
+  }
+
+  val qualityOutliersOracle: String =
+    """WITH perdoc AS (
+      |  SELECT source, len(ts) AS n_toks, len(list_distinct(ts)) AS n_uniq,
+      |         CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS tok_chars
+      |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS ts FROM documents)
+      |  WHERE len(ts) > 0),
+      |scored AS (
+      |  SELECT source,
+      |         CAST(floor((
+      |           0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
+      |           0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
+      |           0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
+      |         ) * 1000000 + 0.5) AS BIGINT) AS q6
+      |  FROM perdoc),
+      |m AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(2 * median(q6) AS BIGINT) AS med2
+      |  FROM scored GROUP BY source),
+      |d AS (
+      |  SELECT s.source, abs(2 * q6 - med2) AS dev2
+      |  FROM scored s JOIN m ON s.source = m.source),
+      |mm AS (
+      |  SELECT source, CAST(2 * median(dev2) AS BIGINT) AS mad4
+      |  FROM d GROUP BY source),
+      |o AS (
+      |  SELECT d.source,
+      |         CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_outliers
+      |  FROM d JOIN mm ON d.source = mm.source GROUP BY d.source)
+      |SELECT m.source, n_docs, med2, mad4, n_outliers,
+      |       CAST(n_outliers * 1000 // n_docs AS BIGINT) AS outlier_pm
+      |FROM m JOIN mm ON m.source = mm.source JOIN o ON m.source = o.source
+      |ORDER BY m.source""".stripMargin
+
   val difficultyBinsOracle: String = difficultyBinsOracleAt(10)
 
   /** Oracle builder on the SAME bin count as the engine function; the

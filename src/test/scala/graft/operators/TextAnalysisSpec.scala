@@ -266,4 +266,69 @@ class TextAnalysisSpec extends SparkSpec {
       case _ => true
     }, ranges.mkString(", "))
   }
+
+  test("qualityOutliers: matches an independent median/MAD recomputation — " +
+    "interpolated medians in doubled units, 3-MAD flags, MAD=0 edge") {
+    // srcA: 9 docs (odd n) of spread-out quality; srcB: 6 docs, five
+    // identical (MAD collapses to 0) plus one different → every nonzero
+    // deviation flags
+    val fixture =
+      (0L until 9L).map(i =>
+        (i, ((0 to (i % 5).toInt).map(j => s"w$j") ++ Seq.fill(i.toInt)("w0"))
+          .mkString(" "), "en", "srcA")) ++
+        (10L until 15L).map(i => (i, "same same same", "en", "srcB")) :+
+        ((15L, "completely different varied words here", "en", "srcB"))
+    val out = TextAnalysis.qualityOutliers(docs(fixture: _*)).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+
+    def q6Of(text: String): Long = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      val u = toks.distinct.length
+      val c = toks.map(_.length.toLong).sum
+      math.floor((0.4 * math.min(n / 100.0, 1.0) + 0.3 * (u.toDouble / n) +
+        0.3 * math.min((c.toDouble / n) / 8.0, 1.0)) * 1e6 + 0.5).toLong
+    }
+    def med2(vs: Seq[Long]): Long = {
+      val s = vs.sorted
+      val n = s.length
+      s((n + 1) / 2 - 1) + s(n / 2) // the two middle order statistics
+    }
+    val expected = fixture.groupBy(_._4).map { case (src, rows) =>
+      val q6s = rows.map(r => q6Of(r._2))
+      val m2 = med2(q6s)
+      val dev2 = q6s.map(q => math.abs(2 * q - m2))
+      val m4 = med2(dev2)
+      val nOut = dev2.count(d => 2 * d > 3 * m4).toLong
+      src -> ((q6s.size.toLong, m2, m4, nOut, nOut * 1000 / q6s.size))
+    }
+    assert(out == expected, s"got $out\nexpected $expected")
+    assert(out("srcB")._3 == 0L, "five identical docs must give MAD 0")
+    assert(out("srcB")._4 == 1L, "the one different doc must flag under MAD 0")
+    assertDeterministic(TextAnalysis.qualityOutliers(docs(fixture: _*)))
+  }
+
+  test("qualityOutliers plan: the corpus crosses ONE (source, q6) histogram " +
+    "exchange, reused by the deviation branch; median sides broadcast") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = docs((0L until 40L).map(i =>
+        (i, s"alpha beta gamma delta w$i " * ((i % 4) + 1).toInt, "en",
+          s"s${i % 3}")): _*)
+      val q = TextAnalysis.qualityOutliers(d)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val q6Ex = plan.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("q6") &&
+          !l.contains("ReusedExchange")).size
+      assert(q6Ex == 1,
+        s"expected ONE (source, q6) exchange, got $q6Ex:\n" +
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(plan.contains("ReusedExchange"),
+        "deviation branch must reuse the histogram exchange:\n" + plan)
+      assert(plan.contains("BroadcastExchange"),
+        "median/MAD sides must broadcast:\n" + plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
