@@ -274,7 +274,10 @@ object SparkEntry {
     "q95_decayed_engagement" -> ((s, d) => EventOps.decayedEngagement(events(s, d))),
     // median/MAD robust quality outliers: one bounded-histogram corpus
     // shuffle, doubled-unit integer medians, |sources|-row broadcasts
-    "q96_quality_outliers" -> ((s, d) => TextAnalysis.qualityOutliers(documents(s, d)))
+    "q96_quality_outliers" -> ((s, d) => TextAnalysis.qualityOutliers(documents(s, d))),
+    // rank-based p50/p90/p99 length profile: one bounded-histogram
+    // shuffle, integer ⌈f·n⌉ rank picks, no interpolation/floats
+    "q97_length_profile" -> ((s, d) => TextAnalysis.lengthProfile(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -375,6 +378,7 @@ object SparkEntry {
     "q93_hourly_anomaly" -> EventOps.hourlyAnomalyOracle,
     "q94_weighted_sample" -> Pipeline.weightedSampleOracle,
     "q95_decayed_engagement" -> EventOps.decayedEngagementOracle,
-    "q96_quality_outliers" -> TextAnalysis.qualityOutliersOracle
+    "q96_quality_outliers" -> TextAnalysis.qualityOutliersOracle,
+    "q97_length_profile" -> TextAnalysis.lengthProfileOracle
   )
 }

@@ -718,6 +718,59 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------------
+  // Sequence-length profile per source: exact p50/p90/p99 token counts
+  // plus max — the distribution packing/batching decisions read (q62's
+  // bin size, q70's chunk economics, padding waste estimates all key
+  // off these percentiles). Percentiles are TYPE-1 (rank-based, the
+  // value at rank ⌈f·n⌉) so the whole computation is integer-exact —
+  // no interpolation, no floats, and the oracle spells the SAME rank
+  // formula with row_number instead of relying on any engine's
+  // quantile-function definition (whose tie/interpolation conventions
+  // differ across engines).
+  //
+  // Scale shape: ONE corpus shuffle — the (source, n_toks) histogram
+  // collapse (bounded by |sources|·max-doc-length rows); the rank picks
+  // are a cumsum window over that bounded table; ⌈f·n⌉ = (f·n+99) DIV
+  // 100 keeps rank arithmetic in int64 to ~10¹⁶ docs per source.
+  // --------------------------------------------------------------------
+  def lengthProfile(documents: DataFrame): DataFrame = {
+    val hist = perDocQuality(documents)
+      .groupBy(col("source"), col("n_toks"))
+      .agg(count(lit(1)).as("cnt"))
+    def pick(pct: Int) =
+      sum(when(
+        expr(s"below < ($pct * n + 99) DIV 100 AND ($pct * n + 99) DIV 100 <= below + cnt"),
+        col("n_toks")).otherwise(lit(0L))).as(s"p${pct}_toks")
+    hist.select(col("source"), col("n_toks").cast("long").as("n_toks"),
+        col("cnt"),
+        expr("""COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY n_toks
+          | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"""
+          .stripMargin).as("below"),
+        expr("SUM(cnt) OVER (PARTITION BY source)").as("n"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), pick(50), pick(90), pick(99),
+        max(col("n_toks")).as("max_toks"))
+      .orderBy(col("source"))
+  }
+
+  val lengthProfileOracle: String =
+    """WITH perdoc AS (
+      |  SELECT source, CAST(len(ts) AS BIGINT) AS n_toks
+      |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS ts FROM documents)
+      |  WHERE len(ts) > 0),
+      |ranked AS (
+      |  SELECT source, n_toks,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_toks) AS rn,
+      |         COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM perdoc)
+      |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN rn = (50 * n + 99) // 100 THEN n_toks ELSE 0 END) AS BIGINT) AS p50_toks,
+      |       CAST(SUM(CASE WHEN rn = (90 * n + 99) // 100 THEN n_toks ELSE 0 END) AS BIGINT) AS p90_toks,
+      |       CAST(SUM(CASE WHEN rn = (99 * n + 99) // 100 THEN n_toks ELSE 0 END) AS BIGINT) AS p99_toks,
+      |       CAST(MAX(n_toks) AS BIGINT) AS max_toks
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   val qualityOutliersOracle: String =
     """WITH perdoc AS (
       |  SELECT source, len(ts) AS n_toks, len(list_distinct(ts)) AS n_uniq,

@@ -309,6 +309,25 @@ class TextAnalysisSpec extends SparkSpec {
     assertDeterministic(TextAnalysis.qualityOutliers(docs(fixture: _*)))
   }
 
+  test("lengthProfile: hand-computed rank-based percentiles — value at " +
+    "rank ceil(f*n), ties collapse into one histogram row, max exact") {
+    // srcA: token counts 1..10 (n=10): p50 = rank 5 → 5, p90 = rank 9
+    // → 9, p99 = rank 10 → 10. srcB: counts {2,2,2,7} (n=4, tie-heavy):
+    // p50 = rank 2 → 2, p90 = rank 4 → 7, p99 = rank 4 → 7.
+    def doc(id: Long, nToks: Int, src: String) =
+      (id, (1 to nToks).map(j => s"t$j").mkString(" "), "en", src)
+    val fixture = (1 to 10).map(i => doc(i, i, "srcA")) ++
+      Seq(doc(21, 2, "srcB"), doc(22, 2, "srcB"), doc(23, 2, "srcB"),
+        doc(24, 7, "srcB"))
+    val out = TextAnalysis.lengthProfile(docs(fixture: _*)).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      "srcA" -> ((10L, 5L, 9L, 10L, 10L)),
+      "srcB" -> ((4L, 2L, 7L, 7L, 7L))), s"got $out")
+    assertDeterministic(TextAnalysis.lengthProfile(docs(fixture: _*)))
+  }
+
   test("qualityOutliers plan: the corpus crosses ONE (source, q6) histogram " +
     "exchange, reused by the deviation branch; median sides broadcast") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
