@@ -107,7 +107,9 @@ object Bench {
       .mkString("{", ",", "}")
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
       "short query keys must stay unique")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$shortQs,"failed":$failedArr,"sf":"$sfEsc","detail":"$out full names + per-query shuffle io"}""")
+    // same escaping as sfDir: the output path is env-sourced too
+    val outEsc = out.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$shortQs,"failed":$failedArr,"sf":"$sfEsc","detail":"$outEsc full names + per-query shuffle io"}""")
     spark.stop()
   }
 }

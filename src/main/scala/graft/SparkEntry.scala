@@ -277,7 +277,14 @@ object SparkEntry {
     "q96_quality_outliers" -> ((s, d) => TextAnalysis.qualityOutliers(documents(s, d))),
     // rank-based p50/p90/p99 length profile: one bounded-histogram
     // shuffle, integer ⌈f·n⌉ rank picks, no interpolation/floats
-    "q97_length_profile" -> ((s, d) => TextAnalysis.lengthProfile(documents(s, d)))
+    "q97_length_profile" -> ((s, d) => TextAnalysis.lengthProfile(documents(s, d))),
+    // §2.C flagship with the EXACT reference semantics (not the lineitem
+    // transplant): Accident.dangerScores over the committed CSV fixture —
+    // the one real query a reference user ports (tasks/
+    // accident_analysis.py:25–129). Input is the repo fixture, not sfDir:
+    // the reference ships its own CSVs the same way.
+    "q98_accident_csv" -> ((s, _) => Accident.dangerScores(
+      sources.Sources.readCsvDefensive(s, Accident.fixtureCsvPath, Map.empty)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -379,6 +386,7 @@ object SparkEntry {
     "q94_weighted_sample" -> Pipeline.weightedSampleOracle,
     "q95_decayed_engagement" -> EventOps.decayedEngagementOracle,
     "q96_quality_outliers" -> TextAnalysis.qualityOutliersOracle,
-    "q97_length_profile" -> TextAnalysis.lengthProfileOracle
+    "q97_length_profile" -> TextAnalysis.lengthProfileOracle,
+    "q98_accident_csv" -> Accident.dangerScoresOracle
   )
 }

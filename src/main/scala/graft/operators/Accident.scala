@@ -119,4 +119,69 @@ object Accident {
       .orderBy(desc("danger_score"), asc("road_feature"), asc("weather_cat"),
         asc("time_of_day"))
   }
+
+  /** Committed deterministic US-Accidents-style fixture (FIXTURES.md A.2,
+    * written by scripts/gen_accident_csv.py at seed 20260813) — the input
+    * behind the driver-gated q98. Resolved to an absolute path at runtime
+    * so the Spark reader and the DuckDB oracle (whose working directory is
+    * the driver's, not sbt's) read the identical bytes. */
+  def fixtureCsvPath: String =
+    new java.io.File("fixtures/accidents/all/accidents.csv").getAbsolutePath
+
+  /** DuckDB twin of [[dangerScores]] over the committed CSV fixture —
+    * every reference semantic reproduced in SQL: the first-match road
+    * feature priority (CASE order), the order-sensitive weather cascade,
+    * the [:19] naive strptime with ANY-failure→0 duration, float-except
+    * defaults, decimal-exact averages (q01's pattern), and the Python
+    * f"{round(x,2)}" trailing-zero-stripped formula rendering (the same
+    * two-regexp transform as [[pyFloat]], RE2 rewrite syntax). all_varchar
+    * keeps every column a raw string, matching csv.DictReader's view in
+    * the reference (tasks/accident_analysis.py:25–49). */
+  def dangerScoresOracle: String = {
+    val py = (x: String) =>
+      s"regexp_replace(regexp_replace(printf('%.2f', $x), '(\\.\\d*?)0+$$', '\\1'), '\\.$$', '.0')"
+    val avg = "ROUND(CAST(SUM(CAST(impact AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*), 2)"
+    val logc = "ROUND(LN(COUNT(*) + 1), 2)"
+    val danger = "ROUND(CAST(SUM(CAST(impact AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) * LN(COUNT(*) + 1), 2)"
+    s"""WITH raw AS (
+      |  SELECT * FROM read_csv('$fixtureCsvPath', header=true, all_varchar=true)),
+      |base AS (
+      |  SELECT
+      |    COALESCE(CASE WHEN Station = 'True' THEN 'Station'
+      |                  WHEN Junction = 'True' THEN 'Junction'
+      |                  WHEN Crossing = 'True' THEN 'Crossing'
+      |                  WHEN Traffic_Signal = 'True' THEN 'Traffic_Signal'
+      |                  WHEN Stop = 'True' THEN 'Stop'
+      |                  WHEN Railway = 'True' THEN 'Railway'
+      |                  WHEN Roundabout = 'True' THEN 'Roundabout' END,
+      |             'None') AS road_feature,
+      |    CASE WHEN lower(COALESCE(Weather_Condition, '')) IN ('fair', 'fair / windy')
+      |           THEN 'Fair'
+      |         WHEN lower(COALESCE(Weather_Condition, '')) LIKE '%mostly cloudy%'
+      |           OR lower(COALESCE(Weather_Condition, '')) IN ('cloudy', 'cloudy / windy')
+      |           THEN 'Cloudy'
+      |         WHEN lower(COALESCE(Weather_Condition, '')) LIKE '%clear%'
+      |           OR lower(COALESCE(Weather_Condition, '')) LIKE '%partly cloudy%'
+      |           OR lower(COALESCE(Weather_Condition, '')) LIKE '%overcast%'
+      |           THEN 'PartlyClear'
+      |         ELSE 'BadWeather' END AS weather_cat,
+      |    COALESCE(Sunrise_Sunset, 'Day') AS time_of_day,
+      |    COALESCE(TRY_CAST(Severity AS DOUBLE), 1.0)
+      |      * (1.0 + COALESCE(TRY_CAST("Distance(mi)" AS DOUBLE), 0.0))
+      |      * (1.0 + COALESCE(
+      |          (epoch(try_strptime(substr(End_Time, 1, 19), '%Y-%m-%d %H:%M:%S'))
+      |           - epoch(try_strptime(substr(Start_Time, 1, 19), '%Y-%m-%d %H:%M:%S')))
+      |          / 3600.0, 0.0)) AS impact
+      |  FROM raw)
+      |SELECT road_feature, weather_cat, time_of_day,
+      |       CAST(COUNT(*) AS BIGINT) AS count,
+      |       $logc AS log_count,
+      |       $avg AS avg_impact,
+      |       $danger AS danger_score,
+      |       ROUND(MIN(impact), 2) AS min_impact,
+      |       ROUND(MAX(impact), 2) AS max_impact,
+      |       concat_ws(' ', ${py(avg)}, '*', ${py(logc)}, '=', ${py(danger)}) AS formula
+      |FROM base GROUP BY 1, 2, 3
+      |ORDER BY danger_score DESC, road_feature ASC, weather_cat ASC, time_of_day ASC""".stripMargin
+  }
 }

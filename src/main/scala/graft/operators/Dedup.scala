@@ -168,7 +168,9 @@ object Dedup {
     * contract [[hsetUdf]] establishes survives the filter.
     * Two extra LINEAR jobs over the shingle stage (a count and a
     * map-combined df aggregation collecting the KB-scale hot set), both
-    * before the quadratic-prone candidate stage they protect. */
+    * before the quadratic-prone candidate stage they protect; the caller
+    * hands in a PERSISTED shingle stage, so both jobs are cached scans,
+    * not repeat runs of the shingling UDF. */
   private def dfFiltered(sh0: DataFrame, maxDfFrac: Double): DataFrame = {
     if (maxDfFrac >= 1.0) return sh0
     val n = sh0.count()
@@ -236,21 +238,36 @@ object Dedup {
                                maxDfFrac: Double): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val (b, r) = lshBanding(threshold)
-    val sh = dfFiltered(hashShingled(documents), maxDfFrac)
-    val sig = sh.select(col("doc_id"), permMinsUdf(b * r)(col("hset")).as("sig"))
-    val bandCols = (0 until r).map(k => s"sig[band*$r+$k]").mkString(", ")
-    val banded = sig
-      .select(col("doc_id"), explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
-      .select(col("doc_id"), expr(s"concat_ws('_', band, $bandCols)").as("band_key"))
-      // exchange barrier: signatures materialize once; the self-join's two
-      // branches reuse the shuffle (ReusedExchange) rather than re-hashing
-      // every shingle per branch, and the join needs no further exchange
-      .repartition(col("band_key"))
-    val cand = banded.as("x").join(banded.as("y"), "band_key")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    verifyJaccardRaw(cand, sh, threshold)
+    // The shingling UDF pass (tokenize + md5 + sort-distinct per doc) is
+    // the stage's dominant linear cost, and FIVE consumers read it: the
+    // df-filter's count and df-aggregation, the signature stage, and both
+    // sides of the verify join. Persist it once; every consumer is then a
+    // cached-column scan. The cache is released in `finally` after the
+    // verified pairs materialize below — this build is eager (the
+    // [[StageMemo]] contract explicitly allows a build to persist-and-
+    // materialize itself), so no lazy consumer can outlive the unpersist.
+    val sh0 = hashShingled(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sh = dfFiltered(sh0, maxDfFrac)
+      val sig = sh.select(col("doc_id"), permMinsUdf(b * r)(col("hset")).as("sig"))
+      val bandCols = (0 until r).map(k => s"sig[band*$r+$k]").mkString(", ")
+      val banded = sig
+        .select(col("doc_id"), explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
+        .select(col("doc_id"), expr(s"concat_ws('_', band, $bandCols)").as("band_key"))
+        // exchange barrier: signatures materialize once; the self-join's two
+        // branches reuse the shuffle (ReusedExchange) rather than re-hashing
+        // every shingle per branch, and the join needs no further exchange
+        .repartition(col("band_key"))
+      val cand = banded.as("x").join(banded.as("y"), "band_key")
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val out = verifyJaccardRaw(cand, sh, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally sh0.unpersist(false)
   }
 
   def minhashDedup(documents: DataFrame,

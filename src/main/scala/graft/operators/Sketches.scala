@@ -34,7 +34,12 @@ object Sketches {
   def sketchStats(lineitem: DataFrame, k: Int = 256): DataFrame = {
     graft.functions.GraftFunctions.register(lineitem.sparkSession)
     val kmv = udaf(new KmvSketchAgg(k), Encoders.scalaLong)
-    Widen.widen(lineitem)
+    // deliberately NOT widened: the per-row work here is two 32-bit
+    // hashes — even fully serialized on one core it is cheaper than the
+    // round-robin exchange Widen inserts (measured at sf0.1: the
+    // repartition added ~0.3 s and saved nothing). Contrast tableProfile,
+    // whose per-row work covers every column and does earn the fan-out.
+    lineitem
       .select(col("l_returnflag"), col("l_quantity"),
         expr(h32sql("CAST(l_partkey AS STRING)")).as("h"),
         expr(h32sql(
@@ -60,13 +65,13 @@ object Sketches {
   def quantileSketch(lineitem: DataFrame, k: Int = 256): DataFrame = {
     // register graft_h32 here too — without this the operator only
     // resolves when some OTHER query already registered it on the shared
-    // session (standalone/filtered runs threw UNRESOLVED_ROUTINE); and
-    // widen like sketchStats/tableProfile so the per-row hashing doesn't
-    // serialize onto one core for single-row-group inputs
+    // session (standalone/filtered runs threw UNRESOLVED_ROUTINE). Not
+    // widened, for the same measured reason as sketchStats: one hash per
+    // row is cheaper than the repartition exchange.
     graft.functions.GraftFunctions.register(lineitem.sparkSession)
     val bks = udaf(new graft.functions.BottomKSampleAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
-    Widen.widen(lineitem)
+    lineitem
       .select(col("l_returnflag"),
         col("l_quantity").cast("double").as("qty"),
         expr(h32sql(

@@ -45,13 +45,18 @@ object TextAnalysis {
   // side at scale). Score: docs join profiles on word, integer-quantized
   // log-likelihood sum, argmax per doc. Output: confusion matrix.
   // --------------------------------------------------------------------
-  /** @param broadcastProfile the (lang, word) profile is |V|·|L| rows —
+  /** Languages a corpus may carry before the per-language score columns
+    * of the broadcast path stop being reasonable (they become plan
+    * width); past this the join fallback handles it. */
+  private val MaxLangs = 200
+
+  /** @param broadcastProfile the per-word profile is |V|·|L| entries —
     *   tiny for curated corpora, but an OPEN vocabulary at web scale grows
-    *   with the corpus. true (default) broadcasts it with an in-plan guard
-    *   that raises a loud error past `maxProfileRows` (instead of a
-    *   mysterious broadcast OOM); false takes the join fallback: a plain
-    *   shuffle join on the aggregated doc-word rows (O(distinct pairs)
-    *   volume; AQE's skew handling covers stopword keys). */
+    *   with the corpus. true (default) broadcasts it, guarded by a loud
+    *   error past `maxProfileRows` (instead of a mysterious broadcast
+    *   OOM); false takes the join fallback: a plain shuffle join on the
+    *   aggregated doc-word rows (O(distinct pairs) volume; AQE's skew
+    *   handling covers stopword keys). */
   def langId(documents: DataFrame, broadcastProfile: Boolean = true,
              maxProfileRows: Long = 10000000L): DataFrame = {
     // The raw token stream is zipfian on `w` — a shuffle keyed by the token
@@ -71,6 +76,104 @@ object TextAnalysis {
     // re-read a |V|·|L|-row exchange instead of the distinct-pairs one
     val counts = docWords.groupBy(col("lang").as("l"), col("w"))
       .agg(sum(col("n")).as("cw"))
+    if (broadcastProfile) langIdBroadcast(docWords, counts, maxProfileRows)
+    else langIdJoin(docWords, counts)
+  }
+
+  /** Broadcast scoring path: one dense |L|-wide log-prob vector per word,
+    * WITH the smoothing floor folded in — vec_w[i] = lp(w|Lᵢ) when Lᵢ has
+    * seen w, else lp0(Lᵢ) = the add-one floor ln(1/(totᵢ+v)). Then
+    * score(doc, Lᵢ) = Σ_w n(w)·vec_w[i] EXACTLY — known terms and floor
+    * terms in one sum — so the floor-completion join machinery of the
+    * naive formulation (per-doc totals × language floors grid, left-join,
+    * window argmax) disappears entirely. The whole query is: the memoized
+    // doc-word collapse, a 1:1 broadcast join on `w` (no |L|× row
+    * explosion — the old profile join multiplied every doc-word row by
+    * the number of languages knowing the word), and ONE codegen'd hash
+    * aggregate with |L| integer sum columns; the argmax is array_min over
+    * |L| (−score, lang) structs (≡ ORDER BY score DESC, l ASC rank 1).
+    * Integer micro-log-probs make every sum order-independent, so this
+    * equals the grid formulation (and the DuckDB oracle) bit-for-bit.
+    *
+    * The per-language totals and vocab size arrive via one bounded driver
+    * collect (|L| rows — the same class of bounded broadcast build as the
+    * IVF centroids); tot+v become plan literals, and Catalyst constant-
+    * folds each language's floor with the same `ln` the SQL path uses. */
+  private def langIdBroadcast(docWords: DataFrame, counts: DataFrame,
+                              maxProfileRows: Long): DataFrame = {
+    // one action: per-language token totals × global vocab size (the
+    // counts exchange is built once and reused by both branches)
+    val stats = counts.groupBy(col("l")).agg(sum(col("cw")).as("tot"))
+      .crossJoin(counts.agg(countDistinct(col("w")).as("v")))
+      .collect()
+    if (stats.isEmpty) // token-less corpus: empty confusion matrix
+      return docWords.filter(lit(false))
+        .select(col("lang"), col("lang").as("predicted"), lit(0L).as("cnt"))
+    val v = stats.head.getLong(stats.head.fieldIndex("v"))
+    val langs = stats.map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    require(langs.size <= MaxLangs && v * langs.size <= maxProfileRows,
+      s"langId profile has ${v * langs.size} (|V|=$v × |L|=${langs.size}) " +
+        s"> max $maxProfileRows for broadcast; call langId with " +
+        "broadcastProfile = false")
+    val idx = langs.zipWithIndex
+    // pivot counts to one row per word: cw per language, then the dense
+    // floor-inclusive log-prob vector. floor(double) is already BIGINT.
+    val pivots = idx.map { case ((l, _), i) =>
+      max(when(col("l") === l, col("cw"))).as(s"cw$i")
+    }
+    val vecCols = idx.map { case ((l, tot), i) =>
+      val d = lit((tot + v).toDouble)
+      coalesce(
+        floor(log((col(s"cw$i") + lit(1.0)) / d) * lit(1000000.0) + lit(0.5)),
+        floor(log(lit(1.0) / d) * lit(1000000.0) + lit(0.5))).as(s"v$i")
+    }
+    val vec = broadcast(counts.groupBy(col("w"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("w") +: vecCols: _*))
+    val sums = idx.map { case (_, i) => sum(col("n") * col(s"v$i")).as(s"s$i") }
+    val scored = docWords.join(vec, "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sums.head, sums.tail: _*)
+    val cands = idx.map { case ((l, _), i) =>
+      struct((-col(s"s$i")).as("ns"), lit(l).as("l"))
+    }
+    scored
+      .select(col("lang"), array_min(array(cands: _*)).getField("l").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Open-vocabulary fallback: profile stays distributed; the doc-word ⋈
+    * profile shuffle join explodes each doc-word row across the languages
+    * knowing the word, so the smoothing floor needs explicit completion.
+    //
+    // Words a language has NEVER seen must contribute the add-one
+    // smoothing floor ln(1/(tot+v)) — joining on `w` alone would give an
+    // unseen word a contribution of ZERO, biasing the argmax toward the
+    // language that knows the FEWEST of a doc's words (one mildly
+    // negative term beats fifty) and inverting the classifier for
+    // partial-vocabulary overlaps. Each language's score is
+    // Σ_known n·lp + (n_doc − n_known)·lp0.
+    //
+    // The naive completion materializes the |docs|·|L| grid (docTotals ×
+    // langFloor, left-join known, window-sort argmax). None of that is
+    // needed: a floor-only candidate (zero shared vocabulary) scores
+    // ntot·lp0(l), and since ntot > 0 is constant within a doc, the best
+    // floor-only candidate is the SAME language for every doc — the
+    // global (max lp0, tie-break min l) champion. And every language
+    // with ≥1 known word strictly beats its own floor (each known
+    // occurrence adds ≥ ln2·10⁶ μ-units over lp0, so the rounded sums
+    // cannot tie), so dropping the dominated floor rows of known
+    // languages never changes the argmax, including ties: if the floor
+    // champion's own language is known for some doc, its completed row
+    // strictly dominates EVERY floor row of that doc, making the exact
+    // grid's floor tier irrelevant there too. The argmax itself becomes
+    // min(struct(-score, l)) — a hash aggregate with map-side partial
+    // combine (≡ ORDER BY score DESC, l ASC rank 1) instead of a
+    // |docs|·|L| window sort. Oracle parity is exact (the DuckDB twin
+    // computes the full grid; see the dominance argument above). */
+  private def langIdJoin(docWords: DataFrame, counts: DataFrame): DataFrame = {
     val vocabSize = counts.select(countDistinct(col("w")).as("v"))
     val langTotals = counts.groupBy(col("l")).agg(sum(col("cw")).as("tot"))
     val profile = counts
@@ -79,50 +182,35 @@ object TextAnalysis {
       // integer micro-log-prob: deterministic to sum in any order
       .select(col("l"), col("w"),
         expr("CAST(floor(ln((cw + 1.0) / (tot + v)) * 1000000 + 0.5) AS BIGINT)").as("lp"))
-    // profile is |V|·|L| rows (aggregated, tiny next to the corpus):
-    // broadcast it so the stopword-skewed join on `w` never shuffles the
-    // doc-word stream by token — the hot-key problem disappears because
-    // every partition owns a full profile copy. The size guard runs
-    // IN-PLAN (a count branch over the same aggregation — its exchange is
-    // reused, no extra action) and raises a loud error rather than letting
-    // an open-vocabulary corpus OOM the broadcast.
-    val profileSide =
-      if (!broadcastProfile) profile
-      else {
-        val cnt = profile.agg(count(lit(1)).as("profile_rows"))
-        broadcast(profile.crossJoin(cnt).select(col("l"), col("w"),
-          expr(Guards.guardedSql("profile_rows", maxProfileRows,
-            "langId profile", "lp", "BIGINT",
-            "call langId with broadcastProfile = false")).as("lp")))
-      }
-    // Words a language has NEVER seen must contribute the add-one
-    // smoothing floor ln(1/(tot+v)) — joining on `w` alone would give an
-    // unseen word a contribution of ZERO, biasing the argmax toward the
-    // language that knows the FEWEST of a doc's words (one mildly
-    // negative term beats fifty) and inverting the classifier for
-    // partial-vocabulary overlaps. So: per-doc totals × per-language
-    // floors complete the (doc, language) grid, and each language's
-    // score is Σ_known n·lp + (n_doc − n_known)·lp0. The grid is
-    // |docs|·|L| rows — the same granularity the argmax needs anyway.
     val docTotals = docWords.groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("n")).as("ntot"))
     val langFloor = langTotals.crossJoin(vocabSize)
       .select(col("l"),
         expr("CAST(floor(ln(1.0 / (tot + v)) * 1000000 + 0.5) AS BIGINT)").as("lp0"))
-    val known = docWords.join(profileSide, "w")
+    val known = docWords.join(profile, "w")
       .groupBy(col("doc_id"), col("lang"), col("l"))
       .agg(sum(col("n") * col("lp")).as("known_score"),
         sum(col("n")).as("n_known"))
-    val scored = docTotals.crossJoin(langFloor)
-      .join(known, Seq("doc_id", "lang", "l"), "left")
-      .select(col("doc_id"), col("lang"), col("l"),
-        (coalesce(col("known_score"), lit(0L)) +
-          (col("ntot") - coalesce(col("n_known"), lit(0L))) * col("lp0"))
-          .as("score"))
-    val best = scored.withColumn("rn", expr(
-        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l ASC)"))
-      .filter(col("rn") === 1)
-    best.groupBy(col("lang"), col("l").as("predicted"))
+    // completed scores only where the doc and language share vocabulary;
+    // langFloor is |L| rows — broadcast; the (doc_id, lang) exchange here
+    // is the tail's ONE data-sized shuffle, and the groupBy right after
+    // reuses its partitioning (no further exchange)
+    val bestKnown = known
+      .join(broadcast(langFloor), "l")
+      .join(docTotals, Seq("doc_id", "lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct(
+        (-(col("known_score") + (col("ntot") - col("n_known")) * col("lp0"))).as("ns"),
+        col("l"))).as("mk"))
+    // the one floor candidate that can ever win: global max lp0, min l
+    val floorBest = langFloor.orderBy(col("lp0").desc, col("l").asc).limit(1)
+    val best = docTotals.crossJoin(broadcast(floorBest))
+      .join(bestKnown, Seq("doc_id", "lang"), "left")
+      .select(col("lang"),
+        least(col("mk"),
+          struct((-(col("ntot") * col("lp0"))).as("ns"), col("l")))
+          .getField("l").as("predicted"))
+    best.groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("lang"), col("predicted"))
   }

@@ -36,7 +36,13 @@ class GuardrailSpec extends SparkSpec {
       val out = TextAnalysis.langId(docs, broadcastProfile = false)
       out.collect()
       val p = out.queryExecution.executedPlan.toString
-      assert(!p.contains("BroadcastHashJoin"), p.take(800))
+      // the open-vocabulary hazard is the |V|·|L| PROFILE side — pin that
+      // the join on the token column `w` is not a broadcast join. The
+      // |L|-row floor table and 1-row floor champion keep their explicit
+      // broadcast hints (bounded by language count, not vocabulary).
+      val wBroadcast = p.linesIterator.exists(ln =>
+        ln.contains("BroadcastHashJoin") && ln.contains("[w#"))
+      assert(!wBroadcast, p.take(800))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
