@@ -12,6 +12,13 @@ Note the reference's OWN shuffle for this task routes by weather bucket
 (accident_analysis.py:90–104) — 4 keys to 4 workers — so its reduce
 skew is part of its measured behavior, not an artifact of this harness.
 
+TRUST ASSUMPTION: this script exec()s task code read from
+/root/reference — content this project treats as PUBLIC UNTRUSTED.
+Executing it is inherent to measuring the reference kernel, but it
+grants that code full interpreter access: run this bench only in a
+disposable/sandboxed environment, never where credentials or writable
+state matter.
+
 Usage: python3 scripts/ref_accident_bench.py <dataRoot> [reps] [dumpJson]
 With dumpJson, the merged (key -> result) reduce output is written for
 scripts/check_accident_parity.py.

@@ -23,6 +23,13 @@ worker pair), no pydantic serialization, no master round-trips, no
 result upload. Per-phase wall is taken as the MAX across workers (as
 if the 4 workers ran perfectly parallel).
 
+TRUST ASSUMPTION: this script exec()s task code read from
+/root/reference — content this project treats as PUBLIC UNTRUSTED.
+Executing it is inherent to measuring the reference kernel, but it
+grants that code full interpreter access: run this bench only in a
+disposable/sandboxed environment, never where credentials or writable
+state matter.
+
 Usage:
     python3 scripts/ref_kernel_bench.py [sfDir] [reps]
 Prints one JSON line; compare with q02_wordcount in BENCH artifacts.

@@ -237,8 +237,9 @@ object SparkEntry {
     // SemDeDup exemplar per semantic cluster: integer centroid from a
     // map-side-collapsed (lbl, pos) partial agg, codegen'd dot scoring,
     // rank-1 bounded-heap argmax. Threshold 0.4 (vs q78's 0.5) keeps a
-    // rich cluster population at fixture scale; on a denser embedding
-    // space it may percolate into few giant components — the CC is
+    // rich cluster population at fixture scale; percolation into giant
+    // components on a denser space now raises loudly via the in-plan
+    // maxClusterSize guard (GuardrailSpec-pinned) — the CC stays
     // O(log diameter) rounds either way
     "q88_cluster_reps" -> ((s, d) => {
       plans.TopKInstall.install(s)

@@ -403,9 +403,16 @@ object Dedup {
     * planning. Only the derived GRAPH (edges + labels) is ever
     * cached/collected-on — never the corpus. */
   private[operators] def connectedComponents(pairs: DataFrame, maxIters: Int,
-                                             caller: String): DataFrame = {
+                                             caller: String,
+                                             checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // reliable-checkpoint escape hatch (see [[ccLabelsRdd]]): an explicit
+    // argument wins; otherwise a deployment sets the session conf once
+    // and every CC caller (dedup clusters, semantic clusters, exemplars)
+    // inherits loss-proof truncation without signature churn
+    val ckDir = checkpointDir.orElse(
+      spark.conf.getOption("graft.cc.checkpointDir"))
     val pairsRdd = pairs
       .select(col("a"), col("b")).as[(Long, Long)].rdd
     val part = new org.apache.spark.HashPartitioner(
@@ -413,8 +420,12 @@ object Dedup {
     val edgesBySrc = pairsRdd
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(part).cache()
-    val labels = ccLabelsRdd(edgesBySrc, part, maxIters, caller)
-    edgesBySrc.unpersist(false)
+    // try/finally: the non-convergence throw inside the loop must not
+    // leak the cached bidirectional edge RDD for the session lifetime
+    val labels =
+      try ccLabelsRdd(edgesBySrc, part, maxIters, caller,
+        checkpointDir = ckDir)
+      finally edgesBySrc.unpersist(false)
     // persist + materialize HERE (Slot.get skips already-persisted
     // builds) so the final round's cached RDD can be freed — otherwise
     // every clustered corpus pins its label RDD for the session lifetime
@@ -437,16 +448,28 @@ object Dedup {
     * needs, but a high-diameter component at 100× scale (or an executor
     * loss forcing recompute of a deep chain) turns it into the classic
     * iterative-lineage blowup. Local (executor-block) checkpointing is
-    * the right cost point here: the loop tolerates a lost block by
-    * rerunning from the last action, and a cluster deployment that
-    * needs loss-proof truncation can set a checkpoint dir and swap
-    * `localCheckpoint` for reliable `checkpoint` without touching the
-    * loop. `checkpointEvery = 0` disables truncation (spec use only). */
-  private[operators] def ccLabelsRdd(
+    * the default cost point: lineage is truncated cheaply, but the
+    * executor blocks ARE the only copy — losing one (or the executor
+    * holding it) past the checkpoint round fails the job rather than
+    * recomputing, which is acceptable on a single-node engine where
+    * executor loss kills the app anyway. A cluster deployment that needs
+    * loss-proof truncation passes `checkpointDir`: the loop then writes
+    * reliable `checkpoint()` files there (and caches alongside, so the
+    * checkpoint write reads the cached blocks instead of recomputing
+    * the round), and a lost cached block recomputes from the checkpoint
+    * files instead of dying ([[graft.FaultToleranceSpec]] drives
+    * exactly that loss). `checkpointEvery = 0` disables truncation
+    * (spec use only). */
+  private[graft] def ccLabelsRdd(
       edgesBySrc: org.apache.spark.rdd.RDD[(Long, Long)],
       part: org.apache.spark.HashPartitioner,
       maxIters: Int, caller: String,
-      checkpointEvery: Int = 5): org.apache.spark.rdd.RDD[(Long, Long)] = {
+      checkpointEvery: Int = 5,
+      checkpointDir: Option[String] = None): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val sc = edgesBySrc.sparkContext
+    // reliable mode: set the dir once (idempotent for a fixed dir; a
+    // CHANGED dir mid-session is a caller error Spark surfaces itself)
+    checkpointDir.foreach(sc.setCheckpointDir)
     // init folds the first propagation round in: every vertex starts at
     // min(self, min neighbor) straight off the cached edge partitions
     var labels = edgesBySrc
@@ -480,9 +503,18 @@ object Dedup {
       // lineage truncation (see Scaladoc); the convergence action below
       // materializes the round either way, so the checkpoint is free of
       // extra passes
-      if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0)
-        next.localCheckpoint()
-      else next.cache()
+      if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0) {
+        checkpointDir match {
+          case Some(_) =>
+            // reliable: cache THEN checkpoint — the convergence action
+            // below materializes the cache, and the checkpoint job that
+            // follows it reads the cached blocks (one extra write pass,
+            // zero extra compute passes)
+            next.cache()
+            next.checkpoint()
+          case None => next.localCheckpoint()
+        }
+      } else next.cache()
       val s = next.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
       prop.unpersist(false)
       labels.unpersist(false)

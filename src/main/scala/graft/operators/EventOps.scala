@@ -375,7 +375,19 @@ object EventOps {
       .select(col("event_type"), col("hod"), col("n_events"),
         expr("CAST(CAST(n_events AS DECIMAL(38,0)) * h * 1000 DIV t AS BIGINT)")
           .as("load_pm"),
+        // past ~4·10¹⁷ events/bucket the DECIMAL(38,0) products overflow
+        // to NULL under Spark's non-ANSI decimal arithmetic, so dev·dev >
+        // … would evaluate false and anomaly would SILENTLY read 0 while
+        // the HUGEINT oracle stays exact — the first CASE arm turns that
+        // silent divergence into a loud in-plan error (the matrix is ≤
+        // |types|·24 rows, so the extra comparison is free)
         expr("""CAST(CASE
+          |  WHEN n_events > 400000000000000000L
+          |  THEN CAST(raise_error(concat('hourlyAnomaly: bucket ',
+          |    event_type, '@', hod, ' has ', n_events,
+          |    ' events > 4e17 exactness bound — DECIMAL(38,0) squares',
+          |    ' would overflow to NULL; pre-aggregate or rescale'))
+          |    AS INT)
           |  WHEN dev * dev > 4 * (s * h - CAST(t AS DECIMAL(38,0)) * t)
           |  THEN CASE WHEN dev > 0 THEN 1 ELSE -1 END
           |  ELSE 0 END AS INT)""".stripMargin).as("anomaly"))

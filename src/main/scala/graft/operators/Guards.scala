@@ -19,4 +19,22 @@ private[operators] object Guards {
        |  THEN CAST(raise_error(concat('$what has ', $sizeSql,
        |    ' > max $max for broadcast; $fallbackHint')) AS $sqlType)
        |  ELSE $valueSql END""".stripMargin
+
+  /** `valueSql` (a window expression over an UNPARTITIONED frame)
+    * guarded by an in-plan row ceiling on that same frame: the engine's
+    * single-partition windows are all over tables bounded BY
+    * CONSTRUCTION (an integer-micro-unit histogram, a `% shards` key
+    * domain, a per-source aggregate), and this makes the bound
+    * executable — `COUNT(1) OVER ()` rides the identical window frame
+    * (no extra exchange, no extra pass), so an upstream change that
+    * un-bounds the table (e.g. a float score slipping past
+    * quantization) raises loudly instead of silently single-partition
+    * sorting an unbounded stream. */
+  def boundedWindowSql(max: Long, what: String, valueSql: String,
+                       sqlType: String): String =
+    s"""CASE WHEN COUNT(1) OVER () > ${max}L
+       |  THEN CAST(raise_error(concat('$what has ', COUNT(1) OVER (),
+       |    ' rows > documented single-partition-window bound $max;',
+       |    ' an upstream boundedness invariant broke')) AS $sqlType)
+       |  ELSE $valueSql END""".stripMargin
 }

@@ -434,9 +434,10 @@ object Pipeline {
         size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("tok"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
-      .withColumn("fill_bp", expr(
+      .withColumn("fill_bp", expr(Guards.boundedWindowSql(shards.toLong,
+        "shardBalance per-shard aggregate",
         s"""CAST((CAST(n_tokens AS DECIMAL(38,0)) * ${shards}L * 10000L)
-           | DIV SUM(n_tokens) OVER () AS BIGINT)""".stripMargin))
+           | DIV SUM(n_tokens) OVER () AS BIGINT)""".stripMargin, "BIGINT")))
       .orderBy(col("shard"))
   }
 
@@ -848,8 +849,13 @@ object Pipeline {
           |     WHEN cand * cand > total_tokens THEN cand - 1
           |     ELSE cand END""".stripMargin))
       // whole-table window over the |sources|-row aggregate — bounded,
-      // single partition by design (difficultyBins precedent)
-      .withColumn("wsum", sum(col("weight")).over(Window.partitionBy()))
+      // single partition by design (difficultyBins precedent); the
+      // in-plan ceiling makes "|sources| is small" executable: a mix
+      // with 10⁶+ distinct sources raises instead of silently
+      // single-partitioning
+      .withColumn("wsum", expr(Guards.boundedWindowSql(1000000L,
+        "mixTemperature per-source aggregate",
+        "SUM(weight) OVER ()", "BIGINT")))
       .withColumn("share_bp", expr("weight * 10000L DIV wsum"))
       .withColumn("alloc_tokens", expr(
         s"CAST(CAST(weight AS DECIMAL(38,0)) * ${budget}L DIV CAST(wsum AS DECIMAL(38,0)) AS BIGINT)"))

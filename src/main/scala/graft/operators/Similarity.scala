@@ -624,8 +624,17 @@ object Similarity {
   // entirely via the exact identity dot(x, Σy) = Σy dot(x, y) — same
   // integers, quadratic only at oracle scale.
   // --------------------------------------------------------------------
+  /** @param maxClusterSize loud in-plan ceiling on component size. Two
+    *   real failure modes live past it: centroid dot products leave
+    *   int64 exactness near 10⁹ members (the default), and — the
+    *   percolation hazard — a too-low threshold on a dense embedding
+    *   space collapses the graph into few giant components whose
+    *   per-cluster argmax concentrates on single keys. Both now raise
+    *   with remediation instead of silently degrading; tighten the
+    *   bound to taste for skew protection. */
   def clusterReps(embeddings: DataFrame, threshold: Double = 0.5,
-                  maxIters: Int = 25): DataFrame = {
+                  maxIters: Int = 25,
+                  maxClusterSize: Long = 1000000000L): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = quantized(embeddings)
     val pairs = cosineNearDup(embeddings, threshold).select(col("a"), col("b"))
@@ -646,7 +655,17 @@ object Similarity {
       .withColumn("rnk", expr(
         "row_number() OVER (PARTITION BY lbl ORDER BY dot DESC, v ASC)"))
       .filter(col("rnk") === 1)
-      .select(col("lbl").as("component"), col("n_vecs"),
+      // guard AFTER the rank-1 filter: one row per component carries
+      // n_vecs, so the oversize check costs |clusters| comparisons and
+      // still fires for every percolated component
+      .select(col("lbl").as("component"),
+        expr(s"""CASE WHEN n_vecs > ${maxClusterSize}L
+          |  THEN CAST(raise_error(concat('clusterReps: component ', lbl,
+          |    ' has ', n_vecs, ' members > maxClusterSize $maxClusterSize',
+          |    ' — embedding space percolated at this threshold (or past',
+          |    ' int64 centroid exactness); raise the threshold or the',
+          |    ' bound')) AS BIGINT)
+          |  ELSE n_vecs END""".stripMargin).as("n_vecs"),
         col("v").as("rep_vec"), col("dot").as("rep_dot"))
       .orderBy(col("component"))
   }

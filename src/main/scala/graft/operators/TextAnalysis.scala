@@ -731,11 +731,16 @@ object TextAnalysis {
     require(bins > 0, s"need a positive bin count, got $bins")
     val hist = perDocQuality(documents).groupBy(col("q6"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_toks")).as("tok"))
+    // the single-partition cumsum is sound ONLY because q6 is an integer
+    // micro-unit in [0, 10⁶] — the in-plan guard makes that ceiling
+    // executable (q6 degrading to a raw double upstream would raise
+    // here, not silently globally sort the corpus)
     val binned = hist.select(col("q6"), col("cnt"), col("tok"),
         expr("""COALESCE(SUM(cnt) OVER (ORDER BY q6
             | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"""
           .stripMargin).as("below"),
-        expr("SUM(cnt) OVER ()").as("nd"))
+        expr(Guards.boundedWindowSql(1000001L, "difficultyBins q6 histogram",
+          "SUM(cnt) OVER ()", "BIGINT")).as("nd"))
       // below < nd always, so bins land in [0, B-1]; B·below fits a
       // long to ~10¹⁸/B docs
       .select(col("cnt"), col("tok"), col("q6"),

@@ -27,6 +27,55 @@ class FaultToleranceSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("injected task failure")))
   }
 
+  test("CC loop with a reliable checkpointDir survives losing every cached " +
+    "block (recompute reads checkpoint files); default local mode dies") {
+    // the VERDICT-flagged trade: localCheckpoint truncates lineage to
+    // executor blocks that are the ONLY copy — the loop unpersists each
+    // round's ancestor once the next round lands, so recomputing the
+    // final labels after a block loss has nothing to rerun from. The
+    // reliable hatch writes checkpoint FILES instead; this test
+    // simulates the loss (unpersist every graft RDD, drop the final
+    // labels' cached blocks) and proves recompute still answers.
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(sc.defaultParallelism)
+    // a 4096-path has diameter 4096: pointer doubling needs ~13 rounds,
+    // so the every-5-rounds checkpoint fires (twice) mid-loop
+    def pathEdges() = sc
+      .parallelize((0L until 4096L).map(i => (i, i + 1)), 8)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(part).cache()
+    def simulateLoss(labels: org.apache.spark.rdd.RDD[(Long, Long)],
+                     edges: org.apache.spark.rdd.RDD[(Long, Long)]): Unit = {
+      // executor loss takes cached blocks AND shuffle map outputs; in
+      // local mode unpersist alone would let the next action fetch
+      // still-registered shuffle files and never walk lineage at all
+      labels.unpersist(true)
+      edges.unpersist(true)
+      org.apache.spark.graft.FaultSim.dropAllShuffleOutputs(sc)
+    }
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val e1 = pathEdges()
+    val reliable = operators.Dedup.ccLabelsRdd(e1, part, maxIters = 30,
+      "spec-reliable", checkpointDir = Some(ckpt))
+    assert(reliable.toDebugString.contains("ReliableCheckpointRDD"),
+      "checkpointDir set but lineage shows no reliable checkpoint")
+    simulateLoss(reliable, e1)
+    // recompute path: rounds after the last checkpoint rerun from the
+    // checkpoint FILES + the (recomputable) edge list — job completes
+    assert(reliable.count() == 4097L)
+    assert(reliable.filter(_._2 != 0L).isEmpty(),
+      "recomputed labels must still collapse the path to label 0")
+
+    // contrast: the default localCheckpoint loop cannot survive the same
+    // loss — its truncated lineage bottoms out at deleted blocks
+    val e2 = pathEdges()
+    val local = operators.Dedup.ccLabelsRdd(e2, part, maxIters = 30,
+      "spec-local")
+    simulateLoss(local, e2)
+    intercept[SparkException](local.count())
+  }
+
   test("streaming dedup state survives a query RESTART from checkpoint " +
     "(replays after restart are still dropped)") {
     implicit val sqlCtx = spark.sqlContext

@@ -74,4 +74,49 @@ class GuardrailSpec extends SparkSpec {
     assert(messages(e).exists(m => m != null && m.contains("broadcastBench = false")),
       e.toString)
   }
+
+  private def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+
+  test("boundedWindowSql: single-partition window raises past its row " +
+    "ceiling, passes under it, with identical values") {
+    val df = (1 to 5).toDF("x")
+    def run(max: Long) = df.select(expr(Guards.boundedWindowSql(max,
+      "spec table", "SUM(x) OVER ()", "BIGINT")).as("s")).collect()
+    assert(run(5L).map(_.getLong(0)).toSeq == Seq.fill(5)(15L))
+    val e = intercept[Exception](run(4L))
+    assert(messages(e).exists(m =>
+      m != null && m.contains("single-partition-window bound 4")), e.toString)
+  }
+
+  test("difficultyBins / mixTemperature / shardBalance run green under " +
+    "their in-plan window ceilings on real-shaped input") {
+    // the production ceilings are far above fixture scale — this pins
+    // that adding the guard changed NOTHING for bounded inputs
+    assert(TextAnalysis.difficultyBins(docs, bins = 3).collect().nonEmpty)
+    assert(Pipeline.mixTemperature(docs).collect().nonEmpty)
+    assert(Pipeline.shardBalance(docs, shards = 4).collect().nonEmpty)
+  }
+
+  test("clusterReps raises loudly when a component percolates past " +
+    "maxClusterSize (and stays green at the default bound)") {
+    // 4 near-identical embeddings at threshold 0.4 form ONE component
+    // of size 4 — over a bound of 3, under the 10⁹ default
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.1f, 0.0f)),
+      (2L, Array(0.99f, 0.0f, 0.11f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.09f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val ok = Similarity.clusterReps(emb, threshold = 0.4)
+    val rows = ok.collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 4L,
+      rows.mkString(","))
+    val e = intercept[Exception] {
+      Similarity.clusterReps(emb, threshold = 0.4, maxClusterSize = 3L)
+        .collect()
+    }
+    assert(messages(e).exists(m =>
+      m != null && m.contains("percolated")), e.toString)
+  }
 }
