@@ -285,7 +285,14 @@ object SparkEntry {
     // accident_analysis.py:25–129). Input is the repo fixture, not sfDir:
     // the reference ships its own CSVs the same way.
     "q98_accident_csv" -> ((s, _) => Accident.dangerScores(
-      sources.Sources.readCsvDefensive(s, Accident.fixtureCsvPath, Map.empty)))
+      sources.Sources.readCsvDefensive(s, Accident.fixtureCsvPath, Map.empty))),
+    // REAL JDK-imageio decode over the committed image fixtures: binary
+    // scan → per-partition codec → exact integer channel sums of the
+    // 224×224 tensor; the corrupt fixture row must drop (skip-on-error).
+    // Oracle = committed expected CSV (no SQL engine decodes PNGs —
+    // the gate pins decode determinism; solids are analytic v·224²)
+    "q99_image_decode" -> ((s, _) => Multimodal.imageDecodeStats(
+      s, new java.io.File("fixtures/images").getAbsolutePath))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -388,6 +395,7 @@ object SparkEntry {
     "q95_decayed_engagement" -> EventOps.decayedEngagementOracle,
     "q96_quality_outliers" -> TextAnalysis.qualityOutliersOracle,
     "q97_length_profile" -> TextAnalysis.lengthProfileOracle,
-    "q98_accident_csv" -> Accident.dangerScoresOracle
+    "q98_accident_csv" -> Accident.dangerScoresOracle,
+    "q99_image_decode" -> Multimodal.imageDecodeStatsOracle
   )
 }

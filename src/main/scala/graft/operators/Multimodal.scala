@@ -202,6 +202,54 @@ object Multimodal {
       }.toDF().orderBy(col("doc_id"))
   }
 
+  /** Driver-gated REAL image decode over a committed fixture directory:
+    * `binaryFile` scan → per-partition [[ImageIoCodec]] → integer
+    * per-channel sums of the 224×224 RGB tensor (pixel values are
+    * 0..255 integers stored as floats, so the sums are EXACT longs —
+    * no float surface in the gate). Undecodable payloads drop
+    * (skip-on-error), so the committed corrupt fixture must NOT
+    * surface a row.
+    *
+    * The oracle reads `fixtures/images_expected.csv` — committed
+    * outputs of this exact codec on this JDK (no SQL engine decodes
+    * PNGs, so re-derivation is impossible; the gate pins decode
+    * determinism and regression instead). The solid-color 224×224
+    * rows are analytically checkable by hand: sum = value·224². */
+  def imageDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        expr("CAST(regexp_extract(path, '([0-9]+)\\\\.[a-z]+$', 1) AS BIGINT)")
+          .as("doc_id"),
+        col("content").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageIoCodec // per-partition init
+        rows.flatMap { case (id, payload) =>
+          codec.decodeRgb224(payload).map { case (w, h, px) =>
+            var r = 0L; var g = 0L; var b = 0L
+            var i = 0
+            while (i < px.length) {
+              r += px(i).toLong; g += px(i + 1).toLong; b += px(i + 2).toLong
+              i += 3
+            }
+            (id, w, h, r, g, b)
+          }
+        }
+      }
+      .toDF("doc_id", "orig_w", "orig_h", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
+  val imageDecodeStatsOracle: String = {
+    val p = new java.io.File("fixtures/images_expected.csv").getAbsolutePath
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(orig_w AS INT) AS orig_w, CAST(orig_h AS INT) AS orig_h,
+       |       CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       |       CAST(sum_b AS BIGINT) AS sum_b
+       |FROM read_csv('$p', header=true) ORDER BY doc_id""".stripMargin
+  }
+
   /** Decode + feature-extract + resize, one codec per partition. */
   def extractFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._

@@ -106,4 +106,33 @@ class MultimodalSpec extends SparkSpec {
     val d = docs((0L, "abc"), (1L, "defg"), (2L, "hij"))
     assertDeterministic(Multimodal.extractFeatures(spark, d))
   }
+
+  test("imageDecodeStats over the committed fixtures: corrupt row drops, " +
+    "solid 224×224 sums are analytic, JPEG/BMP plugins decode") {
+    val dir = new java.io.File("fixtures/images").getAbsolutePath
+    val rows = Multimodal.imageDecodeStats(spark, dir).collect()
+    // 9 committed payloads, 1 deliberately corrupt → 8 decoded rows
+    assert(rows.length == 8, rows.map(_.getLong(0)).mkString(","))
+    assert(!rows.exists(_.getLong(0) == 8L), "corrupt img_008 must drop")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // identity-size solid red: sum_r = 255·224², others 0 — analytic,
+    // independent of any resample kernel
+    assert(byId(0L).getLong(3) == 255L * 224 * 224)
+    assert(byId(0L).getLong(4) == 0L && byId(0L).getLong(5) == 0L)
+    // solid 50×50 BMP upscales to a still-solid tensor
+    assert(byId(6L).getLong(4) == 64L * 224 * 224)
+    assert(byId(6L).getLong(5) == 192L * 224 * 224)
+    // JPEG (img_007) decoded via the jpeg reader plugin
+    assert(byId(7L).getInt(1) == 96 && byId(7L).getInt(2) == 96)
+    // and the whole table matches the committed expected CSV the
+    // DuckDB oracle reads — the same pin the driver gate applies
+    val expected = spark.read.option("header", "true")
+      .option("inferSchema", "true")
+      .csv(new java.io.File("fixtures/images_expected.csv").getAbsolutePath)
+      .collect().map(r => (0 until 6).map(i => r.get(i).toString).mkString(","))
+      .sorted.toSeq
+    val got = rows.map(r => (0 until 6).map(i => r.get(i).toString).mkString(","))
+      .sorted.toSeq
+    assert(got == expected)
+  }
 }
