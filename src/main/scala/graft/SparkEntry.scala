@@ -292,7 +292,19 @@ object SparkEntry {
     // Oracle = committed expected CSV (no SQL engine decodes PNGs —
     // the gate pins decode determinism; solids are analytic v·224²)
     "q99_image_decode" -> ((s, _) => Multimodal.imageDecodeStats(
-      s, new java.io.File("fixtures/images").getAbsolutePath))
+      s, new java.io.File("fixtures/images").getAbsolutePath)),
+    // per-dimension embedding moments (whitening/outlier-dim audit):
+    // posexplode collapses map-side to |dims| rows before the one
+    // shuffle; variance numerator n·Σx²−(Σx)² ≥ 0 so DIV == floor-div,
+    // all products DECIMAL(38,0) ↔ HUGEINT
+    "q100_dim_profile" -> ((s, d) => Similarity.dimProfile(embeddings(s, d))),
+    // contrastive hard negatives: nearest CROSS-label vector per query
+    // from the q30 multi-probe LSH buckets (one bucket-keyed exchange,
+    // never all-pairs), exact-cosine rank-1 pick
+    "q101_hard_negatives" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      Similarity.hardNegatives(embeddings(s, d))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,6 +408,8 @@ object SparkEntry {
     "q96_quality_outliers" -> TextAnalysis.qualityOutliersOracle,
     "q97_length_profile" -> TextAnalysis.lengthProfileOracle,
     "q98_accident_csv" -> Accident.dangerScoresOracle,
-    "q99_image_decode" -> Multimodal.imageDecodeStatsOracle
+    "q99_image_decode" -> Multimodal.imageDecodeStatsOracle,
+    "q100_dim_profile" -> Similarity.dimProfileOracle,
+    "q101_hard_negatives" -> Similarity.hardNegativesOracle
   )
 }

@@ -55,11 +55,16 @@ object Similarity {
   }
 
   /** (vec_id, qv: array<bigint> quantized, n2: bigint squared norm). */
-  private[operators] def quantized(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"))
+  private[operators] def quantized(embeddings: DataFrame,
+                                   keepLabel: Boolean = false): DataFrame = {
+    val base =
+      if (keepLabel) Seq(col("vec_id"), expr("CAST(label AS INT)").as("label"))
+      else Seq(col("vec_id"))
+    embeddings.select(base :+
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("qv"): _*)
       .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x*x)"))
       .filter(col("n2") > 0)
+  }
 
   private val oracleQuantized: String =
     """q AS (
@@ -238,29 +243,32 @@ object Similarity {
   // --------------------------------------------------------------------
   /** Scored LSH candidates (qid, nid, cos) BEFORE ranking — the stage
     * AnnRecallSpec counts to measure true candidate fractions. */
+  /** Hyperplane-sign bucket of a quantized vector. Weights are
+    * row-independent and a pure function of (plane, dim) — the same md5
+    * formula the oracle recomputes in SQL. [[LshWeights]] grows the
+    * cached table to the data's actual dimensionality on first touch
+    * per executor; the steady-state cost per row is one volatile
+    * read. Shared by [[annLshScored]] and [[hardNegatives]] so the
+    * bucketing can never drift between the two. */
+  private def bucketUdf(planes: Int) = udf { qv: Seq[Long] =>
+    val wts = LshWeights.upTo(planes, qv.length)
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0L
+      var d = 0
+      while (d < qv.length) { dot += wts(p)(d) * qv(d); d += 1 }
+      if (dot > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
   private[graft] def annLshScored(embeddings: DataFrame, nQueries: Int,
                                   planes: Int, probeRadius: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = quantized(embeddings)
-    // Hyperplane weights are row-independent and a pure function of
-    // (plane, dim) — the same md5 formula the oracle recomputes in SQL.
-    // [[LshWeights]] grows the cached table to the data's actual
-    // dimensionality on first touch per executor; the steady-state cost
-    // per row is one volatile read.
-    val bucketUdf = udf { qv: Seq[Long] =>
-      val wts = LshWeights.upTo(planes, qv.length)
-      var bucket = 0
-      var p = 0
-      while (p < planes) {
-        var dot = 0L
-        var d = 0
-        while (d < qv.length) { dot += wts(p)(d) * qv(d); d += 1 }
-        if (dot > 0) bucket |= 1 << p
-        p += 1
-      }
-      bucket
-    }
-    val bucketed = q.withColumn("bucket", bucketUdf(col("qv")))
+    val bucketed = q.withColumn("bucket", bucketUdf(planes)(col("qv")))
       // exchange barrier: quantized vectors + buckets materialize once;
       // the query and candidate branches reuse the same shuffle output
       .repartition(col("bucket"))
@@ -604,6 +612,128 @@ object Similarity {
       |  FROM scored)
       |SELECT qid, CAST(rank AS INT) AS rank, nid, ROUND(cos, 6) AS cosine
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Per-dimension embedding moments — the whitening/outlier-dim audit a
+  // training pipeline runs before normalizing or PCA-ing an embedding
+  // column: n, Σx, min, max and the exact integer variance per
+  // dimension (dead dims have var 0; a dim whose |min|/|max| dwarfs the
+  // rest dominates unnormalized cosine). All integer-exact in quantized
+  // 10⁻⁴ units: var_q8 = (n·Σx² − (Σx)²) DIV n² — the numerator is
+  // provably ≥ 0, so Spark's truncating DIV and DuckDB's flooring //
+  // agree (the negative-operand divergence never arises), and every
+  // product runs in DECIMAL(38,0) ↔ HUGEINT (Σx² leaves int64 near
+  // 10¹⁰ rows·dim at |x| ≤ 3·10⁴ — the q93 widening pattern).
+  //
+  // Scale shape: ONE narrow scan; posexplode fans rows·dims map-side
+  // and the hash aggregate collapses to |dims| rows per partition
+  // BEFORE the only shuffle — output is |dims| rows regardless of N.
+  // --------------------------------------------------------------------
+  def dimProfile(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_q"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("ssq"),
+        min(col("x")).as("min_q"), max(col("x")).as("max_q"))
+      .select(col("pos"), col("n"), col("sum_q"), col("min_q"), col("max_q"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * ssq
+          | - CAST(sum_q AS DECIMAL(38,0)) * sum_q)
+          | DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)
+          .as("var_q8"))
+      .orderBy(col("pos"))
+
+  val dimProfileOracle: String =
+    s"""WITH $oracleQuantized,
+      |e AS (
+      |  SELECT CAST(t.i AS INT) AS pos, qv[t.i + 1] AS x
+      |  FROM qn, unnest(range(0, len(qv))) AS t(i)),
+      |a AS (
+      |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sum_q,
+      |         SUM(x*x) AS ssq, CAST(MIN(x) AS BIGINT) AS min_q,
+      |         CAST(MAX(x) AS BIGINT) AS max_q
+      |  FROM e GROUP BY pos)
+      |SELECT pos, n, sum_q, min_q, max_q,
+      |       CAST((n * ssq - sum_q * sum_q) // (n * n) AS BIGINT) AS var_q8
+      |FROM a ORDER BY pos""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Hard-negative mining for contrastive training: for each query
+  // vector, the single most-similar vector with a DIFFERENT label —
+  // the "closest wrong answer" a triplet/InfoNCE loss wants as its
+  // negative. Candidates come from the SAME multi-probe hyperplane
+  // buckets as q30 (sub-quadratic; a hard negative is by definition
+  // near the query, exactly what LSH buckets preserve), then the
+  // cross-label filter and an exact-cosine rank-1 pick. Deterministic
+  // end-to-end — md5 hyperplanes, integer dots — so the DuckDB oracle
+  // reproduces the same buckets, candidates and winner bit-for-bit.
+  //
+  // Scale shape: identical to [[annLshScored]] — one bucket-keyed
+  // exchange reused by both join sides, candidate volume bounded by
+  // the probe-radius fraction of the corpus, rank-1 per query via
+  // bounded window. A query whose probed buckets hold no cross-label
+  // vector yields no row (raise planes/probeRadius to widen).
+  // --------------------------------------------------------------------
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 20,
+                    planes: Int = 4, probeRadius: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val bucketed = quantized(embeddings, keepLabel = true)
+      .withColumn("bucket", bucketUdf(planes)(col("qv")))
+      // exchange barrier shared by the query and candidate branches
+      .repartition(col("bucket"))
+    val masks = (0 until (1 << planes)).filter(m =>
+      Integer.bitCount(m) <= probeRadius)
+    val probeList = masks.map {
+      case 0 => "bucket"
+      case m => s"bucket ^ $m"
+    }.mkString(", ")
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .withColumn("probe", explode(expr(s"array($probeList)")))
+    queries.as("x").join(bucketed.as("y"),
+        col("x.probe") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id") &&
+          col("x.label") =!= col("y.label"))
+      .select(col("x.vec_id").as("qid"), col("x.label").as("qlabel"),
+        col("y.vec_id").as("nid"), col("y.label").as("nlabel"),
+        expr(cosExpr).as("cos"))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)"))
+      .filter(col("rank") === 1)
+      .select(col("qid"), col("qlabel"), col("nid").as("neg_id"),
+        col("nlabel").as("neg_label"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("qid"))
+  }
+
+  val hardNegativesOracle: String =
+    s"""WITH $oracleQuantized,
+      |lab AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+      |bucketed AS (
+      |  SELECT qn.vec_id, qv, n2, lab.label,
+      |         CAST(list_sum(list_transform(range(0, 4), p ->
+      |           CASE WHEN list_sum(list_transform(range(1, len(qv)+1), d ->
+      |                  (CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), ':', CAST(d-1 AS VARCHAR))), 1, 8)) AS BIGINT)
+      |                   - 2147483648) * qv[d])) > 0
+      |                THEN 1 << p ELSE 0 END)) AS INT) AS bucket
+      |  FROM qn JOIN lab ON lab.vec_id = qn.vec_id),
+      |probes AS (
+      |  SELECT vec_id, qv, n2, label,
+      |         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+      |  FROM bucketed WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT x.vec_id AS qid, x.label AS qlabel,
+      |         y.vec_id AS nid, y.label AS nlabel,
+      |         $oracleCosExpr AS cos
+      |  FROM probes x JOIN bucketed y
+      |    ON x.probe = y.bucket AND x.vec_id <> y.vec_id
+      |       AND x.label <> y.label),
+      |ranked AS (
+      |  SELECT qid, qlabel, nid, nlabel, cos,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, qlabel, nid AS neg_id, nlabel AS neg_label,
+      |       ROUND(cos, 6) AS cosine
+      |FROM ranked WHERE rank = 1 ORDER BY qid""".stripMargin
 
   // --------------------------------------------------------------------
   // SemDeDup-style cluster representative selection (Abbas et al. 2023:

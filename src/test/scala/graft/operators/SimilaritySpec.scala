@@ -139,4 +139,51 @@ class SimilaritySpec extends SparkSpec {
     }
     assertDeterministic(Similarity.int8QuantStats(emb(wide: _*)))
   }
+
+  test("dimProfile: per-dimension n/sum/min/max/variance are integer-exact") {
+    // dim 0 values (quantized): 10000, 30000, 20000 → n=3, sum=60000,
+    // var = (3·(1e8+9e8+4e8) − 36e8)/9 = 6e8/9 = 66666666 (σ²=2/3 in
+    // q8 units); dim 1 is DEAD (all-zero rows); dim 2 constant → var 0
+    val d = emb(
+      (1L, Seq(1f, 0f, 0.5f), 0),
+      (2L, Seq(3f, 0f, 0.5f), 0),
+      (3L, Seq(2f, 0f, 0.5f), 1))
+    val out = Similarity.dimProfile(d).collect()
+    assert(out.length == 3)
+    val d0 = out(0)
+    assert(d0.getInt(0) == 0 && d0.getLong(1) == 3L && d0.getLong(2) == 60000L)
+    assert(d0.getLong(3) == 10000L && d0.getLong(4) == 30000L)
+    assert(d0.getLong(5) == (3L * 1400000000L - 60000L * 60000L) / 9L,
+      d0.toString)
+    assert(d0.getLong(5) == 66666666L)
+    val d1 = out(1)
+    assert(d1.getLong(2) == 0L && d1.getLong(5) == 0L)
+    val d2 = out(2)
+    assert(d2.getLong(3) == 5000L && d2.getLong(4) == 5000L &&
+      d2.getLong(5) == 0L)
+    assertDeterministic(Similarity.dimProfile(d))
+  }
+
+  test("hardNegatives: picks the nearest CROSS-label vector, never a " +
+    "same-label one, even when the same-label vector is closer") {
+    // query 0 (label 0): vec 1 is identical but SAME label — must be
+    // skipped; vec 2 is slightly rotated with label 1 — the hard
+    // negative; vec 3 is label 1 but near-orthogonal
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(1f, 0.2f, 0f, 0f), 1),
+      (3L, Seq(0.05f, 1f, 0f, 0f), 1))
+    val out = Similarity.hardNegatives(d, nQueries = 1,
+      planes = 2, probeRadius = 2).collect()
+    // radius = planes ⇒ every bucket probed: recall is exhaustive, so
+    // the pick is exactly the brute-force cross-label argmax
+    assert(out.length == 1, out.mkString(","))
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getInt(1) == 0)
+    assert(r.getLong(2) == 2L && r.getInt(3) == 1, r.toString)
+    assert(r.getDouble(4) > 0.9 && r.getDouble(4) < 1.0)
+    assertDeterministic(Similarity.hardNegatives(d, nQueries = 1,
+      planes = 2, probeRadius = 2))
+  }
 }
