@@ -304,7 +304,17 @@ object SparkEntry {
     "q101_hard_negatives" -> ((s, d) => {
       plans.TopKInstall.install(s)
       Similarity.hardNegatives(embeddings(s, d))
-    })
+    }),
+    // doc rarity = mean linear-idf over distinct terms, integer
+    // micro-units; shares the memoized docWords scan, guarded-broadcast
+    // df join (token never keys a shuffle), bounded-heap top-k/source
+    "q102_doc_rarity" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      TextAnalysis.docRarity(documents(s, d))
+    }),
+    // user-journey trigram mining: one user-keyed exchange for both
+    // LEADs, |types|^3-bounded rollup, guarded single-partition rank
+    "q103_event_trigrams" -> ((s, d) => EventOps.eventTrigrams(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -410,6 +420,8 @@ object SparkEntry {
     "q98_accident_csv" -> Accident.dangerScoresOracle,
     "q99_image_decode" -> Multimodal.imageDecodeStatsOracle,
     "q100_dim_profile" -> Similarity.dimProfileOracle,
-    "q101_hard_negatives" -> Similarity.hardNegativesOracle
+    "q101_hard_negatives" -> Similarity.hardNegativesOracle,
+    "q102_doc_rarity" -> TextAnalysis.docRarityOracle,
+    "q103_event_trigrams" -> EventOps.eventTrigramsOracle
   )
 }

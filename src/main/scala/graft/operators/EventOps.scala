@@ -333,6 +333,55 @@ object EventOps {
       |FROM m ORDER BY prev_type, next_type""".stripMargin
 
   // --------------------------------------------------------------------
+  // Frequent user-journey TRIGRAMS — the higher-order sequel to
+  // [[eventTransitions]] (first-order pairs miss multi-step paths like
+  // view→click→purchase): the global top-k most common 3-step
+  // event-type sequences across users, strictly time-ordered within
+  // each user. The funnel/UX analysis a product team actually reads.
+  //
+  // Scale shape: ONE user-keyed exchange serves both LEADs (same
+  // window spec); the trigram rollup partial-aggregates map-side and
+  // its result is BOUNDED by |types|³ rows — the global rank runs as a
+  // guarded single-partition window over that bounded table (the q84
+  // pattern, in-plan ceiling via Guards), never a corpus sort.
+  // --------------------------------------------------------------------
+  def eventTrigrams(events: DataFrame, k: Int = 10): DataFrame = {
+    val seq3 = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", expr(
+        "LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)"))
+      .withColumn("e3", expr(
+        "LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+    seq3
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", expr(Guards.boundedWindowSql(1000000L,
+        "eventTrigrams |types|^3 rollup",
+        "row_number() OVER (ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC)",
+        "INT")))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("e1"), col("e2"), col("e3"), col("n"))
+      .orderBy(col("rnk"))
+  }
+
+  val eventTrigramsOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type AS e1,
+      |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events),
+      |g AS (
+      |  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT e1, e2, e3, n,
+      |         row_number() OVER (ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC) AS rnk
+      |  FROM g)
+      |SELECT CAST(rnk AS INT) AS rnk, e1, e2, e3, n
+      |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
+  // --------------------------------------------------------------------
   // Hour-of-day load anomaly detection per event type, with EXACT integer
   // arithmetic end-to-end. For a type with counts c_h over H observed
   // hour buckets (total T, sum of squares S), the two-sided z-test

@@ -712,6 +712,83 @@ object TextAnalysis {
       |FROM ranked WHERE rnk <= $k ORDER BY source, rnk""".stripMargin
 
   // --------------------------------------------------------------------
+  // Document RARITY ranking — the "most informative documents" pick a
+  // data-selection pass keeps when budget forces dropping common text:
+  // rarity(d) = mean inverse document frequency over d's DISTINCT
+  // terms, in integer micro-units (idf6 = N·10⁶ DIV df; rarity6 =
+  // Σidf6 DIV n_terms — all nonneg, so truncating DIV ≡ DuckDB's
+  // flooring //). Linear idf for the same reason as [[tfidfTerms]]:
+  // exact integer ratios, no libm ln at the rank boundary. Top-k per
+  // source, deterministic tie-break.
+  //
+  // Scale shape: reads the session-memoized docWords collapse (the ONE
+  // corpus scan shared with q31/q68/q83); df aggregates behind w and is
+  // guarded-broadcast (join fallback for open vocabularies); the
+  // per-doc rollup partial-aggregates behind doc_id; the rank is the
+  // bounded-heap TopKPerKey — |sources|·k rows out. Σidf6 is widened to
+  // DECIMAL(38,0): it leaves int64 once N·10⁶·n_terms ≳ 9·10¹⁸ (a
+  // 10⁸-doc corpus with 10⁵-term docs — inside the 100 TB regime).
+  // --------------------------------------------------------------------
+  /** @param broadcastDf as [[tfidfTerms]]'s flag. */
+  def docRarity(documents: DataFrame, k: Int = 5,
+                broadcastDf: Boolean = true,
+                maxDfRows: Long = 10000000L): DataFrame = {
+    val docWords = docWordsShared(documents)
+    val dfCounts = docWords.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docWords.select(countDistinct(col("doc_id")).as("nd"))
+    val dfSide =
+      if (!broadcastDf) dfCounts
+      else {
+        val cnt = dfCounts.agg(count(lit(1)).as("df_rows"))
+        broadcast(dfCounts.crossJoin(cnt).select(col("w"),
+          expr(Guards.guardedSql("df_rows", maxDfRows,
+            "docRarity df table", "df", "BIGINT",
+            "call docRarity with broadcastDf = false")).as("df")))
+      }
+    docWords.select(col("doc_id"), col("source"), col("w"))
+      .join(dfSide, "w").crossJoin(nDocs)
+      .select(col("doc_id"), col("source"),
+        expr("nd * 1000000L DIV df").as("idf6"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(expr("CAST(idf6 AS DECIMAL(38,0))")).as("idf_sum"),
+        count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("source"), col("n_terms"),
+        expr("CAST(idf_sum DIV n_terms AS BIGINT)").as("rarity6"))
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY source ORDER BY rarity6 DESC, doc_id ASC)"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("doc_id"), col("rarity6"),
+        col("n_terms"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val docRarityOracle: String = docRarityOracleAt(5)
+
+  /** Oracle builder on the SAME k as the engine function. */
+  def docRarityOracleAt(k: Int): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, t.w FROM documents,
+      |       unnest(string_split_regex(lower(text), '\\s+')) AS t(w)
+      |  WHERE len(t.w) > 0),
+      |docwords AS (
+      |  SELECT DISTINCT doc_id, source, w FROM toks),
+      |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM docwords GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM docwords),
+      |per AS (
+      |  SELECT dw.doc_id, dw.source,
+      |         CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |         CAST(SUM(nd.nd * 1000000 // df.df) // COUNT(*) AS BIGINT) AS rarity6
+      |  FROM docwords dw JOIN df USING (w), nd
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, doc_id, rarity6, n_terms,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY rarity6 DESC, doc_id ASC) AS rnk
+      |  FROM per)
+      |SELECT source, CAST(rnk AS INT) AS rnk, doc_id, rarity6, n_terms
+      |FROM ranked WHERE rnk <= $k ORDER BY source, rnk""".stripMargin
+
+  // --------------------------------------------------------------------
   // Curriculum difficulty bins: exact quality-quantile binning of the
   // corpus (curriculum-learning order: feed easy/clean bins first, hard
   // bins later). bin(d) = floor(B · |{docs with q6 < q6(d)}| / N) — a

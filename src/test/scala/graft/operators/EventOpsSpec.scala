@@ -261,4 +261,29 @@ class EventOpsSpec extends SparkSpec {
         "join branch re-scans the events (no ReusedExchange):\n" + plan)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("eventTrigrams: strict per-user time order, hand-counted top ranks, " +
+    "deterministic tie-break") {
+    def ev(id: Long, user: Long, ty: String, minute: Int) =
+      (id, new java.sql.Timestamp(1704067200000L + minute * 60000L), user,
+        ty, 1.0, "{}")
+    // user 1: v c p v c p → trigrams vcp, cpv, pvc, vcp → vcp ×2
+    // user 2: v c p      → vcp ×1
+    // user 3: c c        → no trigram (needs 3 events)
+    val events = Seq(
+      ev(1, 1, "v", 0), ev(2, 1, "c", 1), ev(3, 1, "p", 2),
+      ev(4, 1, "v", 3), ev(5, 1, "c", 4), ev(6, 1, "p", 5),
+      ev(7, 2, "v", 0), ev(8, 2, "c", 1), ev(9, 2, "p", 2),
+      ev(10, 3, "c", 0), ev(11, 3, "c", 1)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.eventTrigrams(events).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    // vcp ×3 (users 1+1+2... user1 contributes vcp at pos 0 AND pos 3)
+    assert(out == Seq(
+      (1, "v", "c", "p", 3L),
+      (2, "c", "p", "v", 1L),
+      (3, "p", "v", "c", 1L)), out.toString)
+    assertDeterministic(EventOps.eventTrigrams(events))
+  }
 }

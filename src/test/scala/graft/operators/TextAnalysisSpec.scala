@@ -350,4 +350,30 @@ class TextAnalysisSpec extends SparkSpec {
         "median/MAD sides must broadcast:\n" + plan)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("docRarity: rare-vocabulary docs outrank common-vocabulary ones; " +
+    "integer mean-idf hand-checked; join fallback identical") {
+    // 4 docs: 'common' appears in all (df=4, idf6 = 4e6 DIV 4 = 1e6);
+    // 'rare' only in doc 4 (df=1, idf6 = 4e6). doc 4 = {common, rare}
+    // → rarity6 = (1e6 + 4e6) DIV 2 = 2_500_000; docs 1–3 = {common}
+    // → rarity6 = 1e6. doc 4 must rank 1.
+    val d = docs(
+      (1L, "common", "en", "s"),
+      (2L, "common", "en", "s"),
+      (3L, "common", "en", "s"),
+      (4L, "common rare", "en", "s"))
+    val out = TextAnalysis.docRarity(d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("s", 1, 4L, 2500000L, 2L),
+      ("s", 2, 1L, 1000000L, 1L),
+      ("s", 3, 2L, 1000000L, 1L),
+      ("s", 4, 3L, 1000000L, 1L)), out.toString)
+    val jn = TextAnalysis.docRarity(d, broadcastDf = false).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(jn == out)
+    assertDeterministic(TextAnalysis.docRarity(d))
+  }
 }
