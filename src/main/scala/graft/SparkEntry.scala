@@ -314,7 +314,24 @@ object SparkEntry {
     }),
     // user-journey trigram mining: one user-keyed exchange for both
     // LEADs, |types|^3-bounded rollup, guarded single-partition rank
-    "q103_event_trigrams" -> ((s, d) => EventOps.eventTrigrams(events(s, d)))
+    "q103_event_trigrams" -> ((s, d) => EventOps.eventTrigrams(events(s, d))),
+    // collocation mining (word2vec-style phrase detection): map-side
+    // adjacent-zip bigrams, partial-agg before the one (w1,w2) exchange,
+    // guarded-broadcast |V| unigram table probed twice, discounted-Dice
+    // integer score, TakeOrdered bounded-heap top-k
+    "q104_collocations" -> ((s, d) => TextAnalysis.collocations(documents(s, d))),
+    // Heaps-law vocabulary growth: md5-bucketed corpus order, per-term
+    // min-bucket collapses map-side, curve is <=|buckets| rows under an
+    // in-plan window ceiling
+    "q105_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(documents(s, d))),
+    // bloom-pruned large-large semi join: fixed-size distributed bloom
+    // build, map-side probe drop before the exchange, exact semi join
+    // scrubs false positives — byte-identical to the plain semi join
+    "q106_bloom_semi" -> ((s, d) => Joins.bloomSemiSegments(customer(s, d), orders(s, d))),
+    // at-least-once -> exactly-once: full double replay deduped by id
+    // (batch twin of dropDuplicatesWithinWatermark, state O(ids/hour)
+    // in streaming mode), per-type counts/sums pin the dedup itself
+    "q107_stream_dedup" -> ((s, d) => streaming.EventStream.dedupReplayStats(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,6 +439,10 @@ object SparkEntry {
     "q100_dim_profile" -> Similarity.dimProfileOracle,
     "q101_hard_negatives" -> Similarity.hardNegativesOracle,
     "q102_doc_rarity" -> TextAnalysis.docRarityOracle,
-    "q103_event_trigrams" -> EventOps.eventTrigramsOracle
+    "q103_event_trigrams" -> EventOps.eventTrigramsOracle,
+    "q104_collocations" -> TextAnalysis.collocationsOracle,
+    "q105_vocab_growth" -> TextAnalysis.vocabGrowthOracle,
+    "q106_bloom_semi" -> Joins.bloomSemiSegmentsOracle,
+    "q107_stream_dedup" -> streaming.EventStream.dedupReplayStatsOracle
   )
 }

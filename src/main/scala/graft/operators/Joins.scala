@@ -205,4 +205,52 @@ object Joins {
       |    ON c.user_id = p.user_id AND c.bucket = p.bucket)
       |SELECT event_id, user_id, CAST(SUM(m) AS BIGINT) AS n_clicks
       |FROM j GROUP BY 1, 2 ORDER BY event_id""".stripMargin
+
+  /** Bloom-pruned LARGE-LARGE semi join: segment counts of customers
+    * holding a high-value order, with the probe side pre-filtered by a
+    * FIXED-SIZE Bloom filter built from the build side's keys.
+    *
+    * The scale problem this solves: when BOTH join sides are too big to
+    * broadcast, a semi join shuffles the entire probe side — including
+    * the (often dominant) fraction with no match. Broadcasting the key
+    * SET is unbounded (it grows with the build side); a Bloom filter is
+    * not — its bits are sized by (expectedKeys, fpp) only, independent
+    * of row count, and it is built DISTRIBUTED (Spark's
+    * `stat.bloomFilter` runs a treeAggregate; only the fixed-size bit
+    * array reaches the driver). Probe rows failing `mightContain` are
+    * dropped map-side BEFORE the exchange; false positives (bounded by
+    * fpp, and merely more frequent — never wrong — if the key count
+    * overruns `expectedKeys`) are removed by the exact semi join that
+    * follows, so the result is byte-identical to the plain semi join
+    * the oracle runs. This is the manual, deterministic form of Spark
+    * 3.3+'s runtime row-level filtering (which injects the same
+    * bloom_filter_agg/might_contain pair when stats warrant it). The
+    * probe is a scalar UDF — off the codegen path by one virtual call,
+    * accepted because it deletes a shuffle orders of magnitude larger
+    * than the codegen loss. */
+  def bloomSemiSegments(customer: DataFrame, orders: DataFrame,
+                        expectedKeys: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    val spark = customer.sparkSession
+    val keys = orders.filter(col("o_totalprice") > 120000.0)
+      .select(col("o_custkey"))
+    val bloom = keys.stat.bloomFilter("o_custkey", expectedKeys, fpp)
+    // explicit broadcast: the bit array ships once per executor, not
+    // once per task closure
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    customer
+      .filter(mightContain(col("c_custkey")))
+      .join(keys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val bloomSemiSegmentsOracle: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 120000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

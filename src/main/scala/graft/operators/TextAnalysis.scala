@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — language ID, quality
@@ -1009,4 +1010,203 @@ object TextAnalysis {
       |       MIN(q6) / 1000000.0 AS min_quality,
       |       MAX(q6) / 1000000.0 AS max_quality
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Collocation mining: the highest-association adjacent word pairs —
+  // the phrase-detection pass a tokenizer-training / phrase-merging
+  // pipeline runs before BPE (word2vec's phrase tool is this exact
+  // shape). Association is the DISCOUNTED DICE score in integer
+  // micro-units: dice6 = 2·(c_xy − δ)·10⁶ DIV (c_x + c_y) — bounded in
+  // [0, 2·10⁶] by construction (c_xy ≤ min(c_x, c_y)), all-integer, so
+  // the ranked pairs are engine-independent (no libm log at the rank
+  // boundary, unlike PMI). The δ discount (word2vec's) suppresses
+  // rare-pair flukes; minCount prunes the candidate set.
+  //
+  // Scale shape: bigrams are built MAP-SIDE from each doc's token array
+  // (adjacent zip via a transform lambda — no positional self-join);
+  // the (w1, w2) count partial-aggregates before its one exchange, so
+  // the zipfian head pair ("of the" at web scale) collapses per
+  // partition and never skews the shuffle. The |V|-row unigram table is
+  // guarded-broadcast (join fallback for open vocabularies) and probed
+  // TWICE from the same broadcast exchange (w1 and w2 sides — Catalyst
+  // reuses it). Top-k is TakeOrdered — a bounded heap per partition,
+  // k rows to the driver, no global sort. The numerator is widened to
+  // DECIMAL(38,0): 2·c_xy·10⁶ leaves int64 once a pair passes ~4.6·10¹²
+  // occurrences — inside the 100 TB regime for stop-word pairs.
+  // --------------------------------------------------------------------
+  /** @param broadcastUni as [[tfidfTerms]]'s broadcastDf flag. */
+  def collocations(documents: DataFrame, minCount: Long = 4L,
+                   discount: Long = 3L, k: Int = 20,
+                   broadcastUni: Boolean = true,
+                   maxUniRows: Long = 10000000L): DataFrame = {
+    require(minCount > discount,
+      s"minCount ($minCount) must exceed the discount ($discount) or " +
+        "dice6 goes negative")
+    val toks = Widen.widen(documents)
+      .select(F.filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0).as("toks"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(slice(toks, 1, size(toks) - 1),
+          |          (x, i) -> named_struct('w1', x, 'w2', toks[i + 1]))"""
+          .stripMargin)).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uniCounts = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uniSide =
+      if (!broadcastUni) uniCounts
+      else {
+        val cnt = uniCounts.agg(count(lit(1)).as("uni_rows"))
+        broadcast(uniCounts.crossJoin(cnt).select(col("w"),
+          expr(Guards.guardedSql("uni_rows", maxUniRows,
+            "collocation unigram table", "c", "BIGINT",
+            "call collocations with broadcastUni = false")).as("c")))
+      }
+    bigrams
+      .join(uniSide.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uniSide.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr(s"""CAST(CAST((c_xy - ${discount}L) * 2 AS DECIMAL(38,0))
+                | * 1000000 DIV (c_x + c_y) AS BIGINT)""".stripMargin)
+          .as("dice6"))
+      .orderBy(col("dice6").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  val collocationsOracle: String = collocationsOracleAt(4L, 3L, 20)
+
+  /** Oracle builder on the SAME params as the engine function. */
+  def collocationsOracleAt(minCount: Long, discount: Long, k: Int): String =
+    s"""WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+      |                     x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT u.bg.w1 AS w1, u.bg.w2 AS w2
+      |  FROM toks, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |       i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u(bg)
+      |  WHERE len(toks) >= 2),
+      |cxy AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      |  FROM bg GROUP BY 1, 2 HAVING count(*) >= $minCount),
+      |uni AS (
+      |  SELECT t.w AS w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(toks) AS w FROM toks) t GROUP BY 1)
+      |SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,
+      |       -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL rounds the
+      |       -- decimal quotient before flooring (46803.65 -> 46804);
+      |       -- HUGEINT // is exact floor division, == Spark's
+      |       -- nonnegative DECIMAL(38,0) truncating DIV
+      |       CAST(CAST((c_xy - $discount) * 2 AS HUGEINT) * 1000000
+      |            // (ux.c + uy.c) AS BIGINT) AS dice6
+      |FROM cxy JOIN uni ux ON cxy.w1 = ux.w JOIN uni uy ON cxy.w2 = uy.w
+      |ORDER BY dice6 DESC, w1, w2 LIMIT $k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Vocabulary growth curve (Heaps' law audit): cumulative distinct
+  // unigram AND bigram vocabulary vs cumulative token volume, over a
+  // deterministic md5-bucketed corpus order. The curve a corpus-scaling
+  // decision reads: is the vocabulary (so the tokenizer's OOV surface /
+  // the dedup candidate space) still growing at the corpus frontier, or
+  // saturated? Hash-bucket order makes the curve a random-order Heaps
+  // curve — exactly the estimator the literature uses — and keeps the
+  // bucket assignment engine-independent (md5 on both sides).
+  //
+  // Scale shape: "first bucket a term appears in" is min(bkt) per term —
+  // partial-aggregated map-side behind the term key, ONE exchange over
+  // |V| (the zipfian head term collapses per partition). The curve
+  // itself is ≤ `buckets` rows; its cumsum windows run under an in-plan
+  // row ceiling (Guards.boundedWindowSql), so an upstream break cannot
+  // silently single-partition an unbounded stream. No global sort, no
+  // per-doc window: two term-keyed exchanges (unigram + bigram) and a
+  // |buckets|-row rollup regardless of corpus size.
+  // --------------------------------------------------------------------
+  def vocabGrowth(documents: DataFrame, buckets: Int = 16): DataFrame = {
+    require(buckets > 0 && buckets <= 4096,
+      s"bucket count must be in [1, 4096], got $buckets")
+    val spark = documents.sparkSession
+    val docs = Widen.widen(documents)
+      .select(
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+          s" AS BIGINT) % $buckets").as("bkt"),
+        F.filter(split(lower(col("text")), "\\s+"),
+          x => length(x) > 0).as("toks"))
+    val uniStream = docs.select(col("bkt"), explode(col("toks")).as("w"))
+    val biStream = docs.filter(size(col("toks")) >= 2)
+      .select(col("bkt"), explode(expr(
+        """transform(slice(toks, 1, size(toks) - 1),
+          |          (x, i) -> concat(x, ' ', toks[i + 1]))""".stripMargin))
+        .as("w"))
+    def newTerms(stream: DataFrame, outCol: String): DataFrame = stream
+      .groupBy(col("w")).agg(min(col("bkt")).as("first_bkt"))
+      .groupBy(col("first_bkt").as("bkt"))
+      .agg(count(lit(1)).as(outCol))
+    val tokensPerBkt = uniStream.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("bucket_tokens"))
+    val grid = spark.range(buckets).select(col("id").as("bkt"))
+    def cum(valueCol: String, alias: String) =
+      expr(Guards.boundedWindowSql(4096L, "vocabGrowth bucket grid",
+        s"SUM($valueCol) OVER (ORDER BY bkt)", "BIGINT")).as(alias)
+    grid
+      .join(newTerms(uniStream, "nt"), Seq("bkt"), "left")
+      .join(newTerms(biStream, "nb"), Seq("bkt"), "left")
+      .join(tokensPerBkt, Seq("bkt"), "left")
+      .select(col("bkt"),
+        coalesce(col("nt"), lit(0L)).as("new_terms"),
+        coalesce(col("nb"), lit(0L)).as("new_bigrams"),
+        coalesce(col("bucket_tokens"), lit(0L)).as("bucket_tokens"))
+      .select(col("bkt"), col("new_terms"), cum("new_terms", "cum_vocab"),
+        col("new_bigrams"), cum("new_bigrams", "cum_bigram_vocab"),
+        col("bucket_tokens"), cum("bucket_tokens", "cum_tokens"))
+      .orderBy(col("bkt"))
+  }
+
+  val vocabGrowthOracle: String = vocabGrowthOracleAt(16)
+
+  /** Oracle builder on the SAME bucket count as the engine function. */
+  def vocabGrowthOracleAt(buckets: Int): String =
+    s"""WITH docs AS (
+      |  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) % $buckets AS bkt,
+      |         list_filter(string_split_regex(lower(text), '\\s+'),
+      |                     x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |uni AS (SELECT bkt, t.w AS w FROM docs, unnest(toks) AS t(w)),
+      |bi AS (
+      |  SELECT bkt, u.w AS w
+      |  FROM docs, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |       i -> concat(toks[i], ' ', toks[i + 1]))) AS u(w)
+      |  WHERE len(toks) >= 2),
+      |nt AS (
+      |  SELECT first_bkt AS bkt, CAST(count(*) AS BIGINT) AS new_terms
+      |  FROM (SELECT w, MIN(bkt) AS first_bkt FROM uni GROUP BY 1)
+      |  GROUP BY 1),
+      |nb AS (
+      |  SELECT first_bkt AS bkt, CAST(count(*) AS BIGINT) AS new_bigrams
+      |  FROM (SELECT w, MIN(bkt) AS first_bkt FROM bi GROUP BY 1)
+      |  GROUP BY 1),
+      |tk AS (
+      |  SELECT bkt, CAST(count(*) AS BIGINT) AS bucket_tokens
+      |  FROM uni GROUP BY 1),
+      |grid AS (
+      |  SELECT CAST(g AS BIGINT) AS bkt
+      |  FROM generate_series(0, ${buckets - 1}) s(g)),
+      |f AS (
+      |  SELECT g.bkt, COALESCE(nt.new_terms, 0) AS new_terms,
+      |         COALESCE(nb.new_bigrams, 0) AS new_bigrams,
+      |         COALESCE(tk.bucket_tokens, 0) AS bucket_tokens
+      |  FROM grid g LEFT JOIN nt ON g.bkt = nt.bkt
+      |              LEFT JOIN nb ON g.bkt = nb.bkt
+      |              LEFT JOIN tk ON g.bkt = tk.bkt)
+      |SELECT bkt, new_terms,
+      |       CAST(SUM(new_terms) OVER (ORDER BY bkt) AS BIGINT) AS cum_vocab,
+      |       new_bigrams,
+      |       CAST(SUM(new_bigrams) OVER (ORDER BY bkt) AS BIGINT)
+      |         AS cum_bigram_vocab,
+      |       bucket_tokens,
+      |       CAST(SUM(bucket_tokens) OVER (ORDER BY bkt) AS BIGINT)
+      |         AS cum_tokens
+      |FROM f ORDER BY bkt""".stripMargin
 }

@@ -176,6 +176,37 @@ object EventStream {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** [[dedupedEvents]] under the oracle gate (q104-series): replay the
+    * whole input TWICE (the worst-case at-least-once delivery — every
+    * event retried once), dedup by id, and aggregate per type. If the
+    * dedup silently dropped nothing (or everything), the counts/sums
+    * diverge from the oracle's single-copy aggregate — so the gate pins
+    * the exactly-once property itself, not just plan shape. Batch twin
+    * of the streaming path EventStreamSpec drives micro-batch-by-batch;
+    * duplicate rows are byte-identical, so `dropDuplicates(event_id)`'s
+    * arbitrary-row pick is deterministic in content.
+    *
+    * Scale: dedup is one id-keyed exchange with partial aggregation
+    * (identical copies collapse map-side); in streaming mode the
+    * watermark bounds dedup state to O(ids/hour). */
+  def dedupReplayStats(events: DataFrame): DataFrame =
+    dedupedEvents(events.unionByName(events))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        exactSumRounded(col("value"), 2).as("total_value"))
+      .orderBy(col("event_type"))
+
+  val dedupReplayStatsOracle: String =
+    """WITH replayed AS (
+      |  SELECT * FROM events UNION ALL SELECT * FROM events),
+      |deduped AS (SELECT DISTINCT * FROM replayed)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE)
+      |         AS total_value
+      |FROM deduped GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Custom streaming state (`flatMapGroupsWithState`): a running
     * per-user event counter + value total that survives micro-batch
     * boundaries — the pattern for state Spark's built-in windows can't

@@ -376,4 +376,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(jn == out)
     assertDeterministic(TextAnalysis.docRarity(d))
   }
+
+  test("collocations: discounted Dice hand-checked; adjacency only (no " +
+    "skip-grams); minCount prunes; join fallback identical") {
+    // 5 docs 'new york city': c(new,york)=c(york,city)=5, unigrams all 5
+    //   → dice6 = (5-3)·2·10⁶ DIV 10 = 400000 for both, tie-break w1.
+    // 2 docs 'a b a b': (a,b)=4, (b,a)=2 (pruned by minCount=4);
+    //   c(a)=c(b)=4 → dice6(a,b) = (4-3)·2·10⁶ DIV 8 = 250000.
+    // 'new city' never adjacent → absent even though both words frequent.
+    val d = docs(
+      (1L, "new york city", "en", "s"), (2L, "new york city", "en", "s"),
+      (3L, "new york city", "en", "s"), (4L, "new york city", "en", "s"),
+      (5L, "new york city", "en", "s"),
+      (6L, "a b a b", "en", "s"), (7L, "a b a b", "en", "s"))
+    val out = TextAnalysis.collocations(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("new", "york", 5L, 5L, 5L, 400000L),
+      ("york", "city", 5L, 5L, 5L, 400000L),
+      ("a", "b", 4L, 4L, 4L, 250000L)), out.toString)
+    val jn = TextAnalysis.collocations(d, broadcastUni = false).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(jn == out)
+    assertDeterministic(TextAnalysis.collocations(d))
+  }
+
+  test("vocabGrowth: cumulative columns end at the global totals, are " +
+    "monotone, and a term repeating across buckets is counted ONCE") {
+    // 40 docs over a 3-word vocabulary + per-doc unique words: repeats
+    // land in many md5 buckets, unique words in exactly one
+    val d = docs((1L to 40L).map(i =>
+      (i, s"alpha beta gamma unique$i", "en", "s")): _*)
+    val out = TextAnalysis.vocabGrowth(d, buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out.map(_._1) == (0L to 7L), "one row per bucket, ordered")
+    // final cumulatives == global truths
+    assert(out.last._3 == 43L, s"cum_vocab: ${out.last}")     // 3 + 40
+    assert(out.last._7 == 160L, s"cum_tokens: ${out.last}")   // 40 · 4
+    // bigram vocab: 'alpha beta','beta gamma' shared + 40 'gamma uniqueN'
+    assert(out.last._5 == 42L, s"cum_bigram_vocab: ${out.last}")
+    // monotone cumsums that really are the running sums of the per-bucket
+    // columns
+    assert(out.map(_._2).sum == 43L)
+    assert(out.map(_._4).sum == 42L)
+    assert(out.map(_._6).sum == 160L)
+    out.foldLeft((0L, 0L, 0L)) { case ((cv, cb, ct), r) =>
+      assert(r._3 == cv + r._2 && r._5 == cb + r._4 && r._7 == ct + r._6,
+        s"cumsum mismatch at bucket ${r._1}")
+      (r._3, r._5, r._7)
+    }
+    assertDeterministic(TextAnalysis.vocabGrowth(d, buckets = 8))
+  }
 }

@@ -137,6 +137,19 @@ class EventStreamSpec extends SparkSpec {
       sample.map(_._1).sorted)
   }
 
+  test("dedupReplayStats: a fully doubled input aggregates to the " +
+    "single-copy truth (the q107 oracle shape)") {
+    val out = EventStream.dedupReplayStats(toDf(sample)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // single-copy truth from the fixture: click={1,2,4} user 10,
+    // view={3,5} user 11, error={6} user 12
+    assert(out == Seq(
+      ("click", 3L, 1L, 7.0),
+      ("error", 1L, 1L, 6.0),
+      ("view", 2L, 1L, 8.0)), out.toString)
+  }
+
   test("dedupedEvents drops replayed ids across micro-batches (at-least-once → exactly-once)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
