@@ -331,7 +331,18 @@ object SparkEntry {
     // at-least-once -> exactly-once: full double replay deduped by id
     // (batch twin of dropDuplicatesWithinWatermark, state O(ids/hour)
     // in streaming mode), per-type counts/sums pin the dedup itself
-    "q107_stream_dedup" -> ((s, d) => streaming.EventStream.dedupReplayStats(events(s, d)))
+    "q107_stream_dedup" -> ((s, d) => streaming.EventStream.dedupReplayStats(events(s, d))),
+    // per-source ECDF calibration table (source, q6) -> per-mille
+    // percentile: corpus collapses to bounded per-source histograms,
+    // partitioned windows under an executable per-partition ceiling
+    "q108_score_calibration" -> ((s, d) => TextAnalysis.scoreCalibration(documents(s, d))),
+    // similarity-graph degree histogram (hub/template detection before
+    // clustering): blocked exact pair source, degree collapses behind
+    // vec_id, histogram bounded by max degree
+    "q109_neardup_degrees" -> ((s, d) => Similarity.nearDupDegreeProfile(embeddings(s, d))),
+    // k-anonymity composition report: cells under k docs fold into one
+    // __suppressed__ row; relabel+re-agg runs on the bounded cell table
+    "q110_kanon_mix" -> ((s, d) => Pipeline.kAnonymousMix(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -443,6 +454,9 @@ object SparkEntry {
     "q104_collocations" -> TextAnalysis.collocationsOracle,
     "q105_vocab_growth" -> TextAnalysis.vocabGrowthOracle,
     "q106_bloom_semi" -> Joins.bloomSemiSegmentsOracle,
-    "q107_stream_dedup" -> streaming.EventStream.dedupReplayStatsOracle
+    "q107_stream_dedup" -> streaming.EventStream.dedupReplayStatsOracle,
+    "q108_score_calibration" -> TextAnalysis.scoreCalibrationOracle,
+    "q109_neardup_degrees" -> Similarity.nearDupDegreeProfileOracle,
+    "q110_kanon_mix" -> Pipeline.kAnonymousMixOracle
   )
 }

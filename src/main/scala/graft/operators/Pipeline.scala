@@ -988,4 +988,58 @@ object Pipeline {
       |       CAST(cq6 // n_docs AS BIGINT) AS corpus_q6_avg
       |FROM corpus c JOIN samp s ON c.source = s.source
       |ORDER BY c.source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // k-anonymity suppression: a corpus composition report ((lang, source)
+  // → doc/char counts) that is SAFE TO PUBLISH — any cell describing
+  // fewer than k documents is folded into one '__suppressed__' row
+  // instead of being released (small cells are the re-identification
+  // surface of aggregate releases; suppress-and-pool is the standard
+  // k-anonymity remedy for marginal tables). n_groups records how many
+  // raw cells each released row pools (1 for every released cell; the
+  // suppressed row carries the fold count, so the report is auditable
+  // without revealing the small cells themselves).
+  //
+  // Scale shape: the raw rollup partial-aggregates map-side behind
+  // (lang, source); the suppression relabel + re-aggregate runs on the
+  // ≤ |langs|·|sources| bounded result, not the corpus. Nothing
+  // shuffles the payload; sums stay in int64 (Σ n_chars ≤ corpus bytes
+  // ≪ 9·10¹⁸).
+  // --------------------------------------------------------------------
+  def kAnonymousMix(documents: DataFrame, k: Long = 5L): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    val cells = Widen.widen(documents)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    cells.select(
+        when(col("n_docs") >= k, col("lang"))
+          .otherwise(lit("__suppressed__")).as("lang"),
+        when(col("n_docs") >= k, col("source"))
+          .otherwise(lit("__suppressed__")).as("source"),
+        col("n_docs"), col("n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        count(lit(1)).as("n_groups"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val kAnonymousMixOracle: String = kAnonymousMixOracleAt(5L)
+
+  /** Oracle builder on the SAME k as the engine function. */
+  def kAnonymousMixOracleAt(k: Long): String =
+    s"""WITH g AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (
+      |  SELECT CASE WHEN n_docs >= $k THEN lang
+      |              ELSE '__suppressed__' END AS lang,
+      |         CASE WHEN n_docs >= $k THEN source
+      |              ELSE '__suppressed__' END AS source,
+      |         n_docs, n_chars
+      |  FROM g)
+      |SELECT lang, source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |       CAST(count(*) AS BIGINT) AS n_groups
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

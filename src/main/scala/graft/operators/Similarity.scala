@@ -835,4 +835,54 @@ object Similarity {
       |SELECT component, CAST(n_vecs AS BIGINT) AS n_vecs,
       |       v AS rep_vec, dot AS rep_dot
       |FROM ranked WHERE rnk = 1 ORDER BY component""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Similarity-graph DEGREE PROFILE: the histogram of per-vector
+  // near-duplicate degree (how many other vectors each one clears the
+  // cosine threshold with, isolated vectors included as degree 0). The
+  // pre-clustering diagnostic a dedup pass reads: a heavy tail means
+  // template/boilerplate hubs that will percolate [[semanticClusters]]
+  // into giant components (the q88 guard's failure mode) — cheaper to
+  // detect here, before the CC loop runs.
+  //
+  // Scale shape: pairs come from the exact blocked self-join
+  // ([[cosineNearDup]]'s tiled plan — quadratic-by-contract; swap in
+  // the LSH candidate source past that). Degree partial-aggregates
+  // behind vec_id (each vertex's pair list collapses map-side); the
+  // histogram partial-aggregates behind the degree value — output is
+  // bounded by max-degree+1 rows, and neither exchange carries more
+  // than |V| rows. The isolated-vertex join is |V| × (≤|V|) on the
+  // vec_id key.
+  // --------------------------------------------------------------------
+  def nearDupDegreeProfile(embeddings: DataFrame,
+                           threshold: Double = 0.5): DataFrame = {
+    val pairs = cosineNearDup(embeddings, threshold)
+      .select(col("a"), col("b"))
+    val deg = pairs.select(col("a").as("v"))
+      .unionAll(pairs.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    quantized(embeddings).select(col("vec_id").as("v"))
+      .join(deg, Seq("v"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("degree"))
+  }
+
+  val nearDupDegreeProfileOracle: String = nearDupDegreeProfileOracleAt(0.5)
+
+  /** Oracle builder on the SAME cosine threshold as the engine function. */
+  def nearDupDegreeProfileOracleAt(threshold: Double): String =
+    s"""WITH $oracleQuantized,
+      |pairs AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM qn x JOIN qn y ON x.vec_id < y.vec_id
+      |  WHERE $oracleCosExpr >= $threshold),
+      |deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
+      |  GROUP BY 1)
+      |SELECT COALESCE(deg.deg, 0) AS degree,
+      |       CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM qn LEFT JOIN deg ON qn.vec_id = deg.v
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1209,4 +1209,69 @@ object TextAnalysis {
       |       CAST(SUM(bucket_tokens) OVER (ORDER BY bkt) AS BIGINT)
       |         AS cum_tokens
       |FROM f ORDER BY bkt""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Per-source score CALIBRATION: the (source, q6) → percentile-per-mille
+  // lookup that makes one quality threshold comparable ACROSS sources
+  // ("keep the top 20% of each source" needs each source's own ECDF —
+  // a raw q6 cutoff keeps 90% of a clean source and 2% of a noisy one).
+  // pct_pm = 1000·|{docs in source with q6' < q6}| DIV n_docs — the
+  // exact lower-ECDF in integer per-mille, ties share a row.
+  //
+  // Scale shape: the corpus collapses to the per-source q6 HISTOGRAM
+  // first (≤ 10⁶+1 rows per source — q6 is an integer micro-unit), so
+  // the cumsum windows are PARTITIONED by source and each partition is
+  // bounded; the in-plan ceiling makes that bound executable (a raw
+  // double slipping past quantization upstream raises instead of
+  // silently sorting the corpus per source). One corpus scan, one
+  // (source, q6) exchange, output = |observed (source, q6)| rows.
+  // --------------------------------------------------------------------
+  def scoreCalibration(documents: DataFrame): DataFrame = {
+    val hist = perDocQuality(documents).groupBy(col("source"), col("q6"))
+      .agg(count(lit(1)).as("cnt"))
+    hist.select(col("source"), col("q6"), col("cnt"),
+        expr("""COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY q6
+            | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"""
+          .stripMargin).as("below"),
+        // the bounded-histogram invariant, executable: > 10⁶+1 distinct
+        // q6 values in one source partition means q6 stopped being a
+        // micro-unit integer — raise, don't silently degrade
+        expr("""CASE WHEN COUNT(1) OVER (PARTITION BY source) > 1000001
+            |  THEN CAST(raise_error(concat('scoreCalibration q6 histogram for ',
+            |    source, ' has ', COUNT(1) OVER (PARTITION BY source),
+            |    ' rows > documented per-source bound 1000001;',
+            |    ' an upstream boundedness invariant broke')) AS BIGINT)
+            |  ELSE SUM(cnt) OVER (PARTITION BY source) END""".stripMargin)
+          .as("n_docs"))
+      .select(col("source"), col("q6"), col("cnt"), col("n_docs"),
+        expr("CAST(1000L * below DIV n_docs AS BIGINT)").as("pct_pm"))
+      .orderBy(col("source"), col("q6"))
+  }
+
+  val scoreCalibrationOracle: String =
+    """WITH perdoc AS (
+      |  SELECT source, len(ts) AS n_toks, len(list_distinct(ts)) AS n_uniq,
+      |         CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS tok_chars
+      |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS ts FROM documents)
+      |  WHERE len(ts) > 0),
+      |scored AS (
+      |  SELECT source,
+      |         CAST(floor((
+      |           0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
+      |           0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
+      |           0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
+      |         ) * 1000000 + 0.5) AS BIGINT) AS q6
+      |  FROM perdoc),
+      |hist AS (
+      |  SELECT source, q6, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM scored GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, q6, cnt,
+      |         COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY q6
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |         SUM(cnt) OVER (PARTITION BY source) AS n_docs
+      |  FROM hist)
+      |SELECT source, q6, cnt, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(1000 * below // n_docs AS BIGINT) AS pct_pm
+      |FROM c ORDER BY source, q6""".stripMargin
 }

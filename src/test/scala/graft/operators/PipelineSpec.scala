@@ -511,4 +511,25 @@ class PipelineSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
       q.queryExecution.executedPlan.toString.take(800))
   }
+
+  test("kAnonymousMix: cells under k fold into ONE __suppressed__ row " +
+    "with the pooled counts; released cells pass through untouched") {
+    // source = 'src' + (doc_id % 3): src0 ← {0,3,6,9,12,15} (6 docs,
+    // released at k=5); src1 ← {1,4} (2) and src2 ← {2,5,8} (3) both
+    // fold → one suppressed row with 5 docs from 2 cells
+    val d = docs(
+      (0L, "aa"), (3L, "bb"), (6L, "cc"), (9L, "dd"), (12L, "ee"),
+      (15L, "ff"),
+      (1L, "gg"), (4L, "hh"),
+      (2L, "ii"), (5L, "jj"), (8L, "kk"))
+    val out = Pipeline.kAnonymousMix(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("__suppressed__", "__suppressed__", 5L, 10L, 2L),
+      ("en", "src0", 6L, 12L, 1L)), out.toString)
+    // every released row satisfies the k-anonymity contract
+    assert(out.filter(_._1 != "__suppressed__").forall(_._3 >= 5L))
+    assertDeterministic(Pipeline.kAnonymousMix(d))
+  }
 }

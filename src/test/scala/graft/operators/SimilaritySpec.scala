@@ -32,6 +32,21 @@ class SimilaritySpec extends SparkSpec {
     assertDeterministic(Similarity.semanticClusters(d))
   }
 
+  test("nearDupDegreeProfile: isolated vectors report degree 0; cliques " +
+    "and pairs land in the right histogram cells") {
+    // {1,2,3} colinear → 3-clique, degree 2 each; {7,8} colinear pair,
+    // degree 1 each; 9 orthogonal to both directions → degree 0
+    val d = emb(
+      (1L, Seq(1f, 0f, 0f), 0), (2L, Seq(2f, 0f, 0f), 0),
+      (3L, Seq(3f, 0f, 0f), 0),
+      (7L, Seq(0f, 1f, 0f), 1), (8L, Seq(0f, 2f, 0f), 1),
+      (9L, Seq(0f, 0f, 1f), 2))
+    val out = Similarity.nearDupDegreeProfile(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 1L), (1L, 2L), (2L, 3L)), out.toString)
+    assertDeterministic(Similarity.nearDupDegreeProfile(d))
+  }
+
   test("semanticClustersLsh: exact duplicates always cluster (identical " +
     "buckets in every table); LSH components refine the exact ones") {
     val d = emb(

@@ -430,4 +430,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assertDeterministic(TextAnalysis.vocabGrowth(d, buckets = 8))
   }
+
+  test("scoreCalibration: exact lower-ECDF per source in per-mille; " +
+    "each source starts at 0 and counts sum to n_docs") {
+    // s1: 4 docs of strictly increasing token count → 4 distinct q6 →
+    // pct_pm 0, 250, 500, 750. s2: 2 identical docs → ONE row, pct 0.
+    val d = docs(
+      (1L, "w1", "en", "s1"),
+      (2L, "w1 w2", "en", "s1"),
+      (3L, "w1 w2 w3", "en", "s1"),
+      (4L, "w1 w2 w3 w4", "en", "s1"),
+      (5L, "same text", "en", "s2"),
+      (6L, "same text", "en", "s2"))
+    val out = TextAnalysis.scoreCalibration(d).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val s1 = out.filter(_._1 == "s1")
+    assert(s1.map(_._4).toSeq == Seq(0L, 250L, 500L, 750L), s1.toSeq.toString)
+    assert(s1.forall(r => r._2 == 1L && r._3 == 4L))
+    val s2 = out.filter(_._1 == "s2")
+    assert(s2.toSeq == Seq(("s2", 2L, 2L, 0L)), s2.toSeq.toString)
+    assertDeterministic(TextAnalysis.scoreCalibration(d))
+  }
 }
