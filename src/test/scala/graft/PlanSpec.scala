@@ -276,6 +276,46 @@ class PlanSpec extends SparkSpec {
     assertAllShufflesAboveAggregates("q84_difficulty_bins")
   }
 
+  test("q104: bigram and unigram streams collapse map-side; the unigram " +
+    "broadcast is built ONCE and reused for both join probes; the top-k " +
+    "is a bounded heap, not a global sort") {
+    assertAllShufflesAboveAggregates("q104_collocations")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = SparkEntry.queries("q104_collocations")(spark, sf)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-k must not globally sort:\n" + p.take(800))
+      assert(p.contains("ReusedExchange"),
+        "w1/w2 probes must share one unigram broadcast:\n" + p.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q105: both term streams collapse map-side before their exchanges " +
+    "(the zipfian head term never keys a shuffle raw)") {
+    assertAllShufflesAboveAggregates("q105_vocab_growth")
+  }
+
+  test("q108: every calibration window is PARTITIONED by source — the " +
+    "per-source histogram bound keeps partitions small; nothing falls " +
+    "into a global single-partition window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("q108_score_calibration")(spark, sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators in q108")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window found:\n" + plan.toString.take(1200))
+  }
+
+  test("q110: the suppression re-aggregate runs on the bounded cell " +
+    "table — every exchange sits above an aggregate") {
+    assertAllShufflesAboveAggregates("q110_kanon_mix")
+  }
+
   test("q81: the LSH bucket self-join reuses one exchange — the bucketed " +
     "vectors materialize once") {
     // the registered query's plan hides the join behind the persisted
