@@ -342,7 +342,10 @@ object SparkEntry {
     "q109_neardup_degrees" -> ((s, d) => Similarity.nearDupDegreeProfile(embeddings(s, d))),
     // k-anonymity composition report: cells under k docs fold into one
     // __suppressed__ row; relabel+re-agg runs on the bounded cell table
-    "q110_kanon_mix" -> ((s, d) => Pipeline.kAnonymousMix(documents(s, d)))
+    "q110_kanon_mix" -> ((s, d) => Pipeline.kAnonymousMix(documents(s, d))),
+    // bot-detection features: integer-exact type entropy + gap variance;
+    // the LAG's user-keyed exchange serves variance agg AND profile join
+    "q111_user_profile" -> ((s, d) => EventOps.userBehaviorProfile(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -457,6 +460,7 @@ object SparkEntry {
     "q107_stream_dedup" -> streaming.EventStream.dedupReplayStatsOracle,
     "q108_score_calibration" -> TextAnalysis.scoreCalibrationOracle,
     "q109_neardup_degrees" -> Similarity.nearDupDegreeProfileOracle,
-    "q110_kanon_mix" -> Pipeline.kAnonymousMixOracle
+    "q110_kanon_mix" -> Pipeline.kAnonymousMixOracle,
+    "q111_user_profile" -> EventOps.userBehaviorProfileOracle
   )
 }

@@ -520,4 +520,89 @@ object EventOps {
       |         THEN CASE WHEN dev > 0 THEN 1 ELSE -1 END
       |         ELSE 0 END AS INT) AS anomaly
       |FROM d ORDER BY event_type, hod""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Per-user BEHAVIOR PROFILE — the bot/spam features a user-generated
+  // corpus is filtered on before training: event-type entropy (bots do
+  // one thing; humans mix) and inter-event gap variance (bots fire on a
+  // timer; humans are bursty). Both EXACT integers:
+  //   entropy6 = ln6(n) − (Σ cᵢ·ln6(cᵢ)) DIV n   [micro-nats; the q31
+  //     ln-quantization — ln6(x) = floor(ln(x)·10⁶ + 0.5) — so both
+  //     engines integer-compare identical values; cᵢ = 1 ⇒ ln6 = 0,
+  //     single-type users land exactly at 0]
+  //   gap_var_ms2 = (g·Σd² − (Σd)²) DIV g²        [ms² population
+  //     variance of LAG gaps; numerator ≥ 0 (Cauchy–Schwarz) so
+  //     truncating DIV ≡ flooring //; DECIMAL(38,0) ↔ HUGEINT holds to
+  //     ~10⁹ gaps/user at month-scale ms gaps]
+  //
+  // Scale shape: the (user, type) counts partial-aggregate map-side;
+  // the gap LAG rides ONE user-keyed exchange whose HashPartitioning
+  // satisfies the per-user variance aggregate AND the profile join —
+  // three per-user stages, one raw-row shuffle (the q90/q92 pattern).
+  // Output is |users| rows — the feature table itself.
+  // --------------------------------------------------------------------
+  def userBehaviorProfile(events: DataFrame): DataFrame = {
+    val ent = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(expr(
+          "CAST(c * CAST(floor(ln(c) * 1000000 + 0.5) AS BIGINT)" +
+            " AS DECIMAL(38,0))")).as("s"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        expr("""CAST(CAST(floor(ln(n_events) * 1000000 + 0.5) AS BIGINT)
+               | - s DIV n_events AS BIGINT)""".stripMargin).as("entropy6"))
+    val gv = events
+      .select(col("user_id"), expr(
+        """(unix_micros(ts) - lag(unix_micros(ts))
+          |   OVER (PARTITION BY user_id ORDER BY ts, event_id)) div 1000"""
+          .stripMargin).as("gap_ms"))
+      .groupBy(col("user_id"))
+      .agg(count(col("gap_ms")).as("n_g"),
+        sum(expr("CAST(gap_ms AS DECIMAL(38,0))")).as("sg"),
+        sum(expr("CAST(gap_ms AS DECIMAL(38,0)) * gap_ms")).as("sg2"))
+    ent.join(gv, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("entropy6"),
+        expr("""CASE WHEN n_g IS NULL OR n_g = 0 THEN 0L
+               |  ELSE CAST((n_g * sg2 - sg * sg)
+               |    DIV (CAST(n_g AS DECIMAL(38,0)) * n_g) AS BIGINT)
+               |END""".stripMargin).as("gap_var_ms2"))
+      .orderBy(col("user_id"))
+  }
+
+  val userBehaviorProfileOracle: String =
+    """WITH tc AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+      |         CAST(count(*) AS BIGINT) AS n_types,
+      |         CAST(SUM(c * CAST(floor(ln(c) * 1000000 + 0.5) AS BIGINT))
+      |              AS HUGEINT) AS s
+      |  FROM tc GROUP BY 1),
+      |e2 AS (
+      |  SELECT user_id, n_events, n_types,
+      |         CAST(CAST(floor(ln(n_events) * 1000000 + 0.5) AS BIGINT)
+      |              - s // n_events AS BIGINT) AS entropy6
+      |  FROM ent),
+      |g AS (
+      |  SELECT user_id,
+      |         (epoch_us(ts) - lag(epoch_us(ts))
+      |            OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000
+      |           AS gap_ms
+      |  FROM events),
+      |gv AS (
+      |  SELECT user_id, CAST(count(gap_ms) AS BIGINT) AS n_g,
+      |         CAST(SUM(gap_ms) AS HUGEINT) AS sg,
+      |         CAST(SUM(CAST(gap_ms AS HUGEINT) * gap_ms) AS HUGEINT) AS sg2
+      |  FROM g GROUP BY 1)
+      |SELECT e2.user_id, n_events, n_types, entropy6,
+      |       CASE WHEN n_g IS NULL OR n_g = 0 THEN 0
+      |            ELSE CAST((n_g * sg2 - sg * sg)
+      |                      // (CAST(n_g AS HUGEINT) * n_g) AS BIGINT)
+      |       END AS gap_var_ms2
+      |FROM e2 LEFT JOIN gv ON e2.user_id = gv.user_id
+      |ORDER BY e2.user_id""".stripMargin
 }

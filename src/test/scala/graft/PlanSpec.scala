@@ -316,6 +316,28 @@ class PlanSpec extends SparkSpec {
     assertAllShufflesAboveAggregates("q110_kanon_mix")
   }
 
+  test("q111: exactly ONE raw-row exchange (the user-keyed LAG window); " +
+    "type counts collapse map-side and the variance aggregate + profile " +
+    "join reuse the window's partitioning") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("q111_user_profile")(spark, sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val raw = plan.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+      .filterNot(_.child.exists(_.isInstanceOf[BaseAggregateExec]))
+    assert(raw.size == 1,
+      s"expected exactly one raw user-keyed exchange, got ${raw.size}:\n" +
+        raw.map(_.treeString.take(400)).mkString("\n"))
+    assert(raw.head.outputPartitioning.asInstanceOf[HashPartitioning]
+      .expressions.map(_.toString).exists(_.contains("user_id")),
+      raw.head.toString)
+  }
+
   test("q81: the LSH bucket self-join reuses one exchange — the bucketed " +
     "vectors materialize once") {
     // the registered query's plan hides the join behind the persisted

@@ -286,4 +286,29 @@ class EventOpsSpec extends SparkSpec {
       (3, "p", "v", "c", 1L)), out.toString)
     assertDeterministic(EventOps.eventTrigrams(events))
   }
+
+  test("userBehaviorProfile: timer bot scores entropy 0 / variance 0, " +
+    "mixed bursty human is hand-checked, single-event user is all-zero") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    // user 1: 4× one type at exact 10s intervals (the bot signature)
+    // user 2: 2 types × 2, gaps 1s/5s/30s → entropy6 = ln6(4) − ln6(2)
+    //   = 1386294 − 693147; var = (3·926e6 − 36000²) DIV 9 = 164666666
+    // user 3: one event → no gaps, single type
+    val events = (
+      Seq((1L, ts(0)), (2L, ts(10)), (3L, ts(20)), (4L, ts(30)))
+        .map { case (id, t) => (id, t, 1L, "click", 1.0, "{}") } ++
+      Seq((5L, ts(100), "a"), (6L, ts(101), "b"), (7L, ts(106), "a"),
+        (8L, ts(136), "b"))
+        .map { case (id, t, ty) => (id, t, 2L, ty, 1.0, "{}") } ++
+      Seq((9L, ts(500), 3L, "view", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.userBehaviorProfile(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 4L, 1L, 0L, 0L),
+      (2L, 4L, 2L, 693147L, 164666666L),
+      (3L, 1L, 1L, 0L, 0L)), out.toString)
+    assertDeterministic(EventOps.userBehaviorProfile(events))
+  }
 }
