@@ -345,7 +345,10 @@ object SparkEntry {
     "q110_kanon_mix" -> ((s, d) => Pipeline.kAnonymousMix(documents(s, d))),
     // bot-detection features: integer-exact type entropy + gap variance;
     // the LAG's user-keyed exchange serves variance agg AND profile join
-    "q111_user_profile" -> ((s, d) => EventOps.userBehaviorProfile(events(s, d)))
+    "q111_user_profile" -> ((s, d) => EventOps.userBehaviorProfile(events(s, d))),
+    // packing economics follow token mass, not doc counts: percentile of
+    // the p-th TOKEN over the bounded per-source length histogram
+    "q112_token_weighted_lengths" -> ((s, d) => TextAnalysis.tokenWeightedLengthProfile(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -461,6 +464,7 @@ object SparkEntry {
     "q108_score_calibration" -> TextAnalysis.scoreCalibrationOracle,
     "q109_neardup_degrees" -> Similarity.nearDupDegreeProfileOracle,
     "q110_kanon_mix" -> Pipeline.kAnonymousMixOracle,
-    "q111_user_profile" -> EventOps.userBehaviorProfileOracle
+    "q111_user_profile" -> EventOps.userBehaviorProfileOracle,
+    "q112_token_weighted_lengths" -> TextAnalysis.tokenWeightedLengthProfileOracle
   )
 }

@@ -942,6 +942,71 @@ object TextAnalysis {
       |       CAST(MAX(n_toks) AS BIGINT) AS max_toks
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // TOKEN-weighted length percentiles: where the p-th percentile TOKEN
+  // (not document) lives. Packing/batching economics follow token mass,
+  // not doc counts — a corpus that is 99% tweets and 1% books by DOCS
+  // is mostly books by TOKENS, so q97's doc-count p50 says "short" while
+  // the median token sits in a long document; this is the number the
+  // chunker/batcher actually needs. Rank threshold ⌈p·T/100⌉ over the
+  // cumulative token mass, all-integer (p·T ≤ 99·10¹⁴ at 10¹⁴ tokens —
+  // inside int64; the oracle's HUGEINT window sums match exactly).
+  //
+  // Scale shape: identical to [[lengthProfile]] — the corpus collapses
+  // to the bounded per-source (n_toks → cnt, tokens) histogram, the
+  // weighted cumsum windows run PARTITIONED by source on that bounded
+  // table, rollup to |sources| rows. One corpus scan, one exchange.
+  // --------------------------------------------------------------------
+  def tokenWeightedLengthProfile(documents: DataFrame): DataFrame = {
+    val hist = perDocQuality(documents)
+      .groupBy(col("source"), col("n_toks"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("source"), col("n_toks").cast("long").as("n_toks"),
+        col("cnt"), (col("n_toks").cast("long") * col("cnt")).as("tok"))
+    def pick(pct: Int) =
+      sum(when(
+        expr(s"below < ($pct * t + 99) DIV 100 AND " +
+          s"($pct * t + 99) DIV 100 <= below + tok"),
+        col("n_toks")).otherwise(lit(0L))).as(s"twp${pct}_toks")
+    hist.select(col("source"), col("n_toks"), col("cnt"), col("tok"),
+        expr("""COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY n_toks
+          | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"""
+          .stripMargin).as("below"),
+        expr("SUM(tok) OVER (PARTITION BY source)").as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"), max(col("t")).as("total_tokens"),
+        pick(50), pick(90), pick(99))
+      .orderBy(col("source"))
+  }
+
+  val tokenWeightedLengthProfileOracle: String =
+    """WITH perdoc AS (
+      |  SELECT source, CAST(len(ts) AS BIGINT) AS n_toks
+      |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS ts FROM documents)
+      |  WHERE len(ts) > 0),
+      |hist AS (
+      |  SELECT source, n_toks, CAST(count(*) AS BIGINT) AS cnt,
+      |         CAST(n_toks * count(*) AS BIGINT) AS tok
+      |  FROM perdoc GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, n_toks, cnt, tok,
+      |         COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY n_toks
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |         SUM(tok) OVER (PARTITION BY source) AS t
+      |  FROM hist)
+      |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      |       CAST(MAX(t) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(CASE WHEN below < (50 * t + 99) // 100
+      |                      AND (50 * t + 99) // 100 <= below + tok
+      |                     THEN n_toks ELSE 0 END) AS BIGINT) AS twp50_toks,
+      |       CAST(SUM(CASE WHEN below < (90 * t + 99) // 100
+      |                      AND (90 * t + 99) // 100 <= below + tok
+      |                     THEN n_toks ELSE 0 END) AS BIGINT) AS twp90_toks,
+      |       CAST(SUM(CASE WHEN below < (99 * t + 99) // 100
+      |                      AND (99 * t + 99) // 100 <= below + tok
+      |                     THEN n_toks ELSE 0 END) AS BIGINT) AS twp99_toks
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val qualityOutliersOracle: String =
     """WITH perdoc AS (
       |  SELECT source, len(ts) AS n_toks, len(list_distinct(ts)) AS n_uniq,

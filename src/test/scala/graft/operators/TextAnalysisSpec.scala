@@ -451,4 +451,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s2.toSeq == Seq(("s2", 2L, 2L, 0L)), s2.toSeq.toString)
     assertDeterministic(TextAnalysis.scoreCalibration(d))
   }
+
+  test("tokenWeightedLengthProfile: the median TOKEN lives in the long " +
+    "doc even when most DOCS are short (the q97 contrast)") {
+    // lengths [1, 1, 8]: T = 10 tokens. Doc-count median (q97) = 1;
+    // token-weighted thresholds ⌈p·10/100⌉ = 5/9/10 all land inside the
+    // 8-token doc's mass (below = 2 < 5,9,10 ≤ 10) → all picks = 8.
+    val d = docs(
+      (1L, "a", "en", "s"),
+      (2L, "b", "en", "s"),
+      (3L, "c d e f g h i j", "en", "s"))
+    val out = TextAnalysis.tokenWeightedLengthProfile(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(("s", 3L, 10L, 8L, 8L, 8L)), out.toString)
+    val dc = TextAnalysis.lengthProfile(d).collect()
+    assert(dc.head.getAs[Long]("p50_toks") == 1L, "doc-count median must differ")
+    assertDeterministic(TextAnalysis.tokenWeightedLengthProfile(d))
+  }
 }
