@@ -348,7 +348,20 @@ object SparkEntry {
     "q111_user_profile" -> ((s, d) => EventOps.userBehaviorProfile(events(s, d))),
     // packing economics follow token mass, not doc counts: percentile of
     // the p-th TOKEN over the bounded per-source length histogram
-    "q112_token_weighted_lengths" -> ((s, d) => TextAnalysis.tokenWeightedLengthProfile(documents(s, d)))
+    "q112_token_weighted_lengths" -> ((s, d) => TextAnalysis.tokenWeightedLengthProfile(documents(s, d))),
+    // guaranteed-support heavy hitters: bounded-memory Misra–Gries
+    // candidate pass per partition (zero shuffle), exact broadcast-semi
+    // recount — the |V|-row wordcount exchange collapses to ≤P·k rows
+    "q113_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(documents(s, d))),
+    // one Lloyd step over the q54 IVF seeds: size / exact inertia /
+    // scaled centroid movement per cluster, division-free integers
+    "q114_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
+    // hourly LOCF gap-fill per user, verified via its carried-mass
+    // integral; grid+window run on the (user, hour) collapse, not rows
+    "q115_gap_fill" -> ((s, d) => EventOps.gapFillSummary(events(s, d))),
+    // 3-iteration integer PageRank over the near-dup graph (template
+    // hub detection); edge list persisted once, reused by all rounds
+    "q116_pagerank_hubs" -> ((s, d) => Similarity.pageRankHubs(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -465,6 +478,10 @@ object SparkEntry {
     "q109_neardup_degrees" -> Similarity.nearDupDegreeProfileOracle,
     "q110_kanon_mix" -> Pipeline.kAnonymousMixOracle,
     "q111_user_profile" -> EventOps.userBehaviorProfileOracle,
-    "q112_token_weighted_lengths" -> TextAnalysis.tokenWeightedLengthProfileOracle
+    "q112_token_weighted_lengths" -> TextAnalysis.tokenWeightedLengthProfileOracle,
+    "q113_heavy_hitters" -> TextAnalysis.heavyHittersOracle,
+    "q114_kmeans_step" -> Similarity.kmeansStepOracle,
+    "q115_gap_fill" -> EventOps.gapFillSummaryOracle,
+    "q116_pagerank_hubs" -> Similarity.pageRankHubsOracle
   )
 }

@@ -605,4 +605,64 @@ object EventOps {
       |       END AS gap_var_ms2
       |FROM e2 LEFT JOIN gv ON e2.user_id = gv.user_id
       |ORDER BY e2.user_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Hourly gap-fill + forward-fill per user — the time-series
+  // regularization every feature-store / sessionized-training export
+  // needs: observed hours carry their value mass, missing hours inside
+  // a user's active span carry the LAST observed hourly mass (LOCF).
+  // The dense grid comes from sequence()-explode over each user's
+  // [first, last] observed hour; the fill is last(v4, ignoreNulls)
+  // over the user-ordered window — the first grid hour is observed by
+  // construction (the span STARTS at an observed hour), so the fill is
+  // total. Values ride as 10⁻⁴ integer units (the q95 quantization).
+  //
+  // Scale shape: the corpus collapses to (user, hour) partial-agg rows
+  // FIRST — the grid, join and window all run on the hourly table
+  // (users · span-hours rows, bounded by the retention window — 720
+  // rows/user·month), never raw events; the user-keyed window
+  // partitioning matches the grid join's exchange. Output is |users|
+  // summary rows: the fill is verified by its carried-mass integral
+  // rather than materializing the dense series out of the engine.
+  // --------------------------------------------------------------------
+  def gapFillSummary(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")).as("v4"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("v4"),
+        expr("last(v4, true) OVER (PARTITION BY user_id ORDER BY h)").as("fv4"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("hours_total"),
+        count(col("v4")).as("hours_observed"),
+        sum(when(col("v4").isNull, col("fv4")).otherwise(lit(0L))).as("carried_v4"),
+        sum(coalesce(col("v4"), lit(0L))).as("observed_v4"))
+      .orderBy(col("user_id"))
+  }
+
+  val gapFillSummaryOracle: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |         CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v4
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, t.g AS h
+      |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+      |       unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS t(g)),
+      |f AS (
+      |  SELECT g.user_id, hr.v4,
+      |         last_value(hr.v4 IGNORE NULLS)
+      |           OVER (PARTITION BY g.user_id ORDER BY g.h) AS fv4
+      |  FROM grid g LEFT JOIN hourly hr
+      |    ON hr.user_id = g.user_id AND hr.h = g.h)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS hours_total,
+      |       CAST(count(v4) AS BIGINT) AS hours_observed,
+      |       CAST(COALESCE(SUM(CASE WHEN v4 IS NULL THEN fv4 END), 0) AS BIGINT)
+      |         AS carried_v4,
+      |       CAST(SUM(COALESCE(v4, 0)) AS BIGINT) AS observed_v4
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 }

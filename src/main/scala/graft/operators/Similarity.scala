@@ -885,4 +885,195 @@ object Similarity {
       |       CAST(count(*) AS BIGINT) AS n_vecs
       |FROM qn LEFT JOIN deg ON qn.vec_id = deg.v
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // One Lloyd refinement step over the IVF seed centroids — the
+  // building block of the coarse-quantizer training loop every IVF/PQ
+  // vector index runs before it can index 100 TB of embeddings. Seeds
+  // are the C cheapest-md5 vectors (q54's deterministic selection);
+  // each vector goes to its argmin-distance seed (same encoded integer
+  // score n2_c − 2·v·c, ties → lower index), and the step reports per
+  // cluster: size, exact inertia Σ‖v−c‖² = Σ(n2_v + score), and the
+  // scaled centroid movement ‖Σv − n·c‖² = n²·‖mean − c‖² — kept in
+  // SUM form so no division ever happens (Spark's truncating DIV and
+  // DuckDB's flooring // would diverge on the negative coordinate
+  // sums a mean would need). Products run in DECIMAL(38,0) ↔ HUGEINT
+  // (the q93/q100 widening pattern) and land in int64-safe outputs.
+  //
+  // Scale shape: the seed table is a C×dims driver-side summary (same
+  // legitimate broadcast build as q54's centroids); assignment is one
+  // codegen-adjacent map over the corpus; the size/inertia rollup
+  // partial-aggregates to ≤C rows and the movement term fans rows·dims
+  // map-side and collapses to ≤C·dims rows before its one exchange
+  // (q100's posexplode shape). Nothing driver-side ever sees a row.
+  // --------------------------------------------------------------------
+  def kmeansStep(embeddings: DataFrame, centroids: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings)
+    val cents: Array[(Array[Long], Long)] = q
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .orderBy(col("h"), col("vec_id")).limit(centroids)
+      .select(col("qv"), col("n2")).as[(Array[Long], Long)].collect()
+    val bc = spark.sparkContext.broadcast(cents)
+    // (cluster, score) with score = n2_c − 2·v·c: the ‖v‖²-offset
+    // squared distance, so inertia per member is just n2 + score
+    val assignUdf = udf { qv: Seq[Long] =>
+      val cs = bc.value
+      var best = 0
+      var bestScore = Long.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val (cqv, cn2) = cs(i)
+        var dot = 0L
+        var d = 0
+        while (d < cqv.length) { dot += qv(d) * cqv(d); d += 1 }
+        val s = cn2 - 2L * dot
+        if (s < bestScore) { bestScore = s; best = i }
+        i += 1
+      }
+      (best, bestScore)
+    }
+    val assigned = q
+      .withColumn("asg", assignUdf(col("qv")))
+      .select(col("vec_id"), col("qv"), col("n2"),
+        col("asg._1").as("cluster"), col("asg._2").as("score"))
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(n2 AS DECIMAL(38,0)) + score")).as("inertia_d"))
+    val dimSums = assigned
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("x")).as("s_d"))
+    val seedDims = cents.zipWithIndex.flatMap { case ((cqv, _), i) =>
+      cqv.zipWithIndex.map { case (c_d, d) => (i, d, c_d) }
+    }.toSeq.toDF("cluster", "d", "c_d")
+    val shift = dimSums.join(broadcast(seedDims), Seq("cluster", "d"))
+      .join(broadcast(sizes.select(col("cluster"), col("n_vecs"))),
+        Seq("cluster"))
+      .groupBy(col("cluster"))
+      .agg(sum(expr(
+        """(CAST(s_d AS DECIMAL(38,0)) - CAST(n_vecs AS DECIMAL(38,0)) * c_d)
+          | * (CAST(s_d AS DECIMAL(38,0)) - CAST(n_vecs AS DECIMAL(38,0)) * c_d)"""
+          .stripMargin)).as("shift2_d"))
+    sizes.join(shift, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"),
+        col("inertia_d").cast("long").as("inertia"),
+        col("shift2_d").cast("long").as("shift2"))
+      .orderBy(col("cluster"))
+  }
+
+  val kmeansStepOracle: String = kmeansStepOracleAt(8)
+
+  /** Oracle builder on the SAME seed count as the engine function. */
+  def kmeansStepOracleAt(centroids: Int): String =
+    s"""WITH $oracleQuantized,
+      |hs AS (
+      |  SELECT vec_id, qv, n2,
+      |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM qn),
+      |seeds AS (
+      |  SELECT qv AS cqv, n2 AS cn2,
+      |         CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cidx
+      |  FROM hs ORDER BY h, vec_id LIMIT $centroids),
+      |scored AS (
+      |  SELECT v.vec_id, v.qv, v.n2, s.cidx,
+      |         s.cn2 - 2 * CAST(list_sum(list_transform(range(1, len(v.qv)+1),
+      |           i -> v.qv[i] * s.cqv[i])) AS BIGINT) AS score
+      |  FROM qn v CROSS JOIN seeds s),
+      |a AS (
+      |  SELECT vec_id, qv, n2, cidx, score,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY score, cidx) AS rk
+      |  FROM scored QUALIFY rk = 1),
+      |sizes AS (
+      |  SELECT cidx, CAST(count(*) AS BIGINT) AS n_vecs,
+      |         SUM(CAST(n2 AS HUGEINT) + score) AS inertia
+      |  FROM a GROUP BY 1),
+      |dimsums AS (
+      |  SELECT cidx, t.i AS d, CAST(SUM(qv[t.i]) AS HUGEINT) AS s_d
+      |  FROM a, unnest(range(1, len(qv)+1)) AS t(i) GROUP BY 1, 2),
+      |shift AS (
+      |  SELECT ds.cidx,
+      |         SUM((ds.s_d - CAST(z.n_vecs AS HUGEINT) * s.cqv[ds.d])
+      |           * (ds.s_d - CAST(z.n_vecs AS HUGEINT) * s.cqv[ds.d])) AS shift2
+      |  FROM dimsums ds
+      |  JOIN seeds s ON s.cidx = ds.cidx
+      |  JOIN sizes z ON z.cidx = ds.cidx
+      |  GROUP BY 1)
+      |SELECT z.cidx AS cluster, z.n_vecs,
+      |       CAST(z.inertia AS BIGINT) AS inertia,
+      |       CAST(sh.shift2 AS BIGINT) AS shift2
+      |FROM sizes z JOIN shift sh ON sh.cidx = z.cidx
+      |ORDER BY cluster""".stripMargin
+
+  // --------------------------------------------------------------------
+  // PageRank hub scores over the near-duplicate similarity graph — the
+  // link-analysis tier of template/boilerplate detection: a vector that
+  // accumulates rank from many high-degree neighbors is the center of a
+  // templated region even when no single pairwise cosine flags it. The
+  // recursion is a FIXED 3-iteration power step in integer micro-units
+  // (r₀ = 10⁶; r ← 15·10⁴ + 85·Σ(r_u DIV deg_u) DIV 100) over the
+  // non-isolated vertices of the exact threshold graph — every operand
+  // is a nonnegative integer, so Spark's truncating DIV and DuckDB's
+  // flooring // agree and both engines walk bit-identical ranks.
+  //
+  // Scale shape: the edge list is built once, persisted, and reused by
+  // all three rounds and the degree table (an unrolled DataFrame loop
+  // would otherwise replant the quadratic pair-join subtree per round);
+  // each round is one narrow (dst-keyed) partial-agg exchange carrying
+  // |E| contribution rows collapsed map-side behind well-distributed
+  // vertex keys. The LSH pair source swaps in past exact-pair scale,
+  // as everywhere in this tier.
+  // --------------------------------------------------------------------
+  def pageRankHubs(embeddings: DataFrame, threshold: Double = 0.45,
+                   iters: Int = 3, k: Int = 15): DataFrame = {
+    val pairs = StageMemo.memoized(embeddings, s"sim:prEdges", threshold) {
+      val p = cosineNearDup(embeddings, threshold).select(col("a"), col("b"))
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+    }
+    val deg = pairs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("v"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = pairs.join(deg, "src")
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), expr("r DIV deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("in_sum"))
+      ranks = contrib
+        .select(col("v"), expr("150000L + 85L * in_sum DIV 100").as("r"))
+    }
+    ranks.orderBy(col("r").desc, col("v").asc).limit(k)
+      .select(col("v").as("vec_id"), col("r").as("rank_micro"))
+  }
+
+  val pageRankHubsOracle: String = pageRankHubsOracleAt(0.45, 15)
+
+  /** Oracle builder on the SAME threshold/k; iterations fixed at 3 —
+    * the unrolled CTE chain below IS the iteration count. */
+  def pageRankHubsOracleAt(threshold: Double, k: Int): String =
+    s"""WITH $oracleQuantized,
+      |mp AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM qn x JOIN qn y ON x.vec_id < y.vec_id
+      |  WHERE $oracleCosExpr >= $threshold),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM mp
+      |  UNION ALL SELECT b AS src, a AS dst FROM mp),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+      |r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+      |r1 AS (
+      |  SELECT e.dst AS v, 150000 + 85 * SUM(r.r // d.deg) // 100 AS r
+      |  FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.v = e.src
+      |  GROUP BY 1),
+      |r2 AS (
+      |  SELECT e.dst AS v, 150000 + 85 * SUM(r.r // d.deg) // 100 AS r
+      |  FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.v = e.src
+      |  GROUP BY 1),
+      |r3 AS (
+      |  SELECT e.dst AS v, 150000 + 85 * SUM(r.r // d.deg) // 100 AS r
+      |  FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.v = e.src
+      |  GROUP BY 1)
+      |SELECT v AS vec_id, CAST(r AS BIGINT) AS rank_micro
+      |FROM r3 ORDER BY r DESC, v ASC LIMIT $k""".stripMargin
 }

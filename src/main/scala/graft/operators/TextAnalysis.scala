@@ -1339,4 +1339,70 @@ object TextAnalysis {
       |SELECT source, q6, cnt, CAST(n_docs AS BIGINT) AS n_docs,
       |       CAST(1000 * below // n_docs AS BIGINT) AS pct_pm
       |FROM c ORDER BY source, q6""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q113: guaranteed-support heavy hitters — every token with
+  // cnt · k > N for k = 1/support (stopword/template mining before
+  // filtering; the reference's wordcount taken to the only shape that
+  // survives an open web vocabulary). The RESULT is exact; the scale
+  // design is the two-phase sketch-then-verify shape (Misra–Gries):
+  //   1. candidate pass: each partition of the session-memoized
+  //      docWords collapse streams through k bounded counters
+  //      (mapPartitions, O(k) memory, ZERO shuffle) and emits its ≤k
+  //      surviving keys. Weighted-MG guarantee: a key with partition
+  //      weight > W_p/(k+1) survives partition p; by pigeonhole a
+  //      global heavy hitter exceeds that somewhere — the
+  //      ≤|partitions|·k-key union is a guaranteed candidate superset
+  //      for ANY partitioning (so the exact result is partitioning-
+  //      independent even though the candidate set is not).
+  //   2. verify pass: exact recount, but only candidate tokens cross
+  //      the shuffle (map-side broadcast-semi filter + partial agg) —
+  //      the open-vocabulary |V|-row wordcount exchange collapses to
+  //      ≤|partitions|·k rows, and false candidates are scrubbed by
+  //      the final cnt·k > N filter.
+  // The candidate broadcast is bounded BY CONSTRUCTION (each partition
+  // emits at most k keys), not by a data property — no guard needed.
+  // N itself is a 1-row partial agg off the same memoized stage.
+  // --------------------------------------------------------------------
+  def heavyHitters(documents: DataFrame, k: Int = 400): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val docWords = docWordsShared(documents)
+    val candidates = docWords.select(col("w"), col("n")).as[(String, Long)]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { case (w, n) =>
+          counters.update(w, counters.getOrElse(w, 0L) + n)
+          if (counters.size > k) {
+            // weighted decrement: subtract the min from every counter,
+            // evicting at least one key — each event removes ≥(k+1)·m
+            // total weight, so Σm ≤ W_p/(k+1) bounds the undercount
+            val m = counters.valuesIterator.min
+            counters.toArray.foreach { case (key, c) =>
+              if (c - m <= 0L) counters.remove(key)
+              else counters.update(key, c - m)
+            }
+          }
+        }
+        counters.keysIterator
+      }.toDF("w").distinct()
+    val total = docWords.agg(sum(col("n")).as("n_tokens"))
+    docWords.join(broadcast(candidates), "w")
+      .groupBy(col("w").as("word"))
+      .agg(sum(col("n")).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n_tokens"))
+  }
+
+  val heavyHittersOracle: String = heavyHittersOracleAt(400)
+
+  def heavyHittersOracleAt(k: Int): String =
+    s"""WITH toks AS (
+      |  SELECT t.tok AS w
+      |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+      |  WHERE t.tok <> ''),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks)
+      |SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt, tot.n_tokens
+      |FROM toks, tot GROUP BY w, tot.n_tokens
+      |HAVING count(*) * $k > tot.n_tokens""".stripMargin
 }

@@ -311,4 +311,26 @@ class EventOpsSpec extends SparkSpec {
       (3L, 1L, 1L, 0L, 0L)), out.toString)
     assertDeterministic(EventOps.userBehaviorProfile(events))
   }
+
+  test("gapFillSummary: interior gap hours carry the LAST observed " +
+    "hourly mass (LOCF), observed hours carry their own") {
+    def ts(h: Long, m: Long) =
+      new java.sql.Timestamp(1704067200000L + (h * 3600L + m * 60L) * 1000L)
+    val events = Seq(
+      // u1: hours 0 (two events, 1.5+0.5=2.0) and 3 (4.0) observed;
+      // hours 1 and 2 are gaps → each carries hour 0's 20000 micro-mass
+      (1L, ts(0, 5), 1L, "view", 1.5, "{}"),
+      (2L, ts(0, 40), 1L, "view", 0.5, "{}"),
+      (3L, ts(3, 10), 1L, "buy", 4.0, "{}"),
+      // u2: a single hour — no gaps, nothing carried
+      (4L, ts(7, 0), 2L, "view", 2.25, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.gapFillSummary(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 4L, 2L, 40000L, 60000L),
+      (2L, 1L, 1L, 0L, 22500L)), out.toString)
+    assertDeterministic(EventOps.gapFillSummary(events))
+  }
 }

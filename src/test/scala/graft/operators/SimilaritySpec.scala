@@ -201,4 +201,50 @@ class SimilaritySpec extends SparkSpec {
     assertDeterministic(Similarity.hardNegatives(d, nQueries = 1,
       planes = 2, probeRadius = 2))
   }
+
+  test("kmeansStep: an identical-vector corpus collapses onto one seed " +
+    "with zero inertia and zero centroid movement") {
+    // both seeds are copies of the same vector; the score tie breaks to
+    // the lower index, so cluster 0 takes everything and cluster 1
+    // vanishes (empty clusters emit no row, as at scale)
+    val d = emb((1L, Seq(1f, 2f, 0f), 0), (2L, Seq(1f, 2f, 0f), 0),
+      (3L, Seq(1f, 2f, 0f), 0))
+    val out = Similarity.kmeansStep(d, centroids = 2).collect()
+    assert(out.length == 1, out.mkString(","))
+    val r = out.head
+    assert(r.getAs[Int]("cluster") == 0)
+    assert(r.getAs[Long]("n_vecs") == 3L)
+    assert(r.getAs[Long]("inertia") == 0L)
+    assert(r.getAs[Long]("shift2") == 0L)
+  }
+
+  test("kmeansStep: sizes partition the corpus, inertia is nonnegative, " +
+    "and the result is partitioning-independent") {
+    val d = emb((0L until 12L).map(i =>
+      (i, Seq(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat,
+        (i % 3).toFloat), (i % 3).toInt)): _*)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansStep(df, centroids = 3).collect()
+        .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_vecs"),
+          r.getAs[Long]("inertia"), r.getAs[Long]("shift2"))).toSeq
+    val out = run(d)
+    assert(out.map(_._2).sum == 12L, out.toString)
+    assert(out.forall(c => c._3 >= 0L && c._4 >= 0L))
+    assert(run(d.repartition(7)) == out)
+  }
+
+  test("pageRankHubs: a symmetric clique holds the uniform rank as an " +
+    "exact fixed point; vectors outside the graph get no row") {
+    // K3 of colinear vectors: deg 2 each, contribution 10⁶ DIV 2 from
+    // both neighbors → r = 150000 + 85·10⁶ DIV 100 = 10⁶ every round.
+    // Vector 9 pairs with nothing (cos ≈ −1) — dropped, not rank 0.
+    val d = emb(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(2f, 0f), 0), (3L, Seq(3f, 0f), 0),
+      (9L, Seq(-1f, 0.01f), 1))
+    val out = Similarity.pageRankHubs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L)),
+      out.toString)
+    assertDeterministic(Similarity.pageRankHubs(d))
+  }
 }

@@ -469,4 +469,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dc.head.getAs[Long]("p50_toks") == 1L, "doc-count median must differ")
     assertDeterministic(TextAnalysis.tokenWeightedLengthProfile(d))
   }
+
+  test("heavyHitters: exact guaranteed-support result independent of " +
+    "partitioning, with a vocabulary 8x the Misra-Gries counter budget") {
+    // 3 heavy words (300/200/100 occurrences) buried under 400 singleton
+    // words: |V| = 403 >> k = 50 counters, so the candidate pass MUST
+    // evict constantly — the weighted-MG survival guarantee (cnt >
+    // W_p/(k+1) survives partition p) is what keeps the result exact.
+    val heavy = (1L to 10L).map(i =>
+      (i, ("alpha " * 30 + "beta " * 20 + "gamma " * 10).trim, "en", "s"))
+    val filler = (0 until 400).map(i => s"rare$i").grouped(20).zipWithIndex
+      .map { case (ws, i) => ((100 + i).toLong, ws.mkString(" "), "en", "s") }
+      .toSeq
+    val d = docs(heavy ++ filler: _*)
+    // total = 10·60 + 400 = 1000; support 1/50 → cnt > 20 keeps exactly
+    // the three heavy words; every rare word (cnt 1) is scrubbed even
+    // when it sneaks into some partition's candidate set
+    val expected = Set(("alpha", 300L, 1000L), ("beta", 200L, 1000L),
+      ("gamma", 100L, 1000L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.heavyHitters(df, k = 50).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(d) == expected, run(d).toString)
+    // the candidate SET varies with partitioning; the result must not
+    assert(run(d.repartition(1)) == expected)
+    assert(run(d.repartition(7)) == expected)
+  }
 }
