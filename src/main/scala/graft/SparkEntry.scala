@@ -361,7 +361,16 @@ object SparkEntry {
     "q115_gap_fill" -> ((s, d) => EventOps.gapFillSummary(events(s, d))),
     // 3-iteration integer PageRank over the near-dup graph (template
     // hub detection); edge list persisted once, reused by all rounds
-    "q116_pagerank_hubs" -> ((s, d) => Similarity.pageRankHubs(embeddings(s, d)))
+    "q116_pagerank_hubs" -> ((s, d) => Similarity.pageRankHubs(embeddings(s, d))),
+    // exact p1/p99 winsorization bounds + clip audit per event type:
+    // rank picks over the guarded per-type value histogram, no floats
+    "q117_winsorize" -> ((s, d) => EventOps.winsorizeBounds(events(s, d))),
+    // DAU/WAU/stickiness: trailing 7-day distinct actives with the
+    // range join equi-ized by fanning each (user, day) to ≤7 report days
+    "q118_rolling_active" -> ((s, d) => EventOps.rollingActiveUsers(events(s, d))),
+    // per-query LSH recall vs the exact top-k — the index-quality
+    // surface itself as an oracle-checked deterministic result
+    "q119_ann_recall" -> ((s, d) => Similarity.annRecallAudit(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -482,6 +491,9 @@ object SparkEntry {
     "q113_heavy_hitters" -> TextAnalysis.heavyHittersOracle,
     "q114_kmeans_step" -> Similarity.kmeansStepOracle,
     "q115_gap_fill" -> EventOps.gapFillSummaryOracle,
-    "q116_pagerank_hubs" -> Similarity.pageRankHubsOracle
+    "q116_pagerank_hubs" -> Similarity.pageRankHubsOracle,
+    "q117_winsorize" -> EventOps.winsorizeBoundsOracle,
+    "q118_rolling_active" -> EventOps.rollingActiveUsersOracle,
+    "q119_ann_recall" -> Similarity.annRecallAuditOracle
   )
 }

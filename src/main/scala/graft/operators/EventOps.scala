@@ -665,4 +665,143 @@ object EventOps {
       |         AS carried_v4,
       |       CAST(SUM(COALESCE(v4, 0)) AS BIGINT) AS observed_v4
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Winsorization bounds + clip audit per event type — the outlier
+  // treatment a metrics/feature pipeline applies before value sums mean
+  // anything (one fat-fingered 10⁹ "purchase" poisons every average
+  // downstream): exact p1/p99 value bounds by RANK PICK over the
+  // 10⁻⁴-unit value histogram (the q97 integer machinery — no
+  // interpolation, no floats), then how much the clip would touch:
+  // rows below/above the bounds and the exact excess mass removed.
+  // ceil(p·n/100) = (p·n + 99) DIV 100 on nonnegative integers, so
+  // truncating DIV ≡ flooring // and both engines pick the same value.
+  //
+  // Scale shape: the corpus collapses to the (type, v4) histogram
+  // FIRST (one partial-agg exchange); the cumsum window is PARTITIONED
+  // by type under an executable per-partition row ceiling (the q108
+  // pattern — a value domain that stops being 10⁻⁴-quantized raises
+  // loudly instead of silently sorting an unbounded stream); the clip
+  // audit joins the ≤|types|-row bounds table back broadcast. Output
+  // is |types| rows.
+  // --------------------------------------------------------------------
+  def winsorizeBounds(events: DataFrame): DataFrame = {
+    val hist = events
+      .groupBy(col("event_type"),
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("v4"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("event_type"), col("v4"), col("cnt"),
+      expr("""SUM(cnt) OVER (PARTITION BY event_type ORDER BY v4
+          | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin).as("cum"),
+      expr("""CASE WHEN COUNT(1) OVER (PARTITION BY event_type) > 1000001
+          |  THEN CAST(raise_error(concat('winsorizeBounds v4 histogram for ',
+          |    event_type, ' has ', COUNT(1) OVER (PARTITION BY event_type),
+          |    ' rows > documented per-type bound 1000001;',
+          |    ' an upstream boundedness invariant broke')) AS BIGINT)
+          |  ELSE SUM(cnt) OVER (PARTITION BY event_type) END""".stripMargin)
+        .as("tot"))
+    val bounds = cum.groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n_events"),
+        min(when(col("cum") >= expr("(tot + 99) DIV 100"), col("v4")))
+          .as("lo4"),
+        min(when(col("cum") >= expr("(99L * tot + 99) DIV 100"), col("v4")))
+          .as("hi4"))
+    hist.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("lo4")).as("lo4"), max(col("hi4")).as("hi4"),
+        sum(when(col("v4") < col("lo4"), col("cnt")).otherwise(lit(0L)))
+          .as("clipped_lo"),
+        sum(when(col("v4") > col("hi4"), col("cnt")).otherwise(lit(0L)))
+          .as("clipped_hi"),
+        sum(expr("""CASE WHEN v4 > hi4 THEN CAST(cnt AS DECIMAL(38,0)) * (v4 - hi4)
+            |  WHEN v4 < lo4 THEN CAST(cnt AS DECIMAL(38,0)) * (lo4 - v4)
+            |  ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin))
+          .cast("long").as("excess4"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizeBoundsOracle: String =
+    """WITH hist AS (
+      |  SELECT event_type, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, v4, cnt,
+      |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v4
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+      |  FROM hist),
+      |b AS (
+      |  SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_events,
+      |         MIN(CASE WHEN cum >= (tot + 99) // 100 THEN v4 END) AS lo4,
+      |         MIN(CASE WHEN cum >= (99 * tot + 99) // 100 THEN v4 END) AS hi4
+      |  FROM c GROUP BY 1)
+      |SELECT h.event_type, MAX(b.n_events) AS n_events,
+      |       MAX(b.lo4) AS lo4, MAX(b.hi4) AS hi4,
+      |       CAST(SUM(CASE WHEN h.v4 < b.lo4 THEN h.cnt ELSE 0 END) AS BIGINT)
+      |         AS clipped_lo,
+      |       CAST(SUM(CASE WHEN h.v4 > b.hi4 THEN h.cnt ELSE 0 END) AS BIGINT)
+      |         AS clipped_hi,
+      |       CAST(SUM(CASE WHEN h.v4 > b.hi4 THEN CAST(h.cnt AS HUGEINT) * (h.v4 - b.hi4)
+      |                     WHEN h.v4 < b.lo4 THEN CAST(h.cnt AS HUGEINT) * (b.lo4 - h.v4)
+      |                     ELSE 0 END) AS BIGINT) AS excess4
+      |FROM hist h JOIN b ON b.event_type = h.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Rolling 7-day active users per day (WAU) + same-day actives (DAU)
+  // + the DAU/WAU stickiness ratio — the engagement trend surface every
+  // analytics deployment keeps warm. The trailing-range join is
+  // EQUI-IZED (the q55 banding trick): each distinct (user, day)
+  // activity row fans out to the ≤7 report days it can serve, so the
+  // join is a plain equi join on the report day — no theta-join, no
+  // per-day rescan of the corpus.
+  //
+  // Scale shape: raw events collapse to DISTINCT (user, day) FIRST
+  // (one exchange, ≤|users|·|days| rows); the 7× fan-out and both
+  // distinct-count aggregates run on that collapsed table; report days
+  // are semi-joined against observed days so the output is bounded by
+  // the data's day span. All-integer stickiness (nonneg ⇒ DIV ≡ //).
+  // --------------------------------------------------------------------
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val du = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = du.select(col("day")).distinct()
+    val fan = du.select(col("user_id"),
+      explode(expr(s"transform(sequence(0, ${windowDays - 1})," +
+        " i -> date_add(day, CAST(i AS INT)))")).as("day"))
+    val wau = fan.join(days, Seq("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      .join(wau, Seq("day"))
+      // TIMESTAMP output: a DATE column round-trips as python date on
+      // the Spark side but pandas Timestamp on the DuckDB side — the
+      // driver's value compare needs one carrier type (q37 precedent)
+      .select(col("day").cast("timestamp").as("day"),
+        col("dau"), col("wau"),
+        expr("1000L * dau DIV wau").as("stickiness_pm"))
+      .orderBy(col("day"))
+  }
+
+  val rollingActiveUsersOracle: String = rollingActiveUsersOracleAt(7)
+
+  def rollingActiveUsersOracleAt(windowDays: Int): String =
+    s"""WITH du AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |fan AS (
+      |  SELECT user_id, day + CAST(t.i AS INT) AS day
+      |  FROM du, unnest(range(0, $windowDays)) AS t(i)),
+      |w AS (
+      |  SELECT f.day, CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+      |  FROM fan f JOIN days d ON d.day = f.day GROUP BY 1),
+      |a AS (
+      |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM du GROUP BY 1)
+      |SELECT CAST(a.day AS TIMESTAMP) AS day, a.dau, w.wau,
+      |       CAST(1000 * a.dau // w.wau AS BIGINT) AS stickiness_pm
+      |FROM a JOIN w ON w.day = a.day ORDER BY a.day""".stripMargin
 }

@@ -1076,4 +1076,74 @@ object Similarity {
       |  GROUP BY 1)
       |SELECT v AS vec_id, CAST(r AS BIGINT) AS rank_micro
       |FROM r3 ORDER BY r DESC, v ASC LIMIT $k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // ANN recall audit: per query, how many of the EXACT top-k neighbors
+  // (q29 brute force) the LSH index (q30) actually returned — the
+  // recall dashboard a deployment reads before trusting an approximate
+  // index over 100 TB of embeddings (AnnRecallSpec pins the aggregate
+  // floor; THIS emits the per-query surface as data, oracle-checked,
+  // because both sides are fully deterministic: md5 hyperplanes +
+  // integer dots mean recall itself is reproducible cross-engine).
+  //
+  // Scale shape: composes the existing plans — the quadratic truth
+  // side is the audit's cost by definition (run on a sampled query
+  // set, as here with nQueries); the join/rollup is ≤nQueries·k rows.
+  // --------------------------------------------------------------------
+  def annRecallAudit(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
+                     planes: Int = 4, probeRadius: Int = 1): DataFrame = {
+    val truth = annBruteTopK(embeddings, k, nQueries)
+      .select(col("qid"), col("nid"))
+    val approx = annLshTopK(embeddings, k, nQueries, planes, probeRadius)
+      .select(col("qid").as("aqid"), col("nid").as("anid"))
+    truth.join(approx,
+        col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"), count(col("anid")).as("n_hit"))
+      .select(col("qid"), col("n_true"), col("n_hit"),
+        expr("1000L * n_hit DIV n_true").as("recall_pm"))
+      .orderBy(col("qid"))
+  }
+
+  /** The q29 (k=3 truth) ∩ q30 (defaults) audit — parameters locked to
+    * the two audited queries' own defaults. */
+  val annRecallAuditOracle: String =
+    s"""WITH $oracleQuantized,
+      |bscored AS (
+      |  SELECT x.vec_id AS qid, y.vec_id AS nid,
+      |         $oracleCosExpr AS cos
+      |  FROM qn x JOIN qn y ON x.vec_id <> y.vec_id
+      |  WHERE x.vec_id < 10),
+      |truth AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |    FROM bscored) WHERE rank <= 3),
+      |bucketed AS (
+      |  SELECT vec_id, qv, n2,
+      |         CAST(list_sum(list_transform(range(0, 4), p ->
+      |           CASE WHEN list_sum(list_transform(range(1, len(qv)+1), d ->
+      |                  (CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), ':', CAST(d-1 AS VARCHAR))), 1, 8)) AS BIGINT)
+      |                   - 2147483648) * qv[d])) > 0
+      |                THEN 1 << p ELSE 0 END)) AS INT) AS bucket
+      |  FROM qn),
+      |probes AS (
+      |  SELECT vec_id, qv, n2,
+      |         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+      |  FROM bucketed WHERE vec_id < 10),
+      |lscored AS (
+      |  SELECT x.vec_id AS qid, y.vec_id AS nid,
+      |         $oracleCosExpr AS cos
+      |  FROM probes x JOIN bucketed y
+      |    ON x.probe = y.bucket AND x.vec_id <> y.vec_id),
+      |approx AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |    FROM lscored) WHERE rank <= 3)
+      |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_true,
+      |       CAST(count(a.nid) AS BIGINT) AS n_hit,
+      |       CAST(1000 * count(a.nid) // count(*) AS BIGINT) AS recall_pm
+      |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+      |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 }

@@ -333,4 +333,45 @@ class EventOpsSpec extends SparkSpec {
       (2L, 1L, 1L, 0L, 22500L)), out.toString)
     assertDeterministic(EventOps.gapFillSummary(events))
   }
+
+  test("winsorizeBounds: rank-picked p1/p99 bounds clip exactly the " +
+    "outlier mass (one 10000.0 spike over a 1..100 uniform)") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val rows = (1 to 100).map(i =>
+      (i.toLong, ts(i), 1L, "buy", i.toDouble, "{}")) :+
+      (101L, ts(101), 1L, "buy", 10000.0, "{}")
+    val events = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.winsorizeBounds(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // n=101: lo = first v4 with cum >= ceil(101/100)=2 → value 2;
+    // hi = first v4 with cum >= ceil(99·101/100)=100 → value 100.
+    // Clip drops value 1 below and the 10000 spike above; excess =
+    // (10⁸−10⁶) + (2·10⁴−10⁴) = 99 010 000 micro-units.
+    assert(r.getAs[Long]("n_events") == 101L)
+    assert(r.getAs[Long]("lo4") == 20000L, r.toString)
+    assert(r.getAs[Long]("hi4") == 1000000L, r.toString)
+    assert(r.getAs[Long]("clipped_lo") == 1L)
+    assert(r.getAs[Long]("clipped_hi") == 1L)
+    assert(r.getAs[Long]("excess4") == 99010000L, r.toString)
+    assertDeterministic(EventOps.winsorizeBounds(events))
+  }
+
+  test("rollingActiveUsers: WAU looks back over the trailing window, " +
+    "DAU only at the day itself") {
+    def ts(d: Long) = new java.sql.Timestamp(1704067200000L + d * 86400000L)
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(0), 2L, "view", 1.0, "{}"),
+      (3L, ts(6), 2L, "view", 1.0, "{}"),
+      (4L, ts(6), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.rollingActiveUsers(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // day 0: dau {1,2}, wau {1,2} → 1000‰; day 6: dau {2,3}, wau
+    // {1,2,3} (day 0 is still inside the trailing 7) → 666‰
+    assert(out == Seq((2L, 2L, 1000L), (2L, 3L, 666L)), out.toString)
+    assertDeterministic(EventOps.rollingActiveUsers(events))
+  }
 }

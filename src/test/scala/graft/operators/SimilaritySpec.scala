@@ -247,4 +247,20 @@ class SimilaritySpec extends SparkSpec {
       out.toString)
     assertDeterministic(Similarity.pageRankHubs(d))
   }
+
+  test("annRecallAudit: exhaustive probing (radius = planes) makes the " +
+    "LSH side complete, so every query reads recall 1000 permille") {
+    val d = emb((0L until 8L).map(i =>
+      (i, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        (i % 2).toFloat), (i % 2).toInt)): _*)
+    val out = Similarity.annRecallAudit(d, k = 2, nQueries = 3,
+      planes = 2, probeRadius = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq((0L, 2L, 2L, 1000L), (1L, 2L, 2L, 1000L),
+      (2L, 2L, 2L, 1000L)), out.toString)
+    // hits can never exceed truth: n_hit ≤ n_true by the join shape
+    assertDeterministic(Similarity.annRecallAudit(d, k = 2, nQueries = 3,
+      planes = 2, probeRadius = 2))
+  }
 }
