@@ -370,7 +370,13 @@ object SparkEntry {
     "q118_rolling_active" -> ((s, d) => EventOps.rollingActiveUsers(events(s, d))),
     // per-query LSH recall vs the exact top-k — the index-quality
     // surface itself as an oracle-checked deterministic result
-    "q119_ann_recall" -> ((s, d) => Similarity.annRecallAudit(embeddings(s, d)))
+    "q119_ann_recall" -> ((s, d) => Similarity.annRecallAudit(embeddings(s, d))),
+    // majority-class next-event baseline: argmax of the q92 transition
+    // matrix (deterministic tie-break) + its exact corpus accuracy
+    "q120_next_event_baseline" -> ((s, d) => EventOps.nextEventBaseline(events(s, d))),
+    // template-opener clusters: exact first-4-token fingerprint groups,
+    // row-local hashing then one 16-byte-key partial-agg exchange
+    "q121_prefix_dups" -> ((s, d) => Dedup.prefixDups(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -494,6 +500,8 @@ object SparkEntry {
     "q116_pagerank_hubs" -> Similarity.pageRankHubsOracle,
     "q117_winsorize" -> EventOps.winsorizeBoundsOracle,
     "q118_rolling_active" -> EventOps.rollingActiveUsersOracle,
-    "q119_ann_recall" -> Similarity.annRecallAuditOracle
+    "q119_ann_recall" -> Similarity.annRecallAuditOracle,
+    "q120_next_event_baseline" -> EventOps.nextEventBaselineOracle,
+    "q121_prefix_dups" -> Dedup.prefixDupsOracle
   )
 }

@@ -1116,4 +1116,46 @@ object Dedup {
       |       CAST(shared_spans * 1000 // least(ca.n, cb.n) AS BIGINT) AS overlap_pm
       |FROM pairs JOIN cnt ca ON ca.source = src_a JOIN cnt cb ON cb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Template-opener clusters: documents sharing their EXACT first-P
+  // tokens — the prefix form of duplication (boilerplate headers,
+  // scraped navigation preambles, form letters) that window-based span
+  // matching (q69/q75) dilutes because it weighs the whole document.
+  // The prefix fingerprint is md5 over the first P tokens of the SAME
+  // lower/whitespace tokenization as the rest of the text tier, so the
+  // oracle recomputes it bit-identically.
+  //
+  // Scale shape: purely row-local fingerprinting (one md5 over ≤P
+  // tokens per doc — the tail of the document is never materialized),
+  // then ONE partial-agg exchange on the 16-byte fingerprint; output
+  // is only the ≥2-doc clusters. The md5 key is uniformly distributed
+  // by construction — a billion-doc corpus with one mega-template
+  // still aggregates it map-side before the shuffle.
+  // --------------------------------------------------------------------
+  def prefixDups(documents: DataFrame, prefixTokens: Int = 4): DataFrame =
+    Widen.widen(documents)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ",
+          expr(s"slice(split(lower(text), '\\\\s+'), 1, $prefixTokens)")))
+          .as("pfp"))
+      .groupBy(col("pfp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("pfp"))
+
+  val prefixDupsOracle: String = prefixDupsOracleAt(4)
+
+  /** Oracle builder on the SAME prefix width as the engine function. */
+  def prefixDupsOracleAt(p: Int): String =
+    s"""WITH f AS (
+      |  SELECT doc_id, source,
+      |         md5(array_to_string(string_split_regex(lower(text), '\\s+')[1:$p], ' ')) AS pfp
+      |  FROM documents)
+      |SELECT pfp, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       MIN(doc_id) AS min_doc
+      |FROM f GROUP BY pfp HAVING count(*) >= 2 ORDER BY pfp""".stripMargin
 }

@@ -804,4 +804,62 @@ object EventOps {
       |SELECT CAST(a.day AS TIMESTAMP) AS day, a.dau, w.wau,
       |       CAST(1000 * a.dau // w.wau AS BIGINT) AS stickiness_pm
       |FROM a JOIN w ON w.day = a.day ORDER BY a.day""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Majority-class next-event baseline — the sanity bar a sequence
+  // model must beat before it earns its training cost: per previous
+  // event type, the argmax next type from the global first-order
+  // transition counts (q92's matrix; ties → lexicographically first
+  // next type, so both engines pick identically) and the exact
+  // accuracy that frozen prediction achieves on the corpus itself.
+  //
+  // Scale shape: the LEAD rides the tier's ONE user-keyed exchange;
+  // the transition rollup partial-aggregates map-side and is bounded
+  // by |types|²; the argmax windows run on that bounded table,
+  // partitioned by prev type under an executable row ceiling (the
+  // q108 pattern — an exploding type cardinality raises loudly).
+  // --------------------------------------------------------------------
+  def nextEventBaseline(events: DataFrame): DataFrame = {
+    val seq = events.select(col("user_id"), col("event_type"),
+        expr("LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)")
+          .as("next_type"))
+      .filter(col("next_type").isNotNull)
+    seq.groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("prev_type"), col("next_type"), col("cnt"),
+        expr("row_number() OVER (PARTITION BY prev_type" +
+          " ORDER BY cnt DESC, next_type ASC)").as("rk"),
+        expr("""CASE WHEN COUNT(1) OVER (PARTITION BY prev_type) > 100001
+            |  THEN CAST(raise_error(concat('nextEventBaseline transition row for ',
+            |    prev_type, ' has ', COUNT(1) OVER (PARTITION BY prev_type),
+            |    ' next types > documented bound 100001;',
+            |    ' the event-type domain stopped being bounded')) AS BIGINT)
+            |  ELSE SUM(cnt) OVER (PARTITION BY prev_type) END""".stripMargin)
+          .as("tot"))
+      .filter(col("rk") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted"),
+        col("tot").as("n_transitions"), col("cnt").as("hits"),
+        expr("1000L * cnt DIV tot").as("accuracy_pm"))
+      .orderBy(col("prev_type"))
+  }
+
+  val nextEventBaselineOracle: String =
+    """WITH seq AS (
+      |  SELECT event_type AS prev_type,
+      |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           AS next_type
+      |  FROM events),
+      |m AS (
+      |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (
+      |  SELECT prev_type, next_type, cnt,
+      |         row_number() OVER (PARTITION BY prev_type
+      |           ORDER BY cnt DESC, next_type ASC) AS rk,
+      |         SUM(cnt) OVER (PARTITION BY prev_type) AS tot
+      |  FROM m)
+      |SELECT prev_type, next_type AS predicted,
+      |       CAST(tot AS BIGINT) AS n_transitions, cnt AS hits,
+      |       CAST(1000 * cnt // tot AS BIGINT) AS accuracy_pm
+      |FROM r WHERE rk = 1 ORDER BY prev_type""".stripMargin
 }

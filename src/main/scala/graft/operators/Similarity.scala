@@ -1019,32 +1019,56 @@ object Similarity {
   // flooring // agree and both engines walk bit-identical ranks.
   //
   // Scale shape: the edge list is built once, persisted, and reused by
-  // all three rounds and the degree table (an unrolled DataFrame loop
-  // would otherwise replant the quadratic pair-join subtree per round);
-  // each round is one narrow (dst-keyed) partial-agg exchange carrying
-  // |E| contribution rows collapsed map-side behind well-distributed
-  // vertex keys. The LSH pair source swaps in past exact-pair scale,
-  // as everywhere in this tier.
+  // all three rounds and the degree table; the ROUND LOOP runs on
+  // co-partitioned RDDs, not DataFrames — the same legitimate RDD use
+  // as [[Dedup.connectedComponents]]'s Pregel loop and for the same
+  // measured reason (per-round Catalyst planning + fresh codegen cost
+  // ~3 s/round on a graph of a few thousand edges, and each unrolled
+  // round replants the previous rounds' join subtrees — physical plans
+  // are trees). Each round is one narrow co-partitioned join plus one
+  // reduced (dst-keyed) message shuffle, the canonical Pregel shape.
+  // The LSH pair source swaps in past exact-pair scale, as everywhere
+  // in this tier.
   // --------------------------------------------------------------------
   def pageRankHubs(embeddings: DataFrame, threshold: Double = 0.45,
                    iters: Int = 3, k: Int = 15): DataFrame = {
-    val pairs = StageMemo.memoized(embeddings, s"sim:prEdges", threshold) {
-      val p = cosineNearDup(embeddings, threshold).select(col("a"), col("b"))
-      p.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
-    }
-    val deg = pairs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var ranks = deg.select(col("src").as("v"), lit(1000000L).as("r"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pairs = cosineNearDup(embeddings, threshold)
+      .select(col("a"), col("b")).as[(Long, Long)].rdd
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // (src, (dst, deg)): the per-round join probe, built once — degree
+    // folds into the edge partitions so rounds never re-join it
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(part).cache()
+    val deg = edges.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    val edgesWithDeg = edges.join(deg)
+      .partitionBy(part).cache()
+    edgesWithDeg.count()
+    edges.unpersist(false)
+    // init from the CACHED probe table (deg's lineage roots in the
+    // now-unpersisted edges — evaluating it lazily inside round 1
+    // would replay the quadratic pair join); co-partitioned
+    // reduceByKey, so the vertex dedup is narrow
+    var ranks = edgesWithDeg.mapValues(_ => 1000000L)
+      .reduceByKey(part, (a, _) => a)
     for (_ <- 1 to iters) {
-      val contrib = pairs.join(deg, "src")
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), expr("r DIV deg").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("in_sum"))
-      ranks = contrib
-        .select(col("v"), expr("150000L + 85L * in_sum DIV 100").as("r"))
+      // all operands nonnegative: Long `/` truncation ≡ floor ≡ the
+      // oracle's `//` — the cross-engine contract of the DF version
+      ranks = edgesWithDeg.join(ranks)
+        .map { case (_, ((dst, dg), r)) => (dst, r / dg) }
+        .reduceByKey(part, _ + _)
+        .mapValues(s => 150000L + 85L * s / 100L)
     }
-    ranks.orderBy(col("r").desc, col("v").asc).limit(k)
+    val out = ranks.toDF("v", "r")
+      .orderBy(col("r").desc, col("v").asc).limit(k)
       .select(col("v").as("vec_id"), col("r").as("rank_micro"))
+    // materialize before freeing the loop's cached edge RDD
+    val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    edgesWithDeg.unpersist(false)
+    res
   }
 
   val pageRankHubsOracle: String = pageRankHubsOracleAt(0.45, 15)

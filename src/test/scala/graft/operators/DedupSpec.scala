@@ -303,4 +303,21 @@ class DedupSpec extends SparkSpec {
       s"lineage grew with round count despite truncation: " +
         s"${shallowDepth} lines at ~7 rounds vs ${deepDepth} at ~13")
   }
+
+  test("prefixDups: docs sharing the exact first-P tokens cluster " +
+    "regardless of their tails; a changed opener does not") {
+    val d = docs(
+      (1L, "dear valued customer greetings the quick brown fox", 50L),
+      (2L, "dear valued customer greetings a completely different tail", 58L),
+      (3L, "dear valued customer greetings", 30L), // exactly P tokens
+      (4L, "dear valued customer FAREWELL the quick brown fox", 49L),
+      (5L, "lone document with its own opener entirely", 42L))
+    val out = Dedup.prefixDups(d).collect()
+    assert(out.length == 1, out.mkString(","))
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_sources") == 1L)
+    assert(r.getAs[Long]("min_doc") == 1L)
+    assertDeterministic(Dedup.prefixDups(d))
+  }
 }

@@ -374,4 +374,26 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Seq((2L, 2L, 1000L), (2L, 3L, 666L)), out.toString)
     assertDeterministic(EventOps.rollingActiveUsers(events))
   }
+
+  test("nextEventBaseline: per-prev argmax with lexicographic tie-break " +
+    "and exact frozen-prediction accuracy") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val events = Seq(
+      // u1: a→b, b→a, a→b  (a: b wins 2/2; b: a wins 1/1)
+      (1L, ts(1), 1L, "a", 1.0, "{}"), (2L, ts(2), 1L, "b", 1.0, "{}"),
+      (3L, ts(3), 1L, "a", 1.0, "{}"), (4L, ts(4), 1L, "b", 1.0, "{}"),
+      // u2: x→y, x→z via y→x: x: {y:1, z:1} tie → y (lexicographic)
+      (5L, ts(1), 2L, "x", 1.0, "{}"), (6L, ts(2), 2L, "y", 1.0, "{}"),
+      (7L, ts(3), 2L, "x", 1.0, "{}"), (8L, ts(4), 2L, "z", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.nextEventBaseline(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 2L, 1000L),
+      ("b", "a", 1L, 1L, 1000L),
+      ("x", "y", 2L, 1L, 500L),
+      ("y", "x", 1L, 1L, 1000L)), out.toString)
+    assertDeterministic(EventOps.nextEventBaseline(events))
+  }
 }
