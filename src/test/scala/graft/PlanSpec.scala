@@ -354,4 +354,48 @@ class PlanSpec extends SparkSpec {
         "bucketed self-join must not scan/bucket the vectors twice:\n" + p.take(1200))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q113: the exact recount joins the bounded candidate set as a " +
+    "BROADCAST — the open-vocabulary side never sort-merges") {
+    val p = formatted(SparkEntry.queries("q113_heavy_hitters")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "candidate recount must not shuffle the vocabulary:\n" + p.take(1200))
+  }
+
+  test("q115/q117/q120: every window is PARTITIONED (user / event type) — " +
+    "nothing single-partitions an unbounded stream") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q115_gap_fill", "q117_winsorize", "q120_next_event_baseline")) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan =
+        try SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"expected window operators in $q")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned window in $q:\n" + plan.toString.take(1200))
+    }
+  }
+
+  test("q121: the prefix fingerprint aggregate collapses map-side — every " +
+    "exchange sits above an aggregate") {
+    assertAllShufflesAboveAggregates("q121_prefix_dups")
+  }
+
+  test("q118: the trailing-window fan-out explodes the DISTINCT " +
+    "(user, day) collapse, never raw events") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("q118_rolling_active")(spark, sf)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val gens = plan.collect { case g: GenerateExec => g }
+    assert(gens.nonEmpty, "expected the sequence-explode in q118")
+    assert(gens.forall(_.exists(_.isInstanceOf[BaseAggregateExec])),
+      "fan-out must sit above the distinct collapse:\n" + plan.toString.take(1200))
+  }
 }
