@@ -376,7 +376,13 @@ object SparkEntry {
     "q120_next_event_baseline" -> ((s, d) => EventOps.nextEventBaseline(events(s, d))),
     // template-opener clusters: exact first-4-token fingerprint groups,
     // row-local hashing then one 16-byte-key partial-agg exchange
-    "q121_prefix_dups" -> ((s, d) => Dedup.prefixDups(documents(s, d)))
+    "q121_prefix_dups" -> ((s, d) => Dedup.prefixDups(documents(s, d))),
+    // warehouse MERGE semantics (upserts + tombstones onto a base
+    // snapshot) with an order-independent content checksum per action
+    "q122_merge_upsert" -> ((s, d) => Pipeline.mergeUpsert(documents(s, d))),
+    // triangle census of the near-dup graph: clique templates vs star
+    // hubs; ordered-wedge closure on the memoized cached pair list
+    "q123_triangles" -> ((s, d) => Similarity.triangleCensus(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -502,6 +508,8 @@ object SparkEntry {
     "q118_rolling_active" -> EventOps.rollingActiveUsersOracle,
     "q119_ann_recall" -> Similarity.annRecallAuditOracle,
     "q120_next_event_baseline" -> EventOps.nextEventBaselineOracle,
-    "q121_prefix_dups" -> Dedup.prefixDupsOracle
+    "q121_prefix_dups" -> Dedup.prefixDupsOracle,
+    "q122_merge_upsert" -> Pipeline.mergeUpsertOracle,
+    "q123_triangles" -> Similarity.triangleCensusOracle
   )
 }

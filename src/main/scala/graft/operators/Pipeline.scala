@@ -1042,4 +1042,76 @@ object Pipeline {
       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
       |       CAST(count(*) AS BIGINT) AS n_groups
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // MERGE/upsert changeset application — the data-maintenance op every
+  // snapshot-based corpus store runs per ingest cycle (the UPDATE/
+  // DELETE the engine's append-only parquet world otherwise lacks):
+  // apply a batch of upserts and tombstones to a base snapshot with
+  // warehouse MERGE semantics — tombstone wins over upsert, upsert
+  // replaces matched rows and inserts unmatched ones, untouched rows
+  // carry over. Derived from the one documents table by the q65
+  // modulo-split convention (base %5, upserts %3 with revised text,
+  // tombstones %7); phantom tombstones (no matching row anywhere)
+  // vanish rather than miscounting as deletes. The audit row per
+  // action carries an ORDER-INDEPENDENT content checksum (Σ 32-bit
+  // md5-prefix of each surviving row's final text, exact integer) so
+  // the gate pins WHAT survived, not just how many.
+  //
+  // Scale shape: one co-partitioned full-outer + one left join, both
+  // keyed on doc_id — each payload crosses the shuffle once, the
+  // action classification is row-local, and the rollup collapses to 4
+  // rows map-side. At 100 TB this is the fingerprints-join q65 shape
+  // with payloads riding only where the merged output needs them.
+  // --------------------------------------------------------------------
+  def mergeUpsert(documents: DataFrame): DataFrame = {
+    val d = Widen.widen(documents)
+    val base = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text").as("b_text"))
+    val upserts = d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("u_text"))
+    val tombs = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(true).as("tomb"))
+    base.join(upserts, Seq("doc_id"), "full_outer")
+      .join(tombs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("tomb"), lit("deleted"))
+          .when(col("b_text").isNotNull && col("u_text").isNotNull, lit("updated"))
+          .when(col("u_text").isNotNull, lit("inserted"))
+          .otherwise(lit("kept")).as("action"),
+        when(col("tomb"), lit(null).cast("string"))
+          .otherwise(coalesce(col("u_text"), col("b_text"))).as("final_text"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("""CASE WHEN final_text IS NULL THEN CAST(0 AS DECIMAL(38,0))
+            |  ELSE CAST(CAST(conv(substr(md5(final_text), 1, 8), 16, 10) AS BIGINT)
+            |       AS DECIMAL(38,0)) END""".stripMargin))
+          .cast("long").as("content_sum"))
+      .orderBy(col("action"))
+  }
+
+  val mergeUpsertOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text AS b_text FROM documents WHERE doc_id % 5 <> 0),
+      |ups AS (
+      |  SELECT doc_id, text || ' rev2' AS u_text FROM documents WHERE doc_id % 3 = 0),
+      |tombs AS (
+      |  SELECT doc_id, true AS tomb FROM documents WHERE doc_id % 7 = 0),
+      |m AS (
+      |  SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id, b.b_text, u.u_text
+      |  FROM base b FULL OUTER JOIN ups u ON u.doc_id = b.doc_id),
+      |r AS (
+      |  SELECT m.doc_id,
+      |         CASE WHEN t.tomb THEN 'deleted'
+      |              WHEN m.b_text IS NOT NULL AND m.u_text IS NOT NULL THEN 'updated'
+      |              WHEN m.u_text IS NOT NULL THEN 'inserted'
+      |              ELSE 'kept' END AS action,
+      |         CASE WHEN t.tomb THEN NULL
+      |              ELSE COALESCE(m.u_text, m.b_text) END AS final_text
+      |  FROM m LEFT JOIN tombs t ON t.doc_id = m.doc_id)
+      |SELECT action, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN final_text IS NULL THEN 0
+      |                     ELSE CAST(concat('0x', substr(md5(final_text), 1, 8)) AS BIGINT)
+      |                END) AS BIGINT) AS content_sum
+      |FROM r GROUP BY action ORDER BY action""".stripMargin
 }

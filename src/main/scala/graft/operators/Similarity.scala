@@ -1170,4 +1170,69 @@ object Similarity {
       |       CAST(1000 * count(a.nid) // count(*) AS BIGINT) AS recall_pm
       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Triangle census of the near-dup graph — the structural complement
+  // of q109's degrees and q116's rank: triangle participation
+  // separates CLIQUEY template regions (mutually-similar rewrites of
+  // one template — many triangles) from STAR hubs (one common snippet
+  // pulling unrelated docs together — high degree, no triangles), and
+  // the two demand different dedup policies (collapse the clique vs
+  // split the star). Classic MapReduce triangle enumeration: each
+  // ordered wedge a<b<c closes against the (a, c) edge exactly once,
+  // so every triangle is found once without orientation bookkeeping.
+  //
+  // Scale shape: the verified pair list is built once (memoized,
+  // persisted) and self-joined twice ON THE CACHED output — a lazy
+  // re-plan would re-run the quadratic pair source per branch (the
+  // measured CollapseProject trap). Wedge volume is Σ_v deg(v)² —
+  // bounded by the same degree profile q109 publishes first; the
+  // per-vertex rollup and the ≤max-triangles histogram both collapse
+  // map-side. The LSH pair source swaps in past exact-pair scale.
+  // --------------------------------------------------------------------
+  def triangleCensus(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val pairs = StageMemo.memoized(embeddings, "sim:triPairs", threshold) {
+      cosineNearDup(embeddings, threshold).select(col("a"), col("b"))
+    }
+    val wedges = pairs.join(
+      pairs.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges.join(
+        pairs.select(col("a").as("ta"), col("b").as("tc")),
+        col("a") === col("ta") && col("c") === col("tc"))
+      .select(col("a"), col("b"), col("c"))
+    val perVertex = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    pairs.select(col("a").as("v")).unionAll(pairs.select(col("b").as("v")))
+      .distinct()
+      .join(perVertex, Seq("v"), "left")
+      .select(coalesce(col("t"), lit(0L)).as("triangles"))
+      .groupBy(col("triangles")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("triangles"))
+  }
+
+  val triangleCensusOracle: String = triangleCensusOracleAt(0.4)
+
+  /** Oracle builder on the SAME cosine threshold as the engine function. */
+  def triangleCensusOracleAt(threshold: Double): String =
+    s"""WITH $oracleQuantized,
+      |mp AS MATERIALIZED (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM qn x JOIN qn y ON x.vec_id < y.vec_id
+      |  WHERE $oracleCosExpr >= $threshold),
+      |tri AS (
+      |  SELECT x.a, x.b, y.b AS c
+      |  FROM mp x JOIN mp y ON y.a = x.b
+      |  JOIN mp z ON z.a = x.a AND z.b = y.b),
+      |perv AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS t
+      |  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+      |        UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1),
+      |verts AS (
+      |  SELECT DISTINCT v
+      |  FROM (SELECT a AS v FROM mp UNION ALL SELECT b FROM mp))
+      |SELECT COALESCE(p.t, 0) AS triangles, CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM verts LEFT JOIN perv p ON p.v = verts.v
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -532,4 +532,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(_._1 != "__suppressed__").forall(_._3 >= 5L))
     assertDeterministic(Pipeline.kAnonymousMix(d))
   }
+
+  test("mergeUpsert: tombstone wins over upsert, phantom tombstones " +
+    "vanish, and deleted rows carry no content checksum") {
+    // modulo-split roles: 1 kept; 3/6 updated (base ∧ upsert);
+    // 30 inserted (%5 drops it from base, %3 upserts it); 7 deleted;
+    // 21 deleted EVEN THOUGH upserted (tombstone precedence);
+    // 35 phantom tombstone (in no snapshot) — must not appear at all
+    val d = docs((1L, "one"), (3L, "three"), (6L, "six"), (30L, "thirty"),
+      (7L, "seven"), (21L, "twenty one"), (35L, "thirty five"))
+    val out = Pipeline.mergeUpsert(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq(
+      ("deleted", 2L), ("inserted", 1L), ("kept", 1L), ("updated", 2L)),
+      out.toString)
+    val byAction = out.map(t => t._1 -> t._3).toMap
+    assert(byAction("deleted") == 0L, "tombstoned rows must not hash")
+    assert(byAction("kept") > 0L && byAction("updated") > 0L)
+    assertDeterministic(Pipeline.mergeUpsert(d))
+  }
 }

@@ -263,4 +263,17 @@ class SimilaritySpec extends SparkSpec {
     assertDeterministic(Similarity.annRecallAudit(d, k = 2, nQueries = 3,
       planes = 2, probeRadius = 2))
   }
+
+  test("triangleCensus: a 3-clique yields one triangle per member; a " +
+    "mere pair yields a zero-triangle bucket; isolates stay out") {
+    val d = emb(
+      (1L, Seq(1f, 0f, 0f), 0), (2L, Seq(2f, 0f, 0f), 0),
+      (3L, Seq(3f, 0f, 0f), 0),                      // clique K3
+      (7L, Seq(0f, 1f, 0f), 1), (8L, Seq(0f, 2f, 0f), 1), // pair, no triangle
+      (9L, Seq(0f, 0f, 1f), 2))                      // isolated: no row
+    val out = Similarity.triangleCensus(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 2L), (1L, 3L)), out.toString)
+    assertDeterministic(Similarity.triangleCensus(d))
+  }
 }
