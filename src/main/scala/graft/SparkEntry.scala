@@ -382,7 +382,10 @@ object SparkEntry {
     "q122_merge_upsert" -> ((s, d) => Pipeline.mergeUpsert(documents(s, d))),
     // triangle census of the near-dup graph: clique templates vs star
     // hubs; ordered-wedge closure on the memoized cached pair list
-    "q123_triangles" -> ((s, d) => Similarity.triangleCensus(embeddings(s, d)))
+    "q123_triangles" -> ((s, d) => Similarity.triangleCensus(embeddings(s, d))),
+    // vector-column intake audit: the null/dims/non-finite/zero-norm
+    // mass every similarity tier silently filters, made visible
+    "q124_vector_audit" -> ((s, d) => Similarity.vectorAudit(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -510,6 +513,7 @@ object SparkEntry {
     "q120_next_event_baseline" -> EventOps.nextEventBaselineOracle,
     "q121_prefix_dups" -> Dedup.prefixDupsOracle,
     "q122_merge_upsert" -> Pipeline.mergeUpsertOracle,
-    "q123_triangles" -> Similarity.triangleCensusOracle
+    "q123_triangles" -> Similarity.triangleCensusOracle,
+    "q124_vector_audit" -> Similarity.vectorAuditOracle
   )
 }
