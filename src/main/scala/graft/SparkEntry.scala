@@ -385,7 +385,13 @@ object SparkEntry {
     "q123_triangles" -> ((s, d) => Similarity.triangleCensus(embeddings(s, d))),
     // vector-column intake audit: the null/dims/non-finite/zero-norm
     // mass every similarity tier silently filters, made visible
-    "q124_vector_audit" -> ((s, d) => Similarity.vectorAudit(embeddings(s, d)))
+    "q124_vector_audit" -> ((s, d) => Similarity.vectorAudit(embeddings(s, d))),
+    // stopword-coverage drift per source: the cheapest language/quality
+    // tripwire; stopword set = q113's ≤k-bounded heavy hitters
+    "q125_stopword_drift" -> ((s, d) => TextAnalysis.stopwordDrift(documents(s, d))),
+    // user-level association mining: per type-pair lift vs independence
+    // in exact per-mille over the distinct (user, type) collapse
+    "q126_cooccurrence_lift" -> ((s, d) => EventOps.cooccurrenceLift(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -514,6 +520,8 @@ object SparkEntry {
     "q121_prefix_dups" -> Dedup.prefixDupsOracle,
     "q122_merge_upsert" -> Pipeline.mergeUpsertOracle,
     "q123_triangles" -> Similarity.triangleCensusOracle,
-    "q124_vector_audit" -> Similarity.vectorAuditOracle
+    "q124_vector_audit" -> Similarity.vectorAuditOracle,
+    "q125_stopword_drift" -> TextAnalysis.stopwordDriftOracle,
+    "q126_cooccurrence_lift" -> EventOps.cooccurrenceLiftOracle
   )
 }

@@ -862,4 +862,63 @@ object EventOps {
       |       CAST(tot AS BIGINT) AS n_transitions, cnt AS hits,
       |       CAST(1000 * cnt // tot AS BIGINT) AS accuracy_pm
       |FROM r WHERE rk = 1 ORDER BY prev_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Event co-occurrence lift — user-level association mining (the
+  // market-basket tier): for every unordered pair of event types, how
+  // much more often one user does BOTH than independence predicts,
+  // lift = P(a∧b) / (P(a)·P(b)) in exact integer per-mille
+  // (1000·n_ab·N DIV (n_a·n_b); all operands nonnegative so Spark's
+  // truncating DIV ≡ DuckDB's flooring //). Lift ≫ 1000 = correlated
+  // behaviors (view→click funnels), ≪ 1000 = substitutes / disjoint
+  // user populations — q92's transitions measure ORDER, this measures
+  // portfolio overlap regardless of order or gap.
+  //
+  // Scale shape: raw events collapse to DISTINCT (user, type) FIRST;
+  // the pair self-join runs user-keyed on that collapsed table (≤
+  // |types| rows per user per side, the q118 shape) and its rollup is
+  // bounded by |types|²; the ≤|types|-row marginals broadcast back.
+  // --------------------------------------------------------------------
+  def cooccurrenceLift(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(countDistinct(col("user_id")).as("n_users"))
+    val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        // DECIMAL(38,0): 1000·n_ab·N leaves int64 near 10⁸ users
+        expr("""CAST(CAST(1000 AS DECIMAL(38,0)) * n_ab * n_users
+            | DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+          .stripMargin).as("lift_pm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val cooccurrenceLiftOracle: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+      |marg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+      |p AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |         CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM ut x JOIN ut y
+      |    ON y.user_id = x.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, a.n AS n_a, b.n AS n_b, p.n_ab,
+      |       CAST(CAST(1000 AS HUGEINT) * p.n_ab * nu.n_users
+      |            // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_pm
+      |FROM p JOIN marg a ON a.event_type = p.type_a
+      |       JOIN marg b ON b.event_type = p.type_b, nu
+      |ORDER BY p.type_a, p.type_b""".stripMargin
 }

@@ -1405,4 +1405,51 @@ object TextAnalysis {
       |SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt, tot.n_tokens
       |FROM toks, tot GROUP BY w, tot.n_tokens
       |HAVING count(*) * $k > tot.n_tokens""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q125: stopword-coverage drift per source — the cheapest
+  // language/quality drift tripwire a crawl pipeline runs per ingest:
+  // natural prose keeps a stable fraction of corpus-global stopwords,
+  // so a source whose coverage collapses (code, tables, gibberish,
+  // wrong language) or spikes (keyword stuffing) flags BEFORE any
+  // model-based scorer runs. The stopword set is q113's
+  // guaranteed-support heavy hitters — bounded at ≤k words by the
+  // support inequality itself (at most k tokens can each exceed N/k),
+  // so the set broadcasts BY CONSTRUCTION at any corpus size.
+  //
+  // Scale shape: reads the session-memoized docWords collapse (shared
+  // with q31/q68/q83/q102/q113 — one corpus tokenization per session);
+  // the per-(source, word) sums partial-aggregate behind the doc key,
+  // the ≤k-word set broadcasts, and the rollup is |sources| rows.
+  // --------------------------------------------------------------------
+  def stopwordDrift(documents: DataFrame, k: Int = 400): DataFrame = {
+    val stops = heavyHitters(documents, k).select(col("word").as("w"))
+    docWordsShared(documents)
+      .join(broadcast(stops.withColumn("is_stop", lit(1L))), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("is_stop").isNotNull, col("n")).otherwise(lit(0L)))
+          .as("stop_tokens"))
+      .select(col("source"), col("n_tokens"), col("stop_tokens"),
+        expr("1000L * stop_tokens DIV n_tokens").as("stop_pm"))
+      .orderBy(col("source"))
+  }
+
+  val stopwordDriftOracle: String = stopwordDriftOracleAt(400)
+
+  def stopwordDriftOracleAt(k: Int): String =
+    s"""WITH toks AS (
+      |  SELECT source, t.tok AS w
+      |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+      |  WHERE t.tok <> ''),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      |stops AS (
+      |  SELECT w FROM toks, tot GROUP BY w, tot.n
+      |  HAVING count(*) * $k > tot.n)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) FILTER (WHERE w IN (SELECT w FROM stops)) AS BIGINT)
+      |         AS stop_tokens,
+      |       CAST(1000 * count(*) FILTER (WHERE w IN (SELECT w FROM stops))
+      |            // count(*) AS BIGINT) AS stop_pm
+      |FROM toks GROUP BY source ORDER BY source""".stripMargin
 }

@@ -396,4 +396,22 @@ class EventOpsSpec extends SparkSpec {
       ("y", "x", 1L, 1L, 1000L)), out.toString)
     assertDeterministic(EventOps.nextEventBaseline(events))
   }
+
+  test("cooccurrenceLift: correlated pairs read above 1000 permille; " +
+    "never-co-occurring pairs emit no row (n_ab = 0)") {
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val events = Seq(
+      // u1, u2 do BOTH a and b; u3 only a; u4 only c
+      (1L, ts(1), 1L, "a", 1.0, "{}"), (2L, ts(2), 1L, "b", 1.0, "{}"),
+      (3L, ts(3), 2L, "a", 1.0, "{}"), (4L, ts(4), 2L, "b", 1.0, "{}"),
+      (5L, ts(5), 3L, "a", 1.0, "{}"), (6L, ts(6), 4L, "c", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.cooccurrenceLift(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // lift(a,b) = 1000·2·4 / (3·2) = 1333 — above independence because
+    // b-users ALWAYS carry a; (a,c)/(b,c) never co-occur → absent
+    assert(out == Seq(("a", "b", 3L, 2L, 2L, 1333L)), out.toString)
+    assertDeterministic(EventOps.cooccurrenceLift(events))
+  }
 }

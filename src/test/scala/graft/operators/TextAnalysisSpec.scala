@@ -495,4 +495,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(d.repartition(1)) == expected)
     assert(run(d.repartition(7)) == expected)
   }
+
+  test("stopwordDrift: a gibberish source reads 0 permille coverage of " +
+    "the corpus-global stopword set; prose reads its exact share") {
+    val prose = (1L to 5L).map(i =>
+      (i, "the cat the dog the bird", "en", "prose"))
+    val code = (10L to 13L).map(i =>
+      (i, s"xq${i}a zz${i}b vv${i}c ww${i}d kk${i}e", "en", "code"))
+    val d = docs(prose ++ code: _*)
+    // N = 30 + 20 = 50; k = 5 → stopwords are cnt > 10: only 'the' (15)
+    val out = TextAnalysis.stopwordDrift(d, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      ("code", 20L, 0L, 0L),
+      ("prose", 30L, 15L, 500L)), out.toString)
+    assertDeterministic(TextAnalysis.stopwordDrift(d, k = 5))
+  }
 }
