@@ -391,7 +391,10 @@ object SparkEntry {
     "q125_stopword_drift" -> ((s, d) => TextAnalysis.stopwordDrift(documents(s, d))),
     // user-level association mining: per type-pair lift vs independence
     // in exact per-mille over the distinct (user, type) collapse
-    "q126_cooccurrence_lift" -> ((s, d) => EventOps.cooccurrenceLift(events(s, d)))
+    "q126_cooccurrence_lift" -> ((s, d) => EventOps.cooccurrenceLift(events(s, d))),
+    // dataset cartography: joint (quality decile x length decile)
+    // doc/token census via q84's exact equal-frequency binning twice
+    "q127_data_map" -> ((s, d) => TextAnalysis.dataMap(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -522,6 +525,7 @@ object SparkEntry {
     "q123_triangles" -> Similarity.triangleCensusOracle,
     "q124_vector_audit" -> Similarity.vectorAuditOracle,
     "q125_stopword_drift" -> TextAnalysis.stopwordDriftOracle,
-    "q126_cooccurrence_lift" -> EventOps.cooccurrenceLiftOracle
+    "q126_cooccurrence_lift" -> EventOps.cooccurrenceLiftOracle,
+    "q127_data_map" -> TextAnalysis.dataMapOracle
   )
 }

@@ -1452,4 +1452,75 @@ object TextAnalysis {
       |       CAST(1000 * count(*) FILTER (WHERE w IN (SELECT w FROM stops))
       |            // count(*) AS BIGINT) AS stop_pm
       |FROM toks GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q127: 2-D data map — the joint (quality decile × length decile)
+  // doc/token census behind dataset-cartography curation decisions
+  // ("short-and-high-quality is instruction-like, long-and-low-quality
+  // is boilerplate to crop, the sparse corners are annotation
+  // targets"). Both axes use q84's EXACT equal-frequency binning,
+  // bin = ⌊B·below/n⌋ over the value histogram — no approximate
+  // ntile, no float quantiles, identical in both engines. Marginals
+  // recover q84 exactly (spec-pinned), so the map is its faithful
+  // 2-D refinement.
+  //
+  // Scale shape: ONE corpus pass builds the per-doc (q6, n_toks)
+  // pairs; each axis histogram is a bounded partial-agg collapse
+  // (q6 ≤ 10⁶+1 distinct micro-units under the executable q84
+  // ceiling; lengths likewise), the two ≤10⁶-row bin maps broadcast
+  // back, and the rollup is ≤ B² rows.
+  // --------------------------------------------------------------------
+  def dataMap(documents: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"need a positive bin count, got $bins")
+    val perdoc = perDocQuality(documents)
+    def binMap(valueCol: String, what: String): DataFrame =
+      perdoc.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+        .select(col(valueCol),
+          expr(s"""COALESCE(SUM(cnt) OVER (ORDER BY $valueCol
+              | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)"""
+            .stripMargin).as("below"),
+          expr(Guards.boundedWindowSql(1000001L, s"dataMap $what histogram",
+            "SUM(cnt) OVER ()", "BIGINT")).as("nd"))
+        .select(col(valueCol),
+          expr(s"CAST((${bins}L * below) DIV nd AS INT)").as(s"${what}_bin"))
+    perdoc
+      .join(broadcast(binMap("q6", "q")), "q6")
+      .join(broadcast(binMap("n_toks", "len")), "n_toks")
+      .groupBy(col("q_bin"), col("len_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+      .orderBy(col("q_bin"), col("len_bin"))
+  }
+
+  val dataMapOracle: String = dataMapOracleAt(10)
+
+  def dataMapOracleAt(bins: Int): String =
+    s"""WITH perdoc AS (
+      |  SELECT len(ts) AS n_toks, len(list_distinct(ts)) AS n_uniq,
+      |         CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS tok_chars
+      |  FROM (SELECT string_split_regex(lower(text), '\\s+') AS ts FROM documents)
+      |  WHERE len(ts) > 0),
+      |scored AS (
+      |  SELECT n_toks,
+      |         CAST(floor((
+      |           0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) +
+      |           0.3 * (CAST(n_uniq AS DOUBLE) / n_toks) +
+      |           0.3 * least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0)
+      |         ) * 1000000 + 0.5) AS BIGINT) AS q6
+      |  FROM perdoc),
+      |qh AS (SELECT q6, CAST(count(*) AS BIGINT) AS cnt FROM scored GROUP BY 1),
+      |qm AS (
+      |  SELECT q6, CAST($bins * COALESCE(SUM(cnt) OVER (ORDER BY q6
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         // SUM(cnt) OVER () AS INT) AS q_bin
+      |  FROM qh),
+      |lh AS (SELECT n_toks, CAST(count(*) AS BIGINT) AS cnt FROM scored GROUP BY 1),
+      |lm AS (
+      |  SELECT n_toks, CAST($bins * COALESCE(SUM(cnt) OVER (ORDER BY n_toks
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         // SUM(cnt) OVER () AS INT) AS len_bin
+      |  FROM lh)
+      |SELECT qm.q_bin, lm.len_bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(s.n_toks) AS BIGINT) AS tokens
+      |FROM scored s JOIN qm ON qm.q6 = s.q6 JOIN lm ON lm.n_toks = s.n_toks
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

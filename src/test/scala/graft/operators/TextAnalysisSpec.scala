@@ -512,4 +512,23 @@ class TextAnalysisSpec extends SparkSpec {
       ("prose", 30L, 15L, 500L)), out.toString)
     assertDeterministic(TextAnalysis.stopwordDrift(d, k = 5))
   }
+
+  test("dataMap: the quality marginal recovers difficultyBins exactly " +
+    "and the cells partition the corpus") {
+    val d = docs((1L to 12L).map { i =>
+      val words = (1 to (i * 7 % 11 + 2).toInt)
+        .map(j => if (j % 3 == 0) "the" else s"w${(i * j) % 9}")
+      (i, words.mkString(" "), "en", "s")
+    }: _*)
+    val map = TextAnalysis.dataMap(d, bins = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(map.map(_._3).sum == 12L, map.mkString(","))
+    val expectedMarginal = TextAnalysis.difficultyBins(d, bins = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val marginal = map.groupBy(_._1).map { case (b, cells) =>
+      b -> cells.map(_._3).sum }
+    assert(marginal == expectedMarginal,
+      s"2-D map must refine q84's bins: $marginal vs $expectedMarginal")
+    assertDeterministic(TextAnalysis.dataMap(d, bins = 4))
+  }
 }
