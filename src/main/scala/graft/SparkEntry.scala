@@ -394,7 +394,10 @@ object SparkEntry {
     "q126_cooccurrence_lift" -> ((s, d) => EventOps.cooccurrenceLift(events(s, d))),
     // dataset cartography: joint (quality decile x length decile)
     // doc/token census via q84's exact equal-frequency binning twice
-    "q127_data_map" -> ((s, d) => TextAnalysis.dataMap(documents(s, d)))
+    "q127_data_map" -> ((s, d) => TextAnalysis.dataMap(documents(s, d))),
+    // per-source type-token ratio + hapax rate: low-TTR templates and
+    // high-hapax OCR junk, off the memoized docWords collapse
+    "q128_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -526,6 +529,7 @@ object SparkEntry {
     "q124_vector_audit" -> Similarity.vectorAuditOracle,
     "q125_stopword_drift" -> TextAnalysis.stopwordDriftOracle,
     "q126_cooccurrence_lift" -> EventOps.cooccurrenceLiftOracle,
-    "q127_data_map" -> TextAnalysis.dataMapOracle
+    "q127_data_map" -> TextAnalysis.dataMapOracle,
+    "q128_lexical_diversity" -> TextAnalysis.lexicalDiversityOracle
   )
 }

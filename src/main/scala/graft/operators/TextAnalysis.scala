@@ -1523,4 +1523,44 @@ object TextAnalysis {
       |       CAST(SUM(s.n_toks) AS BIGINT) AS tokens
       |FROM scored s JOIN qm ON qm.q6 = s.q6 JOIN lm ON lm.n_toks = s.n_toks
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q128: per-source lexical diversity — type-token ratio and hapax
+  // rate, the classic corpus-quality statistics that catch what
+  // neither length nor stopword coverage does: template/boilerplate
+  // sources read LOW TTR (few types, endlessly repeated) and LOW
+  // hapax; OCR noise and random junk read pathologically HIGH hapax
+  // (every error is a new "word"). Exact integer per-mille; the q105
+  // vocabulary-growth curve shows WHEN new types arrive, this shows
+  // each source's steady-state richness.
+  //
+  // Scale shape: reads the session-memoized docWords collapse; the
+  // (source, word) sums partial-aggregate behind the doc-keyed stage
+  // (the zipfian head token never keys a raw shuffle), and the final
+  // rollup is |sources| rows.
+  // --------------------------------------------------------------------
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    docWordsShared(documents)
+      .groupBy(col("source"), col("w"))
+      .agg(sum(col("n")).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("hapax"),
+        expr("1000L * n_types DIV n_tokens").as("ttr_pm"),
+        expr("1000L * hapax DIV n_types").as("hapax_pm"))
+      .orderBy(col("source"))
+
+  val lexicalDiversityOracle: String =
+    """WITH sw AS (
+      |  SELECT source, t.tok AS w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(tok)
+      |  WHERE t.tok <> '' GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |       CAST(1000 * count(*) // SUM(cnt) AS BIGINT) AS ttr_pm,
+      |       CAST(1000 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+      |            // count(*) AS BIGINT) AS hapax_pm
+      |FROM sw GROUP BY source ORDER BY source""".stripMargin
 }

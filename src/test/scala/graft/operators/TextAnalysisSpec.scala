@@ -531,4 +531,22 @@ class TextAnalysisSpec extends SparkSpec {
       s"2-D map must refine q84's bins: $marginal vs $expectedMarginal")
     assertDeterministic(TextAnalysis.dataMap(d, bins = 4))
   }
+
+  test("lexicalDiversity: a repeated template reads low TTR and zero " +
+    "hapax; all-unique junk reads 1000 permille of both") {
+    val template = (1L to 4L).map(i =>
+      (i, "click here to subscribe now", "en", "tpl"))
+    val junk = Seq((10L, "qxv1 wkz2 bbn3 ppo4 rrt5", "en", "junk"))
+    val out = TextAnalysis.lexicalDiversity(docs(template ++ junk: _*))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // tpl: 20 tokens, 5 types (each seen 4x, no hapax) → TTR 250‰, hapax 0
+    // junk: 5 tokens, 5 types, all hapax → TTR 1000‰, hapax 1000‰
+    assert(out == Seq(
+      ("junk", 5L, 5L, 5L, 1000L, 1000L),
+      ("tpl", 20L, 5L, 0L, 250L, 0L)), out.toString)
+    assertDeterministic(TextAnalysis.lexicalDiversity(
+      docs(template ++ junk: _*)))
+  }
 }
