@@ -1083,9 +1083,15 @@ object Pipeline {
           .otherwise(coalesce(col("u_text"), col("b_text"))).as("final_text"))
       .groupBy(col("action"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(expr("""CASE WHEN final_text IS NULL THEN CAST(0 AS DECIMAL(38,0))
+        // Σ accumulates in DECIMAL(38,0) (terms up to 2³²−1 leave int64
+        // near 2·10⁹ surviving docs), then reduces mod 2⁶³ — identically
+        // in the oracle's HUGEINT — so the BIGINT output column never
+        // overflows at any corpus size; all terms nonneg, so Spark %
+        // and DuckDB % agree
+        (sum(expr("""CASE WHEN final_text IS NULL THEN CAST(0 AS DECIMAL(38,0))
             |  ELSE CAST(CAST(conv(substr(md5(final_text), 1, 8), 16, 10) AS BIGINT)
             |       AS DECIMAL(38,0)) END""".stripMargin))
+          % lit(new java.math.BigDecimal("9223372036854775808")))
           .cast("long").as("content_sum"))
       .orderBy(col("action"))
   }
@@ -1112,6 +1118,6 @@ object Pipeline {
       |SELECT action, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(SUM(CASE WHEN final_text IS NULL THEN 0
       |                     ELSE CAST(concat('0x', substr(md5(final_text), 1, 8)) AS BIGINT)
-      |                END) AS BIGINT) AS content_sum
+      |                END) % 9223372036854775808 AS BIGINT) AS content_sum
       |FROM r GROUP BY action ORDER BY action""".stripMargin
 }

@@ -1240,37 +1240,55 @@ object Similarity {
   // Vector-column intake audit — the validation pass an index build
   // runs BEFORE quantizing/bucketing anything: per label, how many
   // vectors are unusable (NULL embedding, wrong dimensionality,
-  // non-finite components, zero norm — each lands in exactly ONE
-  // bucket, checked in that precedence order) and the norm range of
-  // the usable ones in exact quantized units. Every tier above this
-  // one (q28-q30, q54, q78-q119) silently FILTERS n2 > 0 — this is
-  // the operator that makes that filtered mass visible instead of
-  // silently shrinking the corpus.
+  // non-finite components, finite-but-oversized components, zero
+  // norm — each lands in exactly ONE bucket, checked in that
+  // precedence order) and the norm range of the usable ones in exact
+  // quantized units. Every tier above this one (q28-q30, q54,
+  // q78-q119) silently FILTERS n2 > 0 — this is the operator that
+  // makes that filtered mass visible instead of silently shrinking
+  // the corpus.
   //
   // Scale shape: entirely row-local classification (no UDF — isnan/
   // size/exists run codegen'd) into a ≤|labels|-row rollup via one
   // partial-agg exchange.
   // --------------------------------------------------------------------
-  def vectorAudit(embeddings: DataFrame, expectDims: Int = 64): DataFrame =
+  /** int64-safe magnitude ceiling for the 1e4 quantization: the
+    * quantized square sum Σ(round(x·10⁴))² over `dims` terms stays
+    * inside int64 only while every |x| ≤ this. A finite component past
+    * it must route to its own audit bucket — an intake audit on dirty
+    * vectors classifies, it never throws an ANSI ArithmeticException
+    * mid-plan (and DuckDB's HUGEINT promotion would silently diverge
+    * where Spark throws). 9.0e18 leaves ~2% headroom under
+    * Long.MaxValue for the ±0.5 rounding slack per component. */
+  private def quantSafeAbs(dims: Int): Double =
+    math.floor(math.sqrt(9.0e18 / math.max(dims, 1))) / 1e4
+
+  def vectorAudit(embeddings: DataFrame, expectDims: Int = 64): DataFrame = {
+    val maxAbs = f"${quantSafeAbs(expectDims)}%.4f"
     embeddings
-      .select(expr("CAST(label AS INT)").as("label"),
+      .select(expr("CAST(label AS INT)").as("label"), col("embedding"),
         expr(s"""CASE
           |  WHEN embedding IS NULL THEN 'null'
           |  WHEN size(embedding) != $expectDims THEN 'wrong_dims'
           |  WHEN exists(embedding,
           |    x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1e30)
           |    THEN 'non_finite'
+          |  WHEN exists(embedding, x -> abs(CAST(x AS DOUBLE)) > $maxAbs)
+          |    THEN 'out_of_range'
           |  WHEN aggregate(transform(embedding,
           |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
           |    0L, (a, x) -> a + x*x) = 0L THEN 'zero_norm'
-          |  ELSE 'ok' END""".stripMargin).as("status"),
-        // try_cast: the NaN/±inf rows classified 'non_finite' above
-        // still EVALUATE this column — an ANSI cast would throw before
-        // the CASE ever routes them (their n2 is never consumed)
-        expr("""CASE WHEN embedding IS NULL THEN 0L
-          |  ELSE aggregate(transform(embedding,
-          |      x -> try_cast(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
-          |    0L, (a, x) -> a + x*x) END""".stripMargin).as("n2"))
+          |  ELSE 'ok' END""".stripMargin).as("status"))
+      // n2 evaluates ONLY for status = 'ok' rows: every other bucket's
+      // square sum is either unneeded (the min/max below never consume
+      // it) or int64-unsafe (the out_of_range rows would overflow the
+      // multiply/add itself, which no try_cast on the cast can guard)
+      .select(col("label"), col("status"),
+        expr("""CASE WHEN status = 'ok'
+          |  THEN aggregate(transform(embedding,
+          |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+          |    0L, (a, x) -> a + x*x)
+          |  ELSE 0L END""".stripMargin).as("n2"))
       .groupBy(col("label"), col("status"))
       .agg(count(lit(1)).as("n_vecs"),
         min(when(col("status") === "ok", col("n2"))).as("min_n2"),
@@ -1279,34 +1297,46 @@ object Similarity {
         coalesce(col("min_n2"), lit(0L)).as("min_n2"),
         coalesce(col("max_n2"), lit(0L)).as("max_n2"))
       .orderBy(col("label"), col("status"))
+  }
 
   val vectorAuditOracle: String = vectorAuditOracleAt(64)
 
   /** Oracle builder on the SAME expected dimensionality. NaN literals
     * survive DuckDB's isnan the same way; the 1e30 magnitude guard
-    * doubles for ±Infinity (no cross-engine isinf needed). */
-  def vectorAuditOracleAt(expectDims: Int): String =
+    * doubles for ±Infinity (no cross-engine isinf needed); the
+    * [[quantSafeAbs]] ceiling is injected identically, and gating n2
+    * on status = 'ok' keeps DuckDB's list_sum inside the range where
+    * its HUGEINT promotion and Spark's int64 arithmetic agree. */
+  def vectorAuditOracleAt(expectDims: Int): String = {
+    val maxAbs = f"${quantSafeAbs(expectDims)}%.4f"
     s"""WITH c AS (
-      |  SELECT CAST(label AS INT) AS label,
+      |  SELECT CAST(label AS INT) AS label, embedding,
       |         CASE
       |           WHEN embedding IS NULL THEN 'null'
       |           WHEN len(embedding) != $expectDims THEN 'wrong_dims'
       |           WHEN len(list_filter(embedding,
       |             x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1e30)) > 0
       |             THEN 'non_finite'
+      |           WHEN len(list_filter(embedding,
+      |             x -> abs(CAST(x AS DOUBLE)) > $maxAbs)) > 0
+      |             THEN 'out_of_range'
       |           WHEN CAST(list_sum(list_transform(embedding,
       |               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) *
       |                    CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT) = 0
       |             THEN 'zero_norm'
-      |           ELSE 'ok' END AS status,
-      |         CASE WHEN embedding IS NULL THEN 0
-      |              ELSE TRY_CAST(list_sum(list_transform(embedding,
-      |                x -> TRY_CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) *
-      |                     TRY_CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT)
-      |         END AS n2
-      |  FROM embeddings)
+      |           ELSE 'ok' END AS status
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT label, status,
+      |         CASE WHEN status = 'ok'
+      |              THEN CAST(list_sum(list_transform(embedding,
+      |                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) *
+      |                     CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT)
+      |              ELSE 0 END AS n2
+      |  FROM c)
       |SELECT label, status, CAST(count(*) AS BIGINT) AS n_vecs,
       |       COALESCE(MIN(CASE WHEN status = 'ok' THEN n2 END), 0) AS min_n2,
       |       COALESCE(MAX(CASE WHEN status = 'ok' THEN n2 END), 0) AS max_n2
-      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -1392,6 +1392,9 @@ object TextAnalysis {
       .agg(sum(col("n")).as("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * k > col("n_tokens"))
+      // ≤k-row result; the sort costs nothing and keeps the output
+      // deterministic like every other query's (repo-wide convention)
+      .orderBy(col("word"))
   }
 
   val heavyHittersOracle: String = heavyHittersOracleAt(400)
@@ -1404,7 +1407,8 @@ object TextAnalysis {
       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks)
       |SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt, tot.n_tokens
       |FROM toks, tot GROUP BY w, tot.n_tokens
-      |HAVING count(*) * $k > tot.n_tokens""".stripMargin
+      |HAVING count(*) * $k > tot.n_tokens
+      |ORDER BY word""".stripMargin
 
   // --------------------------------------------------------------------
   // q125: stopword-coverage drift per source — the cheapest

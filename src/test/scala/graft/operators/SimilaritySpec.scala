@@ -277,15 +277,21 @@ class SimilaritySpec extends SparkSpec {
     assertDeterministic(Similarity.triangleCensus(d))
   }
 
-  test("vectorAudit: null / wrong-dims / NaN / zero-norm vectors each " +
-    "land in exactly one bucket, in precedence order; norms only from ok") {
+  test("vectorAudit: null / wrong-dims / NaN / out-of-range / zero-norm " +
+    "vectors each land in exactly one bucket, in precedence order; norms " +
+    "only from ok; finite-but-huge components classify instead of throwing") {
     val rows = Seq(
       (1L, Some(Seq(1f, 0f)), 0),                 // ok, n2 = 10⁸
       (2L, Some(Seq(3f, 4f)), 0),                 // ok, n2 = 25·10⁸
       (3L, None: Option[Seq[Float]], 0),          // null
       (4L, Some(Seq(1f, 2f, 3f)), 0),             // wrong dims
       (5L, Some(Seq(Float.NaN, 1f)), 0),          // non-finite (despite NaN≠NaN)
-      (6L, Some(Seq(0f, 0f)), 0))                 // zero norm
+      (6L, Some(Seq(0f, 0f)), 0),                 // zero norm
+      // finite but past the int64-safe quantization ceiling for 2 dims
+      // (≈2.1e5): its quantized square would overflow a + x*x — the
+      // audit must BUCKET it, not raise an ANSI ArithmeticException
+      (7L, Some(Seq(1e7f, 1f)), 0),
+      (8L, Some(Seq(3e18f, 0f)), 0))              // ditto, near double range
     val d = rows.toDF("vec_id", "embedding", "label")
     val out = Similarity.vectorAudit(d, expectDims = 2).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
@@ -294,6 +300,7 @@ class SimilaritySpec extends SparkSpec {
       ("non_finite", 1L, 0L, 0L),
       ("null", 1L, 0L, 0L),
       ("ok", 2L, 100000000L, 2500000000L),
+      ("out_of_range", 2L, 0L, 0L),
       ("wrong_dims", 1L, 0L, 0L),
       ("zero_norm", 1L, 0L, 0L)), out.toString)
     assertDeterministic(Similarity.vectorAudit(d, expectDims = 2))
