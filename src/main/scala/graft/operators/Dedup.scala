@@ -166,22 +166,38 @@ object Dedup {
     * the oracle at hash granularity — parity by construction).
     * `array_except` preserves the left array's order, so the sorted
     * contract [[hsetUdf]] establishes survives the filter.
-    * Two extra LINEAR jobs over the shingle stage (a count and a
-    * map-combined df aggregation collecting the KB-scale hot set), both
-    * before the quadratic-prone candidate stage they protect; the caller
-    * hands in a PERSISTED shingle stage, so both jobs are cached scans,
-    * not repeat runs of the shingling UDF. */
+    * ONE extra LINEAR job over the shingle stage: a per-row sentinel
+    * (outside [[hsetUdf]]'s 32-bit hash range) rides the same explode,
+    * so its df in the same map-combined aggregation IS |docs| — no
+    * separate count action, and the relative threshold applies
+    * engine-side against that broadcast scalar, so the single collect
+    * fetches exactly the KB-scale hot set. Fewer driver-side action
+    * barriers = fewer windows for box contention to land between jobs
+    * (this was the suite's most contention-sensitive query). The caller
+    * hands in a PERSISTED shingle stage, so the job is a cached-column
+    * scan, not a repeat run of the shingling UDF. */
+  private val DfSentinel = -1L
+
   private def dfFiltered(sh0: DataFrame, maxDfFrac: Double): DataFrame = {
     if (maxDfFrac >= 1.0) return sh0
-    val n = sh0.count()
-    val hot = sh0.select(explode(col("hset")).as("h"))
+    val dfAgg = sh0
+      .select(explode(concat(col("hset"), array(lit(DfSentinel)))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > greatest(lit(maxDfFrac) * lit(n.toDouble), lit(DfFloorDocs)))
-      .select(col("h")).collect().map(_.getLong(0)).sorted
-    // bound argument above: S̄/frac entries; a blowout means the input
-    // is not a document corpus (or frac≈0) — refuse to broadcast it
+    val nDocs = broadcast(
+      dfAgg.filter(col("h") === DfSentinel).select(col("df").as("n")))
+    val hot = dfAgg.filter(col("h") =!= DfSentinel)
+      .crossJoin(nDocs)
+      .filter(col("df") >
+        greatest(col("n") * lit(maxDfFrac), lit(DfFloorDocs)))
+      .select(col("h"))
+      // bound argument: S̄/frac entries; a blowout means the input is
+      // not a document corpus (or frac≈0) — refuse to broadcast it.
+      // limit BEFORE collect so the refusal never materializes an
+      // unbounded set on the driver first
+      .limit(100001)
+      .collect().map(_.getLong(0)).sorted
     require(hot.length <= 100000,
-      s"minhash df-filter: ${hot.length} shingles above df ${maxDfFrac} — " +
+      s"minhash df-filter: >100000 shingles above df ${maxDfFrac} — " +
         "hot set is no longer broadcastable; raise maxDfFrac")
     if (hot.isEmpty) sh0
     else sh0

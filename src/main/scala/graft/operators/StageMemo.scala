@@ -71,11 +71,52 @@ private[graft] object StageMemo {
         else false
     }
 
+  // Touch recording (thread-local): Bench's best-of-N needs a repeat
+  // attempt of a memoized query to re-pay its shared-stage BUILD (a memo
+  // hit would read ~0 s and the minimum would measure nothing) without
+  // disturbing stages OTHER queries' first attempts rely on. A full
+  // bypass cannot deliver that — Spark's block cache is PLAN-keyed, so
+  // an off-memo rebuild of the identical plan silently reads the
+  // memoized copy's blocks. Instead: record exactly which entries an
+  // attempt touches, [[invalidate]] those (unpersist + remove), and let
+  // the next attempt rebuild them with the memo ACTIVE — it pays the
+  // real build and leaves the entries repopulated for later consumers.
+  private val touchLog =
+    new ThreadLocal[scala.collection.mutable.Set[MemoKey]]
+
+  /** Opaque handle over the memo entries a [[recording]] scope touched. */
+  final class Touched private[StageMemo] (
+    private[StageMemo] val keys: Set[MemoKey])
+
+  /** Run `thunk` recording every memo entry it reads or builds (plan
+    * construction and driver-side actions happen on the calling thread,
+    * so thread-locality covers the whole query, nested stages
+    * included — "labels" touching "pairs" records both). */
+  def recording[T](thunk: => T): (T, Touched) = {
+    val log = scala.collection.mutable.Set.empty[MemoKey]
+    val prev = touchLog.get()
+    touchLog.set(log)
+    val out = try thunk finally touchLog.set(prev)
+    (out, new Touched(log.toSet))
+  }
+
+  /** Drop exactly the recorded entries (unpersist + remove), leaving
+    * every other query's shared stages in place. */
+  def invalidate(touched: Touched): Unit =
+    memo.synchronized {
+      touched.keys.foreach { k =>
+        val s = memo.remove(k)
+        if (s != null) s.unpersistIfBuilt()
+      }
+    }
+
   /** The memoized build of `stage` over `input`'s semantic plan, with
     * `param` folded into the key (threshold, iteration bound, …). */
   def memoized(input: DataFrame, stage: String, param: Double)
               (build: => DataFrame): DataFrame = {
     val key = (input.sparkSession, stage, input.semanticHash(), param)
+    val log = touchLog.get()
+    if (log != null) { log += key; () }
     val slot = memo.synchronized {
       val s = memo.get(key)
       if (s != null) s else { val fresh = new Slot; memo.put(key, fresh); fresh }
