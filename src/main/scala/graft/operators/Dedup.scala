@@ -431,8 +431,29 @@ object Dedup {
       spark.conf.getOption("graft.cc.checkpointDir"))
     val pairsRdd = pairs
       .select(col("a"), col("b")).as[(Long, Long)].rdd
+    // right-size the round-loop partitioner to the GRAPH, not the
+    // cluster: every Pregel round runs three shuffles over it, and on a
+    // small matched-pair graph (thousands of edges) a cluster-width
+    // partitioner turns each round into defaultParallelism near-empty
+    // tasks of pure scheduling overhead (measured: ~1 s/query at bench
+    // scale). ~50k edges/partition keeps per-task state small; giant
+    // graphs still spread across the full cluster. The callers hand in
+    // a PERSISTED pair stage (memoized verified-pairs / near-dup
+    // stages), so the sizing count is a cached-scan action.
+    val nEdges = pairs.count()
+    // Small-graph fast path: below this bound the whole matched-pair
+    // graph is a few MB (two longs per edge) — union-find on the driver
+    // beats the round loop's ~4 jobs/round of scheduling latency by
+    // ~2 s/query at bench scale, the same bounded-collect pattern as
+    // the IVF centroid build. The bound is explicit and the distributed
+    // loop is the ONLY path past it, so a 100 TB pair graph never
+    // touches the driver. Labels are identical by construction (both
+    // produce lbl = min vertex id per component, spec-pinned).
+    if (nEdges <= SmallGraphEdges)
+      return smallGraphLabels(pairsRdd.collect(), spark)
     val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (nEdges / 50000L).toInt + 1)))
     val edgesBySrc = pairsRdd
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(part).cache()
@@ -450,6 +471,49 @@ object Dedup {
     out.count()
     labels.unpersist(false)
     out
+  }
+
+  /** Edge ceiling for the driver union-find fast path in
+    * [[connectedComponents]] (~3 MB collected at the bound). */
+  private val SmallGraphEdges = 200000L
+
+  /** Driver union-find over a bounded collected edge list: union-by-min
+    * keeps every root the minimum vertex id of its component (the same
+    * label contract as the Pregel loop — induction: each union roots at
+    * min(root_a, root_b), and a singleton's root is itself), with path
+    * halving on find. Output sorted by v for deterministic row order,
+    * persisted + materialized exactly like the distributed path so
+    * [[StageMemo]]'s Slot skips re-persisting. */
+  private def smallGraphLabels(edges: Array[(Long, Long)],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        val gp = parent.get(parent.get(x))
+        parent.put(x, gp)
+        x = gp
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      ()
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val v = it.next(); out(i) = (v, find(v)); i += 1 }
+    java.util.Arrays.sort(out, java.util.Comparator.comparingLong(
+      (t: (Long, Long)) => t._1))
+    val df = spark.createDataset(out.toIndexedSeq).toDF("v", "lbl")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
   }
 
   /** The round loop proper, on a cached, hash-partitioned bidirectional

@@ -163,16 +163,36 @@ object Similarity {
   // ([[Dedup.connectedComponents]]) — O(log diameter) rounds on
   // co-partitioned RDDs, loud non-convergence.
   // --------------------------------------------------------------------
+  /** Session-memoized (a, b) near-dup pair stage — the embedding tier's
+    * twin of the dedup tier's verified-pairs stage: the quadratic
+    * blocked self-join builds once per (session, input plan, threshold)
+    * and every graph consumer (clusters q78, exemplars q88, degrees
+    * q109, PageRank q116, triangles q123) reads the persisted output.
+    * Different thresholds are different entries by the memo key. */
+  private def nearDupPairs(embeddings: DataFrame,
+                           threshold: Double): DataFrame =
+    StageMemo.memoized(embeddings, "sim:pairs", threshold)(
+      cosineNearDup(embeddings, threshold).select(col("a"), col("b")))
+
+  /** Session-memoized component labels (v, lbl) over [[nearDupPairs]] —
+    * the embedding tier's twin of the dedup tier's labels stage, so
+    * clusters (q78) and exemplars (q88) pay the Pregel loop once per
+    * session. Nested memoization (labels builds on pairs) is the
+    * documented [[StageMemo]] pattern. */
+  private def semanticLabels(embeddings: DataFrame, threshold: Double,
+                             maxIters: Int): DataFrame =
+    StageMemo.memoized(embeddings, s"sim:labels:$maxIters", threshold)(
+      Dedup.connectedComponents(
+        nearDupPairs(embeddings, threshold), maxIters, "semanticLabels"))
+
   /** Per-cluster rollup (component = min vec_id, n_vecs, max_vec) of the
     * cosine-threshold transitive closure. */
   def semanticClusters(embeddings: DataFrame, threshold: Double = 0.5,
-                       maxIters: Int = 25): DataFrame = {
-    val pairs = cosineNearDup(embeddings, threshold).select(col("a"), col("b"))
-    Dedup.connectedComponents(pairs, maxIters, "semanticClusters")
+                       maxIters: Int = 25): DataFrame =
+    semanticLabels(embeddings, threshold, maxIters)
       .groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_vecs"), max(col("v")).as("max_vec"))
       .orderBy(col("component"))
-  }
 
   val semanticClustersOracle: String = semanticClustersOracleAt(0.5)
 
@@ -745,14 +765,16 @@ object Similarity {
   // products stay in int64 to ~10⁹ members/cluster (|x_i| ≤ 10⁴,
   // |Σy_i| ≤ n·10⁴, d = 64).
   //
-  // Scale shape: the member↔vector join is vec_id-keyed; the centroid
-  // builds from a (lbl, pos) posexplode that partial-aggregates
-  // MAP-SIDE (members·d rows collapse to |clusters|·d before the
-  // shuffle); scoring joins the |clusters|-row centroid table back on
-  // lbl; the per-cluster argmax is a rank-1 window (bounded-heap
-  // TopKPerKey when installed). The oracle avoids centroid construction
-  // entirely via the exact identity dot(x, Σy) = Σy dot(x, y) — same
-  // integers, quadratic only at oracle scale.
+  // Scale shape: the member↔vector join is vec_id-keyed; centroid
+  // components and member dots come from ONE (lbl, v, pos, x) explode —
+  // a (lbl, pos)-windowed sum carries S(lbl, pos) on each row and the
+  // per-member dot collapses through a partial-aggregating (lbl, v)
+  // rollup, so the join/quantization subtree evaluates once and no
+  // centroid-array table is built or joined back; the per-cluster
+  // argmax is a rank-1 window (bounded-heap TopKPerKey when installed).
+  // The oracle uses the same identity from the pair side
+  // (Σy dot(x, y) ≡ dot(x, Σy)) — same integers, quadratic only at
+  // oracle scale.
   // --------------------------------------------------------------------
   /** @param maxClusterSize loud in-plan ceiling on component size. Two
     *   real failure modes live past it: centroid dot products leave
@@ -767,19 +789,28 @@ object Similarity {
                   maxClusterSize: Long = 1000000000L): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = quantized(embeddings)
-    val pairs = cosineNearDup(embeddings, threshold).select(col("a"), col("b"))
-    val members = Dedup.connectedComponents(pairs, maxIters, "clusterReps")
+    // the pair list AND the Pregel loop ride the session-memoized
+    // [[semanticLabels]] stage — a session that already clustered
+    // (q78) scores exemplars off the cached labels for free
+    val members = semanticLabels(embeddings, threshold, maxIters)
       .select(col("lbl"), col("v"))
     val mq = members.join(q, col("v") === col("vec_id"))
       .select(col("lbl"), col("v"), col("qv"))
-    val cent = mq.select(col("lbl"), posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy(col("lbl"), col("pos")).agg(sum(col("x")).as("sx"))
-      .groupBy(col("lbl"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, sx))), s -> s.sx)")
-        .as("cv"))
-    mq.join(cent, Seq("lbl"))
-      .select(col("lbl"), col("v"),
-        expr("CAST(graft_dot_long(qv, cv) AS BIGINT)").as("dot"))
+    // single-pass scoring via dot(x, Σy) = Σ_pos x_pos · S(lbl, pos):
+    // ONE posexplode feeds a (lbl, pos)-partitioned window sum (the
+    // centroid component rides each row) and the per-member dot is a
+    // plain partial-aggregating rollup — mq is consumed ONCE, so the
+    // members⋈vectors join and the quantization never evaluate per
+    // branch, and the explicit centroid-array build + join-back
+    // disappears from the plan. Same exact integers as the two-branch
+    // centroid form (products stay in int64 to ~10⁹ members/cluster,
+    // |x_i| ≤ 10⁴, d = 64 — the same bound the size guard enforces).
+    mq.select(col("lbl"), col("v"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .withColumn("sx", sum(col("x")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lbl"), col("pos"))))
+      .groupBy(col("lbl"), col("v"))
+      .agg(sum(expr("x * sx")).as("dot"))
       .withColumn("n_vecs", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))))
       .withColumn("rnk", expr(
@@ -856,8 +887,7 @@ object Similarity {
   // --------------------------------------------------------------------
   def nearDupDegreeProfile(embeddings: DataFrame,
                            threshold: Double = 0.5): DataFrame = {
-    val pairs = cosineNearDup(embeddings, threshold)
-      .select(col("a"), col("b"))
+    val pairs = nearDupPairs(embeddings, threshold)
     val deg = pairs.select(col("a").as("v"))
       .unionAll(pairs.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -1034,8 +1064,8 @@ object Similarity {
                    iters: Int = 3, k: Int = 15): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val pairs = cosineNearDup(embeddings, threshold)
-      .select(col("a"), col("b")).as[(Long, Long)].rdd
+    val pairs = nearDupPairs(embeddings, threshold)
+      .as[(Long, Long)].rdd
     val part = new org.apache.spark.HashPartitioner(
       spark.sparkContext.defaultParallelism)
     // (src, (dst, deg)): the per-round join probe, built once — degree
@@ -1191,9 +1221,7 @@ object Similarity {
   // map-side. The LSH pair source swaps in past exact-pair scale.
   // --------------------------------------------------------------------
   def triangleCensus(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val pairs = StageMemo.memoized(embeddings, "sim:triPairs", threshold) {
-      cosineNearDup(embeddings, threshold).select(col("a"), col("b"))
-    }
+    val pairs = nearDupPairs(embeddings, threshold)
     val wedges = pairs.join(
       pairs.select(col("a").as("b"), col("b").as("c")), "b")
     val tris = wedges.join(

@@ -737,19 +737,23 @@ object TextAnalysis {
     val docWords = docWordsShared(documents)
     val dfCounts = docWords.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val nDocs = docWords.select(countDistinct(col("doc_id")).as("nd"))
-    val dfSide =
-      if (!broadcastDf) dfCounts
+    // idf6 is a function of (w) alone — fold nd and the division into
+    // the |V|-row df side ONCE, so the |docwords|-row probe stream does
+    // a pure broadcast lookup (no per-row crossJoin column + division)
+    val idfSide =
+      if (!broadcastDf)
+        dfCounts.crossJoin(nDocs)
+          .select(col("w"), expr("nd * 1000000L DIV df").as("idf6"))
       else {
         val cnt = dfCounts.agg(count(lit(1)).as("df_rows"))
-        broadcast(dfCounts.crossJoin(cnt).select(col("w"),
+        broadcast(dfCounts.crossJoin(cnt).crossJoin(nDocs).select(col("w"),
           expr(Guards.guardedSql("df_rows", maxDfRows,
-            "docRarity df table", "df", "BIGINT",
-            "call docRarity with broadcastDf = false")).as("df")))
+            "docRarity df table", "nd * 1000000L DIV df", "BIGINT",
+            "call docRarity with broadcastDf = false")).as("idf6")))
       }
     docWords.select(col("doc_id"), col("source"), col("w"))
-      .join(dfSide, "w").crossJoin(nDocs)
-      .select(col("doc_id"), col("source"),
-        expr("nd * 1000000L DIV df").as("idf6"))
+      .join(idfSide, "w")
+      .select(col("doc_id"), col("source"), col("idf6"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(expr("CAST(idf6 AS DECIMAL(38,0))")).as("idf_sum"),
         count(lit(1)).as("n_terms"))

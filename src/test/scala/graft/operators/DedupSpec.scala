@@ -320,4 +320,36 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("min_doc") == 1L)
     assertDeterministic(Dedup.prefixDups(d))
   }
+
+  test("connectedComponents small-graph fast path matches the Pregel " +
+    "loop label-for-label on a mixed random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: chains, a clique, isolated
+    // pairs — enough shape variety to catch a union/find labeling bug
+    val edges = (
+      (0L until 50L).map(i => (i * 3, i * 3 + 3)) ++        // long chain
+      (for (i <- 200L to 205L; j <- (i + 1) to 205L) yield (i, j)) ++ // clique
+      Seq((500L, 501L), (600L, 601L), (601L, 602L))
+    ).toVector
+    val pairsDf = edges.toDF("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fast path (well under the edge bound)
+    val fast = Dedup.connectedComponents(pairsDf, maxIters = 30, "spec-fast")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // distributed loop on the same graph
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(4)
+    val rdd = sc.parallelize(edges, 4)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(part).cache()
+    val pregel = Dedup.ccLabelsRdd(rdd, part, maxIters = 30, "spec-pregel")
+    val slow = pregel.collect().toSet
+    pregel.unpersist(false)
+    rdd.unpersist(false)
+    pairsDf.unpersist(false)
+    assert(fast == slow, s"fast-path/Pregel label divergence: " +
+      s"only-fast=${(fast -- slow).take(5)} only-pregel=${(slow -- fast).take(5)}")
+    // label contract: every label is the component minimum
+    assert(fast.forall { case (v, l) => l <= v })
+  }
 }
