@@ -397,7 +397,13 @@ object SparkEntry {
     "q127_data_map" -> ((s, d) => TextAnalysis.dataMap(documents(s, d))),
     // per-source type-token ratio + hapax rate: low-TTR templates and
     // high-hapax OCR junk, off the memoized docWords collapse
-    "q128_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(documents(s, d)))
+    "q128_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(documents(s, d))),
+    // the affinity planner's (worker -> label pair) assignment as a
+    // deterministic table (SURVEY §2.D row D4; reference divide_work,
+    // plants_classifier.py:57-96) — a pure function of the sorted label
+    // set + worker count, recomputed by the oracle's recursive CTE
+    "q129_affinity_plan" -> ((s, d) =>
+      graft.mr.AffinityPlan.assignmentTable(nation(s, d), "n_name", 4))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,6 +536,8 @@ object SparkEntry {
     "q125_stopword_drift" -> TextAnalysis.stopwordDriftOracle,
     "q126_cooccurrence_lift" -> EventOps.cooccurrenceLiftOracle,
     "q127_data_map" -> TextAnalysis.dataMapOracle,
-    "q128_lexical_diversity" -> TextAnalysis.lexicalDiversityOracle
+    "q128_lexical_diversity" -> TextAnalysis.lexicalDiversityOracle,
+    "q129_affinity_plan" ->
+      graft.mr.AffinityPlan.assignmentOracleSql("nation", "n_name", 4)
   )
 }

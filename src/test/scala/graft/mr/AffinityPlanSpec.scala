@@ -65,4 +65,24 @@ class AffinityPlanSpec extends SparkSpec {
       assert(perWorker(w) == needed)
     }
   }
+
+  test("assignmentTable is the divideWork division as a sorted table, " +
+    "with the bounded-label guard loud") {
+    import spark.implicits._
+    val df = (classes ++ classes).toDF("cls")   // dup rows: distinct-ed
+    val out = AffinityPlan.assignmentTable(df, "cls", 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val expected = AffinityPlan.divideWork(classes, 4).zipWithIndex
+      .flatMap { case (g, w) => g.map(p => (w, p._1, p._2)) }
+      .sortBy(t => (t._2, t._3))
+    assert(out.toSeq == expected)
+    // every pair exactly once, workers within range
+    assert(out.map(t => (t._2, t._3)).distinct.length == 12 * 11 / 2)
+    assert(out.forall(t => t._1 >= 0 && t._1 < 4))
+    val big = (0 to AffinityPlan.MaxPlanLabels).map(i => s"l$i").toDF("cls")
+    val e = intercept[IllegalArgumentException] {
+      AffinityPlan.assignmentTable(big, "cls", 4)
+    }
+    assert(e.getMessage.contains("quadratic"))
+  }
 }
