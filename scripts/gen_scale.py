@@ -22,6 +22,10 @@ distributions the 100-TB arguments assume:
 Deterministic (numpy PCG64, fixed seed). Usage:
     python3 scripts/gen_scale.py <outDir> [relScale] [eventDays]
 relScale is relative to sf0.1 (default 10). eventDays (default 30)
+embedVecs (default 4000 = 2x sf0.1) sizes the embeddings table
+separately — the exact-quadratic tier (q28, exact q88 pair source)
+bounds how far this table can scale; pass a larger count explicitly
+when sweeping the similarity tier.
 sets the events table's time span: 30 at any scale densifies windows
 (adversarial for interval joins); 30*relScale keeps density constant
 (how a real log grows).
@@ -238,7 +242,8 @@ def main():
     # embeddings scale 2x, not rel-x: q28's exact all-pairs baseline is
     # quadratic BY CONTRACT (the banded/LSH tiers are the linear path),
     # and the DuckDB oracle pays that quadratic in interpreted list ops
-    gen_embeddings(rng, out_dir, 4000)
+    emb_n = int(sys.argv[4]) if len(sys.argv) > 4 else 4000
+    gen_embeddings(rng, out_dir, emb_n)
     print(f"[gen] fixture complete: {out_dir}")
 
 

@@ -1215,14 +1215,39 @@ object Similarity {
   // Scale shape: the verified pair list is built once (memoized,
   // persisted) and self-joined twice ON THE CACHED output — a lazy
   // re-plan would re-run the quadratic pair source per branch (the
-  // measured CollapseProject trap). Wedge volume is Σ_v deg(v)² —
-  // bounded by the same degree profile q109 publishes first; the
-  // per-vertex rollup and the ≤max-triangles histogram both collapse
-  // map-side. The LSH pair source swaps in past exact-pair scale.
+  // measured CollapseProject trap). Wedge volume is Σ_b lower(b)·
+  // higher(b) — CUBIC-BY-CONTRACT on a dense graph: a percolated
+  // region of n mutually-similar vectors intrinsically holds ~n³/6
+  // triangles, and no enumeration can undercut its own output (the
+  // 30× sweep measured exactly this: the denser synthetic space
+  // percolates at 0.4 and the wedge stage carries ~10¹⁰ rows,
+  // BENCH_NOTES round 9). The maxWedges tripwire makes the contract
+  // executable — the exact wedge volume costs two |V|-row rollups off
+  // the cached pairs BEFORE the cubic join materializes, and past the
+  // bound the query raises with remediation instead of melting the
+  // cluster. The LSH pair source + a raised threshold are the
+  // documented scale path; q109's degree profile is the cheap
+  // pre-flight. The per-vertex rollup and the ≤max-triangles
+  // histogram both collapse map-side.
   // --------------------------------------------------------------------
-  def triangleCensus(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+  def triangleCensus(embeddings: DataFrame, threshold: Double = 0.4,
+                     maxWedges: Long = 100000000000L): DataFrame = {
     val pairs = nearDupPairs(embeddings, threshold)
-    val wedges = pairs.join(
+    val lowerDeg = pairs.groupBy(col("b")).agg(count(lit(1)).as("nlo"))
+    val higherDeg = pairs.groupBy(col("a").as("b"))
+      .agg(count(lit(1)).as("nhi"))
+    val wedgeVol = broadcast(lowerDeg.join(higherDeg, "b")
+      .agg(coalesce(sum(col("nlo") * col("nhi")), lit(0L)).as("wedge_vol")))
+    val gated = pairs.crossJoin(wedgeVol)
+      .select(col("a"),
+        expr(s"""CASE WHEN wedge_vol > ${maxWedges}L
+          |  THEN CAST(raise_error(concat('triangleCensus: ', wedge_vol,
+          |    ' wedges > maxWedges $maxWedges — the graph is dense/',
+          |    'percolated at this threshold and triangle enumeration is',
+          |    ' cubic there; raise the threshold, swap in the LSH pair',
+          |    ' source, or raise the bound')) AS BIGINT)
+          |  ELSE b END""".stripMargin).as("b"))
+    val wedges = gated.join(
       pairs.select(col("a").as("b"), col("b").as("c")), "b")
     val tris = wedges.join(
         pairs.select(col("a").as("ta"), col("b").as("tc")),

@@ -275,6 +275,12 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((0L, 2L), (1L, 3L)), out.toString)
     assertDeterministic(Similarity.triangleCensus(d))
+    // the wedge-volume tripwire fires loudly on a bound the graph
+    // exceeds, instead of letting the cubic join run
+    val e = intercept[Exception] {
+      Similarity.triangleCensus(d, maxWedges = 0L).collect()
+    }
+    assert(e.getMessage.contains("maxWedges"), e.getMessage)
   }
 
   test("vectorAudit: null / wrong-dims / NaN / out-of-range / zero-norm " +
