@@ -403,7 +403,16 @@ object SparkEntry {
     // plants_classifier.py:57-96) — a pure function of the sorted label
     // set + worker count, recomputed by the oracle's recursive CTE
     "q129_affinity_plan" -> ((s, d) =>
-      graft.mr.AffinityPlan.assignmentTable(nation(s, d), "n_name", 4))
+      graft.mr.AffinityPlan.assignmentTable(nation(s, d), "n_name", 4)),
+    // incremental near-dup admission: the incoming batch (odd doc_ids,
+    // q65 modulo-split convention) deduped against the base snapshot
+    // (even ids) via batch-bands x base-bands ONLY — the per-ingest
+    // shape that never re-pairs the corpus against itself; output = the
+    // reject list (best base match per matched batch doc)
+    "q130_incremental_dedup" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      Dedup.incrementalDedup(documents(s, d))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -538,6 +547,7 @@ object SparkEntry {
     "q127_data_map" -> TextAnalysis.dataMapOracle,
     "q128_lexical_diversity" -> TextAnalysis.lexicalDiversityOracle,
     "q129_affinity_plan" ->
-      graft.mr.AffinityPlan.assignmentOracleSql("nation", "n_name", 4)
+      graft.mr.AffinityPlan.assignmentOracleSql("nation", "n_name", 4),
+    "q130_incremental_dedup" -> Dedup.incrementalDedupOracle
   )
 }

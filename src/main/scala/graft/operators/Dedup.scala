@@ -368,6 +368,94 @@ object Dedup {
       |SELECT a, b, ROUND(jac, 4) AS jaccard FROM mp ORDER BY a, b""".stripMargin
 
   // --------------------------------------------------------------------
+  // Incremental near-dup ADMISSION — dedup an incoming batch against an
+  // existing base corpus without ever pairing the base against itself:
+  // the operation a continuously-ingesting training pipeline actually
+  // runs (re-pairing a 100 TB corpus per ingest is the non-starter the
+  // all-pairs formulation would imply). Base/batch derive from the one
+  // documents table by the q65 modulo-split convention (doc_id parity:
+  // even = base snapshot, odd = incoming batch). Shingles, the
+  // df-filter and signatures are computed over the FULL corpus
+  // (template shingles are template regardless of side, and df over
+  // base+batch is what a real admission gate maintains); the candidate
+  // join is batch-bands ⋈ base-bands ONLY — no base×base and no
+  // batch×batch pair ever materializes, so per-ingest cost is
+  // O(batch bands + matched candidates), never O(corpus²).
+  // Output: each batch doc that near-dups the base, with its best base
+  // match (max jaccard, ties to lowest base id) — the reject list the
+  // gate enforces; admitted docs are the batch minus these rows.
+  //
+  // Oracle: the all-pairs CTEs filtered to cross-parity pairs. LSH
+  // banding gives a cross pair the SAME band keys whether or not
+  // same-side pairs are also generated, so candidate recall — and the
+  // identical jaccard verification — agree exactly between the two
+  // formulations; all-pairs is quadratic at oracle scale only.
+  // --------------------------------------------------------------------
+  def incrementalDedup(documents: DataFrame,
+                       threshold: Double = DefaultThreshold,
+                       maxDfFrac: Double = DefaultMaxDfFrac): DataFrame =
+    incrementalPairs(documents, threshold, maxDfFrac)
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY a ORDER BY jac DESC, b ASC)"))
+      .filter(col("rnk") === 1)
+      .select(col("a").as("batch_doc"), col("b").as("base_doc"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("batch_doc"))
+
+  /** Verified cross-side pairs (a = batch doc, b = base doc, jac),
+    * session-memoized and eagerly materialized like [[verifiedPairs]]
+    * (the shingle cache must not outlive the build). */
+  private def incrementalPairs(documents: DataFrame, threshold: Double,
+                               maxDfFrac: Double): DataFrame =
+    memoized(documents, s"incpairs:df$maxDfFrac", threshold) {
+      graft.functions.GraftFunctions.register(documents.sparkSession)
+      val (b, r) = lshBanding(threshold)
+      val sh0 = hashShingled(documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sh = dfFiltered(sh0, maxDfFrac)
+        val sig = sh.select(col("doc_id"), permMinsUdf(b * r)(col("hset")).as("sig"))
+        val bandCols = (0 until r).map(k => s"sig[band*$r+$k]").mkString(", ")
+        val banded = sig
+          .select(col("doc_id"),
+            explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
+          .select(col("doc_id"),
+            expr(s"concat_ws('_', band, $bandCols)").as("band_key"))
+          // one exchange serves both sides of the cross join (the two
+          // parity filters are branches over the same ReusedExchange)
+          .repartition(col("band_key"))
+        val cand = banded.filter(col("doc_id") % 2 === 1).as("x")
+          .join(banded.filter(col("doc_id") % 2 === 0).as("y"), "band_key")
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val out = verifyJaccardRaw(cand, sh, threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } finally sh0.unpersist(false)
+    }
+
+  val incrementalDedupOracle: String =
+    incrementalDedupOracleAt(DefaultThreshold)
+
+  /** Oracle builder on the SAME threshold and df ceiling as the engine
+    * function — all-pairs CTEs + cross-parity filter + best-match rank. */
+  def incrementalDedupOracleAt(threshold: Double,
+                               maxDfFrac: Double = DefaultMaxDfFrac): String =
+    s"""WITH ${oracleMinhashPairsCtes(threshold, maxDfFrac)},
+      |crossp AS (
+      |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS batch_doc,
+      |         CASE WHEN a % 2 = 1 THEN b ELSE a END AS base_doc, jac
+      |  FROM mp WHERE (a % 2) <> (b % 2)),
+      |best AS (
+      |  SELECT batch_doc, base_doc, jac,
+      |         row_number() OVER (PARTITION BY batch_doc
+      |                            ORDER BY jac DESC, base_doc ASC) AS rnk
+      |  FROM crossp)
+      |SELECT batch_doc, base_doc, ROUND(jac, 4) AS jaccard
+      |FROM best WHERE rnk = 1 ORDER BY batch_doc""".stripMargin
+
+  // --------------------------------------------------------------------
   // Near-dup CLUSTERING: connected components over the minhash pair
   // graph via min-label propagation — the step that turns pairwise
   // matches into keep/drop decisions (each cluster keeps its smallest

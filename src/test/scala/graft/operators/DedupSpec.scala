@@ -352,4 +352,26 @@ class DedupSpec extends SparkSpec {
     // label contract: every label is the component minimum
     assert(fast.forall { case (v, l) => l <= v })
   }
+
+  test("incrementalDedup: a batch doc matching the base is rejected with " +
+    "its best base match; base-base and batch-batch dups never appear") {
+    // ids chosen by parity: 2/4/6 base, 1/3/5 batch.
+    //   batch 3 near-dups base 2 AND base 4 (identical) -> best = min id 2
+    //   base 4 duplicates base 2 (same side: must NOT appear)
+    //   batch 1 duplicates batch 5 (same side: must NOT appear)
+    //   batch 5 matches nothing in base -> admitted (no row)
+    val other = "totally different words nothing shared here at all whatsoever " * 6
+    val d = docs(
+      (2L, base, base.length.toLong), (4L, base, base.length.toLong),
+      (6L, other, other.length.toLong),
+      (3L, nearDup, nearDup.length.toLong),
+      (1L, other + " extra tail tokens here", 100L),
+      (5L, other + " extra tail tokens here", 100L))
+    val out = Dedup.incrementalDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 1 and 5 share text (batch side) and both near-dup base 6's text:
+    // they ARE rejected against 6 — assert exact decision table
+    assert(out == Seq((1L, 6L), (3L, 2L), (5L, 6L)), out.toString)
+    assertDeterministic(Dedup.incrementalDedup(d))
+  }
 }
