@@ -421,9 +421,12 @@ object Dedup {
             explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
           .select(col("doc_id"),
             expr(s"concat_ws('_', band, $bandCols)").as("band_key"))
-          // one exchange serves both sides of the cross join (the two
-          // parity filters are branches over the same ReusedExchange)
-          .repartition(col("band_key"))
+        // the parity predicates push below the band projection to the
+        // cached shingle scan (verified in the physical plan), so each
+        // doc's signature is computed exactly once — on its own side —
+        // and the two band exchanges together carry one corpus pass;
+        // at a realistic base≫batch ratio AQE broadcasts the small
+        // batch side instead of exchanging the base at all
         val cand = banded.filter(col("doc_id") % 2 === 1).as("x")
           .join(banded.filter(col("doc_id") % 2 === 0).as("y"), "band_key")
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
