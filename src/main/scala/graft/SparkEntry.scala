@@ -412,6 +412,13 @@ object SparkEntry {
     "q130_incremental_dedup" -> ((s, d) => {
       plans.TopKInstall.install(s)
       Dedup.incrementalDedup(documents(s, d))
+    }),
+    // embedding-side admission probe (q130's semantic twin): the batch
+    // (odd vec_ids) broadcasts guarded, the base (even ids) streams —
+    // one base scan per ingest, zero base shuffle, no base x base pair
+    "q131_emb_admission" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      Similarity.embAdmission(embeddings(s, d))
     })
   )
 
@@ -548,6 +555,7 @@ object SparkEntry {
     "q128_lexical_diversity" -> TextAnalysis.lexicalDiversityOracle,
     "q129_affinity_plan" ->
       graft.mr.AffinityPlan.assignmentOracleSql("nation", "n_name", 4),
-    "q130_incremental_dedup" -> Dedup.incrementalDedupOracle
+    "q130_incremental_dedup" -> Dedup.incrementalDedupOracle,
+    "q131_emb_admission" -> Similarity.embAdmissionOracle
   )
 }

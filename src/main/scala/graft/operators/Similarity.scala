@@ -232,6 +232,71 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // --------------------------------------------------------------------
+  // Incremental EMBEDDING admission — the semantic twin of the text
+  // tier's q130: an incoming batch of vectors (odd vec_ids, the
+  // modulo-split convention) is probed against the existing base index
+  // (even ids) for near-duplicates at admission time. The batch
+  // BROADCASTS (guarded) and the base STREAMS: one base scan per
+  // ingest, zero shuffle of the base, no base×base pair ever
+  // evaluated — the shape a continuously-ingesting SemDeDup gate runs
+  // at 100 TB, where the base is the big thing and the batch is the
+  // small thing. Past the broadcast guard the LSH/IVF candidate tiers
+  // (q30/q54/q81) are the documented scale path; `broadcastBatch =
+  // false` keeps the same semantics and lets Spark plan the join.
+  // Output: each batch vector that near-dups the base, with its best
+  // base match (max cosine, ties to lowest base id) — the reject list.
+  // --------------------------------------------------------------------
+  def embAdmission(embeddings: DataFrame, threshold: Double = 0.45,
+                   broadcastBatch: Boolean = true,
+                   maxBatchRows: Long = 1000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = quantized(embeddings)
+    val batch = q.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("bv"), col("qv").as("bqv"), col("n2").as("bn2"))
+    val base = q.filter(col("vec_id") % 2 === 0)
+    val batchSide =
+      if (!broadcastBatch) batch
+      else {
+        val cnt = batch.agg(count(lit(1)).as("batch_rows"))
+        broadcast(batch.crossJoin(cnt).select(
+          expr(Guards.guardedSql("batch_rows", maxBatchRows,
+            "embAdmission batch", "bv", "BIGINT",
+            "call embAdmission with broadcastBatch = false, or use the " +
+              "LSH/IVF candidate tiers")).as("bv"),
+          col("bqv"), col("bn2")))
+      }
+    base.as("y").join(batchSide)
+      .select(col("bv").as("batch_vec"), col("vec_id").as("base_vec"),
+        (expr("CAST(graft_dot_long(bqv, qv) AS DOUBLE)") /
+          sqrt(col("bn2").cast("double") * col("n2").cast("double"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY batch_vec ORDER BY cos DESC, base_vec ASC)"))
+      .filter(col("rnk") === 1)
+      .select(col("batch_vec"), col("base_vec"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("batch_vec"))
+  }
+
+  val embAdmissionOracle: String = embAdmissionOracleAt(0.45)
+
+  /** Oracle builder on the SAME cosine threshold as the engine. */
+  def embAdmissionOracleAt(threshold: Double): String =
+    s"""WITH $oracleQuantized,
+      |scored AS (
+      |  SELECT x.vec_id AS batch_vec, y.vec_id AS base_vec,
+      |         $oracleCosExpr AS cos
+      |  FROM qn x JOIN qn y
+      |    ON x.vec_id % 2 = 1 AND y.vec_id % 2 = 0),
+      |ranked AS (
+      |  SELECT batch_vec, base_vec, cos,
+      |         row_number() OVER (PARTITION BY batch_vec
+      |                            ORDER BY cos DESC, base_vec ASC) AS rnk
+      |  FROM scored WHERE cos >= $threshold)
+      |SELECT batch_vec, base_vec, ROUND(cos, 6) AS cosine
+      |FROM ranked WHERE rnk = 1 ORDER BY batch_vec""".stripMargin
+
   val annBruteTopKOracle: String =
     s"""WITH $oracleQuantized,
       |scored AS (

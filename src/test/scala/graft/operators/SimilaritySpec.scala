@@ -311,4 +311,26 @@ class SimilaritySpec extends SparkSpec {
       ("zero_norm", 1L, 0L, 0L)), out.toString)
     assertDeterministic(Similarity.vectorAudit(d, expectDims = 2))
   }
+
+  test("embAdmission: a batch vector matching the base is rejected with " +
+    "its best base match; base-base near-dups never appear; the batch " +
+    "broadcast guard is loud") {
+    // parity sides: even = base, odd = batch.
+    //   batch 1 is colinear with base 2 AND base 4 -> best = min id 2
+    //   base 2 / base 4 colinear (same side: must NOT appear)
+    //   batch 3 is orthogonal to every base vector -> admitted (no row)
+    val d = emb(
+      (2L, Seq(1f, 0f, 0f), 0), (4L, Seq(2f, 0f, 0f), 0),
+      (6L, Seq(0f, 1f, 1f), 1),
+      (1L, Seq(3f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, -1f), 2))
+    val out = Similarity.embAdmission(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 2L, 1.0)), out.toString)
+    assertDeterministic(Similarity.embAdmission(d))
+    val e = intercept[Exception] {
+      Similarity.embAdmission(d, maxBatchRows = 1L).collect()
+    }
+    assert(e.getMessage.contains("embAdmission batch"), e.getMessage)
+  }
 }
