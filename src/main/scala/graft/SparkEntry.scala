@@ -419,7 +419,13 @@ object SparkEntry {
     "q131_emb_admission" -> ((s, d) => {
       plans.TopKInstall.install(s)
       Similarity.embAdmission(embeddings(s, d))
-    })
+    }),
+    // stream-static admission gate (exact-dup front door of the
+    // admission family): incoming (odd ids) LEFT ANTI joins the STATIC
+    // base fingerprint index — stateless, runnable forever as a
+    // Structured Streaming query (stream ≡ batch spec-pinned)
+    "q132_stream_admission" -> ((s, d) =>
+      streaming.DocStream.streamAdmission(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -556,6 +562,7 @@ object SparkEntry {
     "q129_affinity_plan" ->
       graft.mr.AffinityPlan.assignmentOracleSql("nation", "n_name", 4),
     "q130_incremental_dedup" -> Dedup.incrementalDedupOracle,
-    "q131_emb_admission" -> Similarity.embAdmissionOracle
+    "q131_emb_admission" -> Similarity.embAdmissionOracle,
+    "q132_stream_admission" -> streaming.DocStream.streamAdmissionOracle
   )
 }
