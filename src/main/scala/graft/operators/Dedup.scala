@@ -201,8 +201,9 @@ object Dedup {
         "hot set is no longer broadcastable; raise maxDfFrac")
     if (hot.isEmpty) sh0
     else sh0
-      .select(col("doc_id"),
-        array_except(col("hset"), typedLit(hot.toSeq)).as("hset"))
+      // withColumn: any side columns the caller carries (n_chars in the
+      // ngram tier) survive the filter
+      .withColumn("hset", array_except(col("hset"), typedLit(hot.toSeq)))
       .filter(size(col("hset")) > 0)
   }
 
@@ -884,7 +885,8 @@ object Dedup {
     (0 until nBands).map(i => (i, offsets(i), widths(i)))
   }
 
-  def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDedup(documents: DataFrame, maxHamming: Int = 3,
+                   maxCandidates: Long = 20000000000L): DataFrame = {
     // band count DERIVES from maxHamming (bands = maxHamming+1): a fixed
     // byte banding would silently miss pairs once maxHamming > 3 (all
     // four bytes touched, no shared band, pair never a candidate)
@@ -898,7 +900,29 @@ object Dedup {
       // branches read the same shuffle output (ReusedExchange) instead of
       // re-deriving the whole md5 pipeline per branch
       .repartition(col("band_key"))
-    banded.as("x").join(banded.as("y"), "band_key")
+    // Candidate-volume tripwire (the q123/q88 guard pattern): with
+    // B = maxHamming+1 bands over the 32-bit fingerprint, RANDOM band
+    // collisions alone contribute ~B·n²/2^(32/B) pair evaluations — at
+    // the default 8-bit bands that is quadratic CPU inside the band
+    // join (measured at the 100× fixture: 9.5× time on 3.3× docs with
+    // flat shuffle-io — the collisions never leave the join stage, so
+    // only time betrays them). The exact volume is Σ c·(c−1)/2 over
+    // band-value counts — one linear rollup off the banded exchange —
+    // and past the bound the query raises with remediation (shard the
+    // corpus, or raise maxHamming's signature width upstream) instead
+    // of silently burning cluster-days.
+    val vol = broadcast(banded.groupBy(col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("cand_vol")))
+    val gated = banded.crossJoin(vol)
+      .select(col("doc_id"), col("fp"),
+        expr(s"""CASE WHEN cand_vol > ${maxCandidates}L
+          |  THEN CAST(raise_error(concat('simhashDedup: ', cand_vol,
+          |    ' band-collision candidates > maxCandidates $maxCandidates',
+          |    ' — the corpus has outgrown the fingerprint banding;',
+          |    ' shard the input or raise the bound')) AS STRING)
+          |  ELSE band_key END""".stripMargin).as("band_key"))
+    gated.as("x").join(banded.as("y"), "band_key")
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         expr("bit_count(x.fp ^ y.fp)").as("hamming"))
@@ -997,64 +1021,83 @@ object Dedup {
   }
 
   def ngramJaccard(documents: DataFrame,
-                   threshold: Double = DefaultThreshold): DataFrame = {
-    graft.functions.GraftFunctions.register(documents.sparkSession)
-    val (b, r) = lshBanding(threshold)
-    // Shingles are 32-bit-hashed BEFORE the pairwise stage: intersecting
-    // bigint arrays is far cheaper than string arrays, and at 100 TB the
-    // hashed sets are also what you'd ship through the shuffle (8 bytes
-    // per shingle instead of the text). Tokenization stays in SQL (the
-    // oracle's split/lower must match bit-for-bit); the md5+distinct+sort
-    // stage is a compiled UDF — measured ~1.8× the SQL expression chain,
-    // and this derivation runs three times (banding scan + both verify
-    // joins), so the saving triples.
-    // widen like shingled(): the md5+TreeSet hashing pass runs three
-    // times (banding scan + both verify joins) and must not serialize
-    // onto one core for single-row-group inputs
-    val sh = Widen.widen(documents)
-      .select(col("doc_id"), col("n_chars"), split(lower(col("text")), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("n_chars"), hsetUdf(col("toks")).as("hset"))
-    // 2 staggered length buckets × b minhash bands per doc. The minhash
-    // mins reuse hset's md5 values through the shared mod-p permutations
-    // (same constants as minhashDedup), so banding costs b·r affine
-    // passes over already-hashed ints — no second md5 of the corpus.
-    // The mins are computed in ONE compiled pass ([[permMinsUdf]]):
-    // Spark's higher-order array_min(transform(...)) is interpreted
-    // (CodegenFallback), and b·r per-element lambda evaluations per doc
-    // dominated the query at corpus scale.
-    val lbs = Seq("CAST(floor(n_chars/16) AS BIGINT)",
-      "CAST(floor((n_chars+8)/16) AS BIGINT) + 1000000")
-    val keyExprs = for (lb <- lbs; i <- 0 until b) yield {
-      val mins = (0 until r).map(k => s"mins[${i * r + k}]")
-      s"concat_ws('|', $lb, $i, ${mins.mkString(", ")})"
-    }
-    val bucketed = sh
-      .select(col("doc_id"), col("n_chars"), permMinsUdf(b * r)(col("hset")).as("mins"))
-      .select(col("doc_id"), explode(expr(s"array(${keyExprs.mkString(", ")})")).as("bucket"))
-      .repartition(col("bucket")) // band keys materialize once for both branches
-    val cand = bucketed.as("x").join(bucketed.as("y"), "bucket")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    verifyJaccard(cand, sh, threshold)
-  }
-
-  /** Exact-jaccard verification of candidate (a, b) pairs against the
-    * hashed shingle sets. graft_sorted_intersect_size is a codegen'd
-    * merge walk directly over the Tungsten arrays (a Scala UDF would
-    * copy both arrays per pair); the algebraic prefilter
-    * jac≥t ⟺ inter ≥ t/(1+t)·(|A|+|B|) evaluates the intersect ONCE per
-    * candidate, the division only for survivors. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame =
-    verifyJaccardRaw(cand, sh, threshold)
+                   threshold: Double = DefaultThreshold,
+                   maxDfFrac: Double = DefaultMaxDfFrac): DataFrame =
+    ngramPairs(documents, threshold, maxDfFrac)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
 
-  /** As [[verifyJaccard]] but returning raw (a, b, jac) — the shape the
-    * memoized minhash pairs stage stores for its downstream consumers
-    * (clustering joins on (a, b); only the q25 listing rounds). */
+  /** The ngram tier's verified pairs — session-memoized and eagerly
+    * materialized like [[verifiedPairs]], sharing the same
+    * template-shingle [[dfFiltered]] pass: without it, a corpus-wide
+    * boilerplate window puts the SAME minhash minima in a constant
+    * fraction of docs and the (length-bucket ∧ band) cells go
+    * quadratic — measured at the 100× skewed fixture as 29× time /
+    * 19× shuffle-io on 3.3× data before the filter (BENCH_NOTES round
+    * 9); with it the tier returns to the O(docs·b) candidate contract
+    * the blocking is built for. */
+  private def ngramPairs(documents: DataFrame, threshold: Double,
+                         maxDfFrac: Double): DataFrame =
+    memoized(documents, s"ngrampairs:df$maxDfFrac", threshold) {
+      graft.functions.GraftFunctions.register(documents.sparkSession)
+      val (b, r) = lshBanding(threshold)
+      // Shingles are 32-bit-hashed BEFORE the pairwise stage:
+      // intersecting bigint arrays is far cheaper than string arrays,
+      // and at 100 TB the hashed sets are also what you'd ship through
+      // the shuffle (8 bytes per shingle instead of the text).
+      // Tokenization stays in SQL (the oracle's split/lower must match
+      // bit-for-bit); the md5+distinct+sort stage is a compiled UDF —
+      // measured ~1.8× the SQL expression chain. Persist+widen: the
+      // hashing pass has FOUR consumers (df-filter aggregation, banding
+      // scan, both verify joins) and must neither re-run per consumer
+      // nor serialize onto one core for single-row-group inputs.
+      val sh0 = Widen.widen(documents)
+        .select(col("doc_id"), col("n_chars"),
+          split(lower(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("n_chars"), hsetUdf(col("toks")).as("hset"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sh = dfFiltered(sh0, maxDfFrac)
+        // 2 staggered length buckets × b minhash bands per doc. The
+        // minhash mins reuse hset's md5 values through the shared mod-p
+        // permutations (same constants as minhashDedup), so banding
+        // costs b·r affine passes over already-hashed ints — no second
+        // md5 of the corpus. The mins are computed in ONE compiled pass
+        // ([[permMinsUdf]]): Spark's higher-order
+        // array_min(transform(...)) is interpreted (CodegenFallback),
+        // and b·r per-element lambda evaluations per doc dominated the
+        // query at corpus scale.
+        val lbs = Seq("CAST(floor(n_chars/16) AS BIGINT)",
+          "CAST(floor((n_chars+8)/16) AS BIGINT) + 1000000")
+        val keyExprs = for (lb <- lbs; i <- 0 until b) yield {
+          val mins = (0 until r).map(k => s"mins[${i * r + k}]")
+          s"concat_ws('|', $lb, $i, ${mins.mkString(", ")})"
+        }
+        val bucketed = sh
+          .select(col("doc_id"), col("n_chars"), permMinsUdf(b * r)(col("hset")).as("mins"))
+          .select(col("doc_id"), explode(expr(s"array(${keyExprs.mkString(", ")})")).as("bucket"))
+          .repartition(col("bucket")) // band keys materialize once for both branches
+        val cand = bucketed.as("x").join(bucketed.as("y"), "bucket")
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val out = verifyJaccardRaw(cand, sh, threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } finally sh0.unpersist(false)
+    }
+
+  /** Exact-jaccard verification of candidate (a, b) pairs against the
+    * hashed shingle sets, returning raw (a, b, jac) — the shape the
+    * memoized minhash/ngram pairs stages store for their downstream
+    * consumers. graft_sorted_intersect_size is a codegen'd merge walk
+    * directly over the Tungsten arrays (a Scala UDF would copy both
+    * arrays per pair); the algebraic prefilter
+    * jac≥t ⟺ inter ≥ t/(1+t)·(|A|+|B|) evaluates the intersect ONCE per
+    * candidate, the division only for survivors (clustering joins on
+    * (a, b); only the q25/q27 listings round for presentation). */
   private def verifyJaccardRaw(cand: DataFrame, sh: DataFrame,
                                threshold: Double): DataFrame = {
     val d = threshold / (1.0 + threshold)
@@ -1075,7 +1118,8 @@ object Dedup {
   /** Oracle builder parameterized on the SAME threshold as the engine
     * function, so calling [[ngramJaccard]] at a non-default threshold can
     * be paired with a matching-banding oracle. */
-  def ngramJaccardOracleAt(threshold: Double): String = {
+  def ngramJaccardOracleAt(threshold: Double,
+                           maxDfFrac: Double = DefaultMaxDfFrac): String = {
     val (b, r) = lshBanding(threshold)
     val lbs = Seq("CAST(floor(n_chars/16) AS BIGINT)",
       "CAST(floor((n_chars+8)/16) AS BIGINT) + 1000000")
@@ -1086,16 +1130,36 @@ object Dedup {
       }
       s"concat_ws('|', $lb, $i, ${mins.mkString(", ")})"
     }
+    // same template-shingle df-filter as [[oracleMinhashPairsCtes]],
+    // carrying n_chars through for the length buckets
+    val dfCtes =
+      if (maxDfFrac >= 1.0)
+        "shf AS MATERIALIZED (SELECT doc_id, n_chars, hset FROM sh)"
+      else
+        s"""nd AS (SELECT COUNT(*) AS n FROM sh),
+          |sdf AS (
+          |  SELECT h, COUNT(*) AS df
+          |  FROM (SELECT unnest(hset) AS h FROM sh) GROUP BY h),
+          |hot AS (
+          |  SELECT coalesce(list(h), CAST([] AS BIGINT[])) AS hl
+          |  FROM sdf, nd WHERE df > greatest($maxDfFrac * n, $DfFloorDocs)),
+          |shf AS MATERIALIZED (
+          |  SELECT doc_id, n_chars, hset FROM (
+          |    SELECT doc_id, n_chars,
+          |           list_filter(hset, x -> NOT list_contains(hl, x)) AS hset
+          |    FROM sh, hot)
+          |  WHERE len(hset) > 0)""".stripMargin
     s"""WITH toks AS (
       |  SELECT doc_id, n_chars, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id, n_chars,
       |         list_distinct([CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8)) AS BIGINT)
       |                        for i in range(1, len(ts)-1)]) AS hset
       |  FROM toks WHERE len(ts) >= 3),
+      |$dfCtes,
       |bucketed AS (
       |  SELECT doc_id, unnest([${keyExprs.mkString(",\n      |          ")}]) AS bucket
-      |  FROM sh),
+      |  FROM shf),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |  FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
@@ -1103,7 +1167,7 @@ object Dedup {
       |  SELECT c.a, c.b,
       |         len(list_intersect(sa.hset, sb.hset)) /
       |           CAST(len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE) AS jac
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+      |  FROM cand c JOIN shf sa ON sa.doc_id = c.a JOIN shf sb ON sb.doc_id = c.b)
       |SELECT a, b, ROUND(jac, 4) AS jaccard FROM pairs WHERE jac >= $threshold ORDER BY a, b""".stripMargin
   }
 

@@ -398,4 +398,29 @@ class PlanSpec extends SparkSpec {
     assert(gens.forall(_.exists(_.isInstanceOf[BaseAggregateExec])),
       "fan-out must sit above the distinct collapse:\n" + plan.toString.take(1200))
   }
+
+  test("q131: the admission batch BROADCASTS and the base never " +
+    "shuffles — one streaming base scan, no base-side exchange") {
+    val p = formatted(SparkEntry.queries("q131_emb_admission")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "batch side must broadcast:\n" + p.take(1200))
+    // the base side reads straight into the join: the only exchanges in
+    // the whole plan are the broadcast itself and post-join rank/sort
+    // stages over the tiny matched set — never a hashpartitioning of
+    // the unmatched base scan below the join
+    val joinIdx = p.indexOf("Join")
+    val preJoin = p.take(math.max(joinIdx, 0))
+    assert(!preJoin.contains("hashpartitioning"),
+      "base scan must not exchange before the join:\n" + p.take(1500))
+  }
+
+  test("q132: the stream-static gate plans a LEFT ANTI join with the " +
+    "fingerprint index broadcast, and the parity predicates push to " +
+    "the scans") {
+    val p = formatted(SparkEntry.queries("q132_stream_admission")(spark, sf))
+    assert(p.contains("LeftAnti"), "gate must be an anti join:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "fingerprint index must broadcast at this scale:\n" + p.take(1200))
+    assert(p.contains("PushedFilters"), p.take(400))
+  }
 }

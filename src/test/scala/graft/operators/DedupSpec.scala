@@ -44,6 +44,11 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.simhashDedup(d).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1),
       r.getAs[Number]("hamming").intValue)).toSeq == Seq((1L, 2L, 0)))
+    // the candidate-volume tripwire fires loudly past the bound
+    val e = intercept[Exception] {
+      Dedup.simhashDedup(d, maxCandidates = 0L).collect()
+    }
+    assert(e.getMessage.contains("maxCandidates"), e.getMessage)
   }
 
   test("simhashDedup banding derives from maxHamming: every pair at " +
