@@ -76,7 +76,40 @@ object Bench {
       .getOrElse(Seq.empty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
-    val results = selected.map { case (name, fn) =>
+    // minimal JSON string escaping for the env-sourced path (Verify.q
+    // does the full version; paths only need backslash + quote)
+    val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    // FULL artifact (exact times + per-query shuffle io) → file; the
+    // committed BENCH.json is the canonical per-round record. Written
+    // incrementally (atomic tmp+move) after EVERY query: a best-of-2
+    // suite runs several minutes, and a driver-side timeout/kill
+    // mid-run must leave the completed prefix on disk (marked
+    // "partial":true) rather than nothing. The final write drops the
+    // marker — same artifact shape as always.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    def writeArtifact(res: Seq[(String, Double, Long, Long, Long, Boolean)],
+                      partial: Boolean): Unit = {
+      val qs = res.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val ios = res.map { case (k, _, r, w, m, _) =>
+        s"\"$k\":{\"shuffle_read_mb\":${r / 1e6},\"shuffle_write_mb\":${w / 1e6},\"executor_run_ms\":$m}"
+      }.mkString("{", ",", "}")
+      // a failed query must be VISIBLE in the artifact — a swallowed
+      // exception with a near-zero time otherwise reads as a speedup
+      val failedArr = res.collect { case (k, _, _, _, _, true) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val partialKey = if (partial) "\"partial\":true," else ""
+      val json = s"""{"metric":"total","value":${res.map(_._2).sum},"unit":"sec",$partialKey"queries":$qs,"io":$ios,"failed":$failedArr,"sf":"$sfEsc"}"""
+      val tmp = java.nio.file.Paths.get(out + ".tmp")
+      java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(out),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Long, Long, Long, Boolean)]
+    selected.foreach { case (name, fn) =>
       var best: (Double, Long, Long, Long) = null
       var failed = false
       var attempt = 0
@@ -114,27 +147,13 @@ object Bench {
         attempt += 1
       }
       if (best == null) best = (0.0, 0L, 0L, 0L)
-      (name, best._1, best._2, best._3, best._4, failed)
+      acc += ((name, best._1, best._2, best._3, best._4, failed))
+      writeArtifact(acc.toSeq, partial = acc.size < selected.size)
     }
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val ios = results.map { case (k, _, r, w, m, _) =>
-      s"\"$k\":{\"shuffle_read_mb\":${r / 1e6},\"shuffle_write_mb\":${w / 1e6},\"executor_run_ms\":$m}"
-    }.mkString("{", ",", "}")
+    val results = acc.toSeq
     val total = results.map(_._2).sum
-    // a failed query must be VISIBLE in the artifact — a swallowed
-    // exception with a near-zero time otherwise reads as a speedup
     val failedArr = results.collect { case (k, _, _, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // minimal JSON string escaping for the env-sourced path (Verify.q
-    // does the full version; paths only need backslash + quote)
-    val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$ios,"failed":$failedArr,"sf":"$sfEsc"}"""
-    // FULL artifact (exact times + per-query shuffle io) → file; the
-    // committed BENCH.json is the canonical per-round record
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
     // stdout gets a COMPACT single line instead: the driver snapshots only
     // a ~2,000-char tail of the run, and the full line (~10 KB with the io
     // map) overflowed it, leaving BENCH_r*.json with "parsed": null — no
