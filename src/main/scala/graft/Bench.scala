@@ -99,7 +99,14 @@ object Bench {
       val failedArr = res.collect { case (k, _, _, _, _, true) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val partialKey = if (partial) "\"partial\":true," else ""
-      val json = s"""{"metric":"total","value":${res.map(_._2).sum},"unit":"sec",$partialKey"queries":$qs,"io":$ios,"failed":$failedArr,"sf":"$sfEsc"}"""
+      // provenance keys: a single-run or name-filtered artifact must be
+      // distinguishable from the canonical full-suite best-of-N record —
+      // without these, cross-round comparisons against differently-
+      // configured artifacts are silently apples-to-oranges
+      val onlyKey =
+        if (only.isEmpty) ""
+        else only.map(o => "\"" + o + "\"").mkString("\"only\":[", ",", "],")
+      val json = s"""{"metric":"total","value":${res.map(_._2).sum},"unit":"sec",$partialKey"runs":$runs,$onlyKey"queries":$qs,"io":$ios,"failed":$failedArr,"sf":"$sfEsc"}"""
       val tmp = java.nio.file.Paths.get(out + ".tmp")
       java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get(out),
@@ -112,6 +119,7 @@ object Bench {
     selected.foreach { case (name, fn) =>
       var best: (Double, Long, Long, Long) = null
       var failed = false
+      var failSec = 0.0
       var attempt = 0
       var touched: graft.operators.StageMemo.Touched = null
       while (attempt < runs && !failed) {
@@ -144,9 +152,14 @@ object Bench {
         org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
         if (!failed && (best == null || sec < best._1))
           best = (sec, io.read.sum - r0, io.write.sum - w0, io.runMs.sum - m0)
+        else if (failed) failSec = sec
         attempt += 1
       }
-      if (best == null) best = (0.0, 0L, 0L, 0L)
+      // a failed query records the failing attempt's ELAPSED time, not
+      // 0.0 — a zero would read as a speedup in the total unless the
+      // reader cross-checks the failed array (the exact hazard the
+      // artifact's failed key exists to prevent)
+      if (best == null) best = (failSec, 0L, 0L, 0L)
       acc += ((name, best._1, best._2, best._3, best._4, failed))
       writeArtifact(acc.toSeq, partial = acc.size < selected.size)
     }

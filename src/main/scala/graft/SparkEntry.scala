@@ -425,7 +425,23 @@ object SparkEntry {
     // base fingerprint index — stateless, runnable forever as a
     // Structured Streaming query (stream ≡ batch spec-pinned)
     "q132_stream_admission" -> ((s, d) =>
-      streaming.DocStream.streamAdmission(documents(s, d)))
+      streaming.DocStream.streamAdmission(documents(s, d))),
+    // persisted admission index: q130's semantics split at the
+    // persistence boundary — the base band/hset/hot-set index is built
+    // ONCE per base snapshot (one-time, amortized), every later probe
+    // shingles/signs only the batch and partition-prunes the index scan
+    // — per-ingest cost O(batch + touched buckets), never a base re-sign
+    "q133_admission_index" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      AdmissionIndex.admissionReject(s, d)
+    }),
+    // near-dup admission as a STATELESS stream-shaped probe against the
+    // persisted index (q132's exact-dup gate extended to minhash): every
+    // stage is a narrow transform or a static-side join, min-band
+    // row-local pair dedup instead of distinct(), row-local verify —
+    // the same plan runs under writeStream with zero state-store rows
+    // (AdmissionIndexSpec replays it); this is its batch twin
+    "q134_stream_neardup" -> ((s, d) => AdmissionIndex.streamNearDup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -563,6 +579,8 @@ object SparkEntry {
       graft.mr.AffinityPlan.assignmentOracleSql("nation", "n_name", 4),
     "q130_incremental_dedup" -> Dedup.incrementalDedupOracle,
     "q131_emb_admission" -> Similarity.embAdmissionOracle,
-    "q132_stream_admission" -> streaming.DocStream.streamAdmissionOracle
+    "q132_stream_admission" -> streaming.DocStream.streamAdmissionOracle,
+    "q133_admission_index" -> AdmissionIndex.admissionRejectOracle,
+    "q134_stream_neardup" -> AdmissionIndex.streamNearDupOracle
   )
 }

@@ -1,0 +1,410 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-dup admission index — the durable form of the
+  * incremental admission gate (q130).
+  *
+  * `Dedup.incrementalDedup` already avoids base×base pairs, but it
+  * re-shingles and re-signs the ENTIRE base corpus on every invocation:
+  * per-ingest cost is O(base), which at 100 TB is a full-corpus pass per
+  * ingest — the exact thing an admission gate exists to avoid. This
+  * module splits the computation at its natural persistence boundary
+  * (the reference's analog: the plants task precomputes its ownership
+  * map once and every later request is a lookup,
+  * plants_classifier.py:206–219):
+  *
+  *  - [[buildIndex]] runs ONCE per base snapshot: shingle → hot-set →
+  *    minhash-sign the base, then sink three parquet tables under one
+  *    index directory:
+  *      `hot/`   the template-shingle hot set (KB-scale),
+  *      `hsets/` (doc_id, hset, sig), directory-partitioned by
+  *               `doc_bucket = pmod(hash(doc_id), DocBuckets)`,
+  *      `bands/` (doc_id, band_key), directory-partitioned by
+  *               `band_bucket = pmod(hash(band_key), BandBuckets)`.
+  *  - [[probePairs]] runs PER INGEST: shingle/sign only the batch
+  *    (O(batch)), then read only the index partitions the batch's band
+  *    keys / candidate doc ids hash into — partition pruning makes
+  *    per-ingest base IO proportional to the touched buckets, not the
+  *    corpus, and nothing base-side is ever re-shingled or re-signed.
+  *
+  * Directory-partitioned parquet, deliberately NOT a catalog-bucketed
+  * table (`Sources.writeBucketed`): bucket metadata lives in the
+  * catalog, and the default in-memory catalog does not survive the JVM —
+  * a fresh session (every driver Verify/Bench run; every real cluster
+  * job) would read the files un-bucketed and lose the pruning. Partition
+  * directories ARE the metadata; pruning works across sessions with no
+  * metastore. On a deployment with a persistent metastore the bucketed
+  * sink is the drop-in alternative (SourcesSpec proves its
+  * zero-Exchange probe joins).
+  *
+  * df-at-build-time semantics: the hot set (template shingles,
+  * [[Dedup.DefaultMaxDfFrac]]) is computed over the BASE at build time,
+  * persisted, and applied unchanged to every batch probe. It cannot be
+  * "df over base+batch" — signatures depend on the filtered sets, so
+  * admitting the batch into the statistics would invalidate the
+  * persisted signatures. A deployment refreshes the index on snapshot
+  * cadence (the hot set drifts at corpus speed, not batch speed). The
+  * oracles mirror this exactly: hot-set statistics scoped to the base
+  * side, filter applied to both sides.
+  *
+  * Scale shape at 100 TB: index build is one linear pass per snapshot
+  * (amortized over every ingest until the next snapshot); a probe costs
+  * O(batch) compute + O(touched buckets) IO. Bucket counts are
+  * constants here (local[32]-sized); a deployment sizes them so one
+  * bucket ≈ one task's worth of IO (e.g. 2^14 buckets at 100 TB) — the
+  * layout, pruning and probe plan are unchanged by the constant. */
+object AdmissionIndex {
+
+  /** Hash-bucket counts for the two partition layouts. Constants sized
+    * for the test boxes; see the scale note above. */
+  val BandBuckets = 64
+  val DocBuckets = 64
+
+  /** Bumping this invalidates every persisted index (layout change). */
+  private val FormatVersion = 2
+
+  /** Repo-local by default (a deployment points this at an object-store
+    * prefix). Relative to the working directory like `spark-warehouse`. */
+  def indexRoot: String =
+    sys.env.getOrElse("GRAFT_INDEX_ROOT", "target/graft-index")
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Max mtime under a path — the staleness component of the index key:
+    * regenerating a fixture in place (same path, new bytes) must produce
+    * a different key, or a stale index would silently answer for the new
+    * corpus. */
+  private def maxMtime(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val s = java.nio.file.Files.walk(p)
+    try {
+      var m = 0L
+      val it = s.iterator()
+      while (it.hasNext) {
+        val t = java.nio.file.Files.getLastModifiedTime(it.next()).toMillis
+        if (t > m) m = t
+      }
+      m
+    } finally s.close()
+  }
+
+  /** Index directory for a corpus path + parameter set:
+    * `{root}/{path-hash}-{key-hash}`. The path hash groups every index
+    * generation of one corpus (so stale generations can be swept); the
+    * key hash covers content mtime + every parameter that shapes the
+    * persisted bytes. */
+  def indexDirFor(docsPath: String, threshold: Double,
+                  maxDfFrac: Double): String = {
+    val (b, r) = Dedup.lshBanding(threshold)
+    val pathKey = md5hex(docsPath).take(12)
+    val key = md5hex(
+      s"$docsPath|${maxMtime(docsPath)}|$threshold|$maxDfFrac|" +
+        s"b=$b,r=$r|$BandBuckets|$DocBuckets|v$FormatVersion").take(16)
+    s"$indexRoot/$pathKey-$key"
+  }
+
+  private val okMarker = "_GRAFT_INDEX_OK"
+
+  /** Build-if-absent, synchronized (parallel test suites may race on the
+    * same fixture). Sweeps superseded generations of the same corpus
+    * before building. Returns the index dir. */
+  def ensureIndex(spark: SparkSession, sfDir: String,
+                  threshold: Double = Dedup.DefaultThreshold,
+                  maxDfFrac: Double = Dedup.DefaultMaxDfFrac): String =
+    synchronized {
+      val docsPath = s"$sfDir/documents.parquet"
+      val dir = indexDirFor(docsPath, threshold, maxDfFrac)
+      val marker = java.nio.file.Paths.get(dir, okMarker)
+      if (!java.nio.file.Files.exists(marker)) {
+        sweepStale(docsPath, keep = dir)
+        val base = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 2 === 0)
+        buildIndex(base, dir, threshold, maxDfFrac)
+      }
+      dir
+    }
+
+  /** Delete superseded index generations (same corpus path, different
+    * key — old mtime or params). Keeps the store bounded at one live
+    * generation per (corpus, parameter set). */
+  private def sweepStale(docsPath: String, keep: String): Unit = {
+    val root = java.nio.file.Paths.get(indexRoot)
+    if (!java.nio.file.Files.exists(root)) return
+    val prefix = md5hex(docsPath).take(12) + "-"
+    val keepName = java.nio.file.Paths.get(keep).getFileName.toString
+    val s = java.nio.file.Files.list(root)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val child = it.next()
+        val name = child.getFileName.toString
+        if (name.startsWith(prefix) && name != keepName) deleteRec(child)
+      }
+    } finally s.close()
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) deleteRec(it.next())
+      } finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
+  private def bandKeyExpr(sigCol: String, r: Int): String = {
+    val parts = (0 until r).map(k => s"$sigCol[band*$r+$k]").mkString(", ")
+    s"concat_ws('_', band, $parts)"
+  }
+
+  /** One linear pass over the base corpus → the three persisted tables.
+    * The shingle stage is persisted for its three consumers (hot-set
+    * aggregation, signatures via the filtered view, and the hset sink)
+    * and released eagerly — same lifecycle discipline as
+    * [[Dedup.minhashPairsPlan]]. */
+  def buildIndex(base: DataFrame, dir: String,
+                 threshold: Double = Dedup.DefaultThreshold,
+                 maxDfFrac: Double = Dedup.DefaultMaxDfFrac): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val (b, r) = Dedup.lshBanding(threshold)
+    val sh0 = Dedup.hashShingled(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hot =
+        if (maxDfFrac >= 1.0) Array.empty[Long]
+        else Dedup.hotShingles(sh0, maxDfFrac)
+      val sh = Dedup.applyHotFilter(sh0, hot)
+      val sig = sh.select(col("doc_id"), col("hset"),
+          Dedup.permMinsUdf(b * r)(col("hset")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // repartition by the layout column first: one file per touched
+        // bucket instead of tasks × buckets small files
+        sig
+          .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(DocBuckets)))
+          .repartition(col("doc_bucket"))
+          .write.mode("overwrite").partitionBy("doc_bucket")
+          .parquet(s"$dir/hsets")
+        sig
+          .select(col("doc_id"),
+            explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
+          .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
+          .withColumn("band_bucket", pmod(hash(col("band_key")), lit(BandBuckets)))
+          .repartition(col("band_bucket"))
+          .write.mode("overwrite").partitionBy("band_bucket")
+          .parquet(s"$dir/bands")
+        hot.toSeq.toDF("h").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/hot")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, okMarker),
+          s"""{"threshold":$threshold,"maxDfFrac":$maxDfFrac,"b":$b,"r":$r,"bandBuckets":$BandBuckets,"docBuckets":$DocBuckets,"version":$FormatVersion}
+             |""".stripMargin.getBytes("UTF-8"))
+        ()
+      } finally sig.unpersist(false)
+    } finally sh0.unpersist(false)
+  }
+
+  /** Per-ingest probe: verified cross pairs (a = batch doc, b = base
+    * doc, jac ≥ threshold), each pair once. Batch-side work is O(batch);
+    * base-side IO is the partition-pruned band scan (only buckets the
+    * batch's band keys hash into) plus the partition-pruned hset scan
+    * (only buckets the matched candidates' doc ids hash into). The two
+    * bucket collects are bounded by the bucket constants (≤64 ints
+    * each); the candidate materialization is the admission contract's
+    * matched set, O(batch) in the non-degenerate regime q26's tripwire
+    * family guards. The batch side is persisted and AQE broadcast-joins
+    * it against the pruned scans when small — the base never shuffles. */
+  def probePairs(batch: DataFrame, dir: String,
+                 threshold: Double = Dedup.DefaultThreshold): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (b, r) = Dedup.lshBanding(threshold)
+    val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
+    val shB = Dedup.applyHotFilter(Dedup.hashShingled(batch), hot)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigB = shB.select(col("doc_id"),
+        Dedup.permMinsUdf(b * r)(col("hset")).as("sig"))
+      val bandsB = sigB
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
+        .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
+        .withColumn("band_bucket", pmod(hash(col("band_key")), lit(BandBuckets)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touched = bandsB.select(col("band_bucket")).distinct()
+          .collect().map(_.getInt(0))
+        val baseBands = spark.read.parquet(s"$dir/bands")
+          .filter(col("band_bucket")
+            .isin(touched.map(Int.box).toIndexedSeq: _*))
+        val cand = bandsB.as("x")
+          .join(baseBands.as("y"), Seq("band_key"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val candBuckets = cand
+            .select(pmod(hash(col("b")), lit(DocBuckets)).as("db"))
+            .distinct().collect().map(_.getInt(0))
+          val baseH = spark.read.parquet(s"$dir/hsets")
+            .filter(col("doc_bucket")
+              .isin(candBuckets.map(Int.box).toIndexedSeq: _*))
+            .select(col("doc_id"), col("hset"))
+          val out = Dedup.verifyJaccardTwoSided(cand, shB, baseH, threshold)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          out.count()
+          out
+        } finally cand.unpersist(false)
+      } finally bandsB.unpersist(false)
+    } finally shB.unpersist(false)
+  }
+
+  /** q133 driver form: ensure the base-side index for `sfDir` exists
+    * (build is the amortized one-time stage; a warm second invocation
+    * pays probe cost only), probe the incoming batch (odd doc_ids, q65
+    * modulo-split convention), and emit the reject list — each matched
+    * batch doc with its best base match (max jaccard, ties to lowest
+    * base id). Same output contract as q130; the one semantic delta is
+    * documented above (hot-set df statistics over the base at build
+    * time, identical on the driver fixtures where the hot set is empty). */
+  def admissionReject(spark: SparkSession, sfDir: String,
+                      threshold: Double = Dedup.DefaultThreshold,
+                      maxDfFrac: Double = Dedup.DefaultMaxDfFrac): DataFrame = {
+    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
+    val batch = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+    probePairs(batch, dir, threshold)
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY a ORDER BY jac DESC, b ASC)"))
+      .filter(col("rnk") === 1)
+      .select(col("a").as("batch_doc"), col("b").as("base_doc"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("batch_doc"))
+  }
+
+  /** Fully STATELESS probe — every stage is a narrow transform or a
+    * join against a static index table, so the same plan runs as a
+    * Structured Streaming query over a document stream (stream-static
+    * joins, zero state-store rows) AND as a batch query (the oracle
+    * twin). Three departures from [[probePairs]], all forced by
+    * statelessness:
+    *
+    *  - no partition-prune collects (the batch's bucket set is not
+    *    known at plan time on a stream) — the static sides are planned
+    *    per micro-batch as ordinary pruned-column parquet scans;
+    *  - no `distinct()` for pair dedup: a pair matching in several
+    *    bands would emit once per band. Instead each row carries BOTH
+    *    full signatures and keeps only the MINIMAL matching band —
+    *    `NOT exists(j < band, sig_a[j·r..] = sig_b[j·r..])` is
+    *    row-local, so each verified pair is emitted exactly once with
+    *    no shuffle and no state;
+    *  - verification is row-local too (both hsets are on the row after
+    *    the hset join): the codegen'd sorted-intersect walk plus the
+    *    same algebraic prefilter as [[Dedup.verifyJaccardTwoSided]].
+    *
+    * Output: verified cross pairs (batch_doc, base_doc, jaccard), NOT
+    * the best-match rank — ranking per batch doc is an aggregation,
+    * which on a stream means state; the gate's decision ("matched at
+    * all → reject") needs only the pair set. Callers wanting the rank
+    * run [[admissionReject]] on the micro-batch output. */
+  def pairsVsIndex(batchDocs: DataFrame, dir: String,
+                   threshold: Double = Dedup.DefaultThreshold): DataFrame = {
+    val spark = batchDocs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (b, r) = Dedup.lshBanding(threshold)
+    val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
+    val shB = Dedup.applyHotFilter(Dedup.hashShingled(batchDocs), hot)
+    val sigB = shB.select(col("doc_id").as("a"), col("hset").as("ha"),
+      Dedup.permMinsUdf(b * r)(col("hset")).as("siga"))
+    val bandsB = sigB
+      .select(col("a"), col("ha"), col("siga"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("band"))
+      .withColumn("band_key", expr(bandKeyExpr("siga", r)))
+    val baseBands = spark.read.parquet(s"$dir/bands")
+      .select(col("doc_id").as("bb"), col("band_key"))
+    val baseH = spark.read.parquet(s"$dir/hsets")
+      .select(col("doc_id").as("b"), col("hset").as("hb"), col("sig").as("sigb"))
+    val rMatch = (0 until r)
+      .map(k => s"siga[j*$r+$k] = sigb[j*$r+$k]").mkString(" AND ")
+    val d = threshold / (1.0 + threshold)
+    bandsB
+      .join(baseBands, Seq("band_key"))
+      .join(baseH, col("bb") === col("b"))
+      .filter(expr(
+        s"NOT exists(filter(sequence(0, ${b - 1}), j -> j < band), j -> $rMatch)"))
+      .withColumn("inter", expr("graft_sorted_intersect_size(ha, hb)"))
+      .withColumn("stot", size(col("ha")) + size(col("hb")))
+      .filter(col("inter") >= lit(d) * col("stot"))
+      .withColumn("jac",
+        col("inter") / (col("stot") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a").as("batch_doc"), col("b").as("base_doc"),
+        round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** q134 driver form: the stateless probe's BATCH twin over the
+    * modulo-split convention, sorted for the oracle compare. The
+    * streaming form is the same [[pairsVsIndex]] call with a streaming
+    * `batchDocs` (AdmissionIndexSpec replays it micro-batch-by-
+    * micro-batch and pins stream ≡ batch ≡ oracle). */
+  def streamNearDup(spark: SparkSession, sfDir: String,
+                    threshold: Double = Dedup.DefaultThreshold,
+                    maxDfFrac: Double = Dedup.DefaultMaxDfFrac): DataFrame = {
+    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
+    val batch = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+    pairsVsIndex(batch, dir, threshold)
+      .orderBy(col("batch_doc"), col("base_doc"))
+  }
+
+  // --------------------------------------------------------------------
+  // Oracles — the all-pairs minhash CTEs with hot-set STATISTICS scoped
+  // to the base side (df-at-build-time semantics, see the module doc),
+  // filtered to cross-parity pairs. LSH banding gives a cross pair the
+  // same band keys whether or not same-side pairs are generated, so
+  // candidate recall and the jaccard verification agree exactly with
+  // the index probe.
+  // --------------------------------------------------------------------
+
+  private val baseScope = "doc_id % 2 = 0"
+
+  val admissionRejectOracle: String =
+    admissionRejectOracleAt(Dedup.DefaultThreshold)
+
+  def admissionRejectOracleAt(threshold: Double,
+      maxDfFrac: Double = Dedup.DefaultMaxDfFrac): String =
+    s"""WITH ${Dedup.oracleMinhashPairsCtes(threshold, maxDfFrac, baseScope)},
+      |crossp AS (
+      |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS batch_doc,
+      |         CASE WHEN a % 2 = 1 THEN b ELSE a END AS base_doc, jac
+      |  FROM mp WHERE (a % 2) <> (b % 2)),
+      |best AS (
+      |  SELECT batch_doc, base_doc, jac,
+      |         row_number() OVER (PARTITION BY batch_doc
+      |                            ORDER BY jac DESC, base_doc ASC) AS rnk
+      |  FROM crossp)
+      |SELECT batch_doc, base_doc, ROUND(jac, 4) AS jaccard
+      |FROM best WHERE rnk = 1 ORDER BY batch_doc""".stripMargin
+
+  val streamNearDupOracle: String =
+    streamNearDupOracleAt(Dedup.DefaultThreshold)
+
+  def streamNearDupOracleAt(threshold: Double,
+      maxDfFrac: Double = Dedup.DefaultMaxDfFrac): String =
+    s"""WITH ${Dedup.oracleMinhashPairsCtes(threshold, maxDfFrac, baseScope)},
+      |crossp AS (
+      |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS batch_doc,
+      |         CASE WHEN a % 2 = 1 THEN b ELSE a END AS base_doc, jac
+      |  FROM mp WHERE (a % 2) <> (b % 2))
+      |SELECT batch_doc, base_doc, ROUND(jac, 4) AS jaccard
+      |FROM crossp ORDER BY batch_doc, base_doc""".stripMargin
+}

@@ -180,6 +180,19 @@ object Dedup {
 
   private def dfFiltered(sh0: DataFrame, maxDfFrac: Double): DataFrame = {
     if (maxDfFrac >= 1.0) return sh0
+    applyHotFilter(sh0, hotShingles(sh0, maxDfFrac))
+  }
+
+  /** The guarded hot-set computation half of the df-filter: the sorted
+    * template-shingle hashes above the df ceiling, collected to the
+    * driver under the broadcastability bound. Split from
+    * [[applyHotFilter]] so [[AdmissionIndex]] can compute the hot set
+    * over the BASE side only, persist it, and apply the SAME persisted
+    * set to every later batch probe (df-at-build-time semantics — a
+    * persisted signature index is only valid under the hot set its
+    * signatures were built with). */
+  private[operators] def hotShingles(sh0: DataFrame,
+                                     maxDfFrac: Double): Array[Long] = {
     val dfAgg = sh0
       .select(explode(concat(col("hset"), array(lit(DfSentinel)))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -199,6 +212,16 @@ object Dedup {
     require(hot.length <= 100000,
       s"minhash df-filter: >100000 shingles above df ${maxDfFrac} — " +
         "hot set is no longer broadcastable; raise maxDfFrac")
+    hot
+  }
+
+  /** Remove a (broadcast-literal) hot set from every doc's shingle set
+    * and drop docs whose set emptied — the application half of the
+    * df-filter, shared by the in-session pipelines (hot set computed on
+    * the same corpus) and the admission probe (hot set read from the
+    * persisted index). */
+  private[operators] def applyHotFilter(sh0: DataFrame,
+                                        hot: Array[Long]): DataFrame = {
     if (hot.isEmpty) sh0
     else sh0
       // withColumn: any side columns the caller carries (n_chars in the
@@ -215,7 +238,7 @@ object Dedup {
     * the hashed sets on both engines (the oracle hashes identically), so
     * parity holds by construction; a 32-bit within-doc collision merely
     * shrinks both engines' sets the same way. */
-  private def hashShingled(documents: DataFrame): DataFrame =
+  private[operators] def hashShingled(documents: DataFrame): DataFrame =
     Widen.widen(documents)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -312,16 +335,22 @@ object Dedup {
     * >10 min at 50k docs to seconds). Spark never parses this text; it
     * is oracle-only SQL. */
   private[operators] def oracleMinhashPairsCtes(
-      threshold: Double, maxDfFrac: Double = DefaultMaxDfFrac): String = {
+      threshold: Double, maxDfFrac: Double = DefaultMaxDfFrac,
+      dfScope: String = ""): String = {
     val (b, r) = lshBanding(threshold)
     val bandCols = (1 to r).map(k => s"sig[band*$r+$k]").mkString(", ")
+    // dfScope restricts which docs the hot-set STATISTICS are computed
+    // over (the filter still applies to every doc's set): the admission
+    // oracle passes the base-side predicate to mirror the persisted
+    // index's df-at-build-time semantics
+    val scopeWhere = if (dfScope.isEmpty) "" else s" WHERE $dfScope"
     val dfCtes =
       if (maxDfFrac >= 1.0) "shf AS MATERIALIZED (SELECT doc_id, hset FROM sh)"
       else
-        s"""nd AS (SELECT COUNT(*) AS n FROM sh),
+        s"""nd AS (SELECT COUNT(*) AS n FROM sh$scopeWhere),
           |sdf AS (
           |  SELECT h, COUNT(*) AS df
-          |  FROM (SELECT unnest(hset) AS h FROM sh) GROUP BY h),
+          |  FROM (SELECT unnest(hset) AS h FROM sh$scopeWhere) GROUP BY h),
           |hot AS (
           |  SELECT coalesce(list(h), CAST([] AS BIGINT[])) AS hl
           |  FROM sdf, nd WHERE df > greatest($maxDfFrac * n, $DfFloorDocs)),
@@ -521,6 +550,19 @@ object Dedup {
     // inherits loss-proof truncation without signature churn
     val ckDir = checkpointDir.orElse(
       spark.conf.getOption("graft.cc.checkpointDir"))
+    // executable form of the persisted-input contract (the comments
+    // below rely on it twice: the sizing count and the fast-path
+    // collect both re-evaluate `pairs`): an unpersisted pair source —
+    // potentially a quadratic candidate join — must not be silently
+    // evaluated twice. Persist defensively rather than throw: every
+    // in-repo caller hands in a memoized stage (hits the contract), and
+    // an external caller gets correct-and-linear instead of a crash.
+    val defensivePersist = pairs.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    if (defensivePersist) {
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ()
+    }
     val pairsRdd = pairs
       .select(col("a"), col("b")).as[(Long, Long)].rdd
     // right-size the round-loop partitioner to the GRAPH, not the
@@ -541,8 +583,11 @@ object Dedup {
     // loop is the ONLY path past it, so a 100 TB pair graph never
     // touches the driver. Labels are identical by construction (both
     // produce lbl = min vertex id per component, spec-pinned).
-    if (nEdges <= SmallGraphEdges)
-      return smallGraphLabels(pairsRdd.collect(), spark)
+    if (nEdges <= SmallGraphEdges) {
+      val labels = smallGraphLabels(pairsRdd.collect(), spark)
+      if (defensivePersist) pairs.unpersist(false)
+      return labels
+    }
     val part = new org.apache.spark.HashPartitioner(
       math.max(1, math.min(spark.sparkContext.defaultParallelism,
         (nEdges / 50000L).toInt + 1)))
@@ -562,6 +607,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     labels.unpersist(false)
+    if (defensivePersist) pairs.unpersist(false)
     out
   }
 
@@ -1004,7 +1050,7 @@ object Dedup {
     * one compiled pass — the JVM twin of
     * `array_min(transform(hset, h -> (A·(h%P)+B) % P))` per permutation,
     * element-identical by construction (same constants, same mod-p). */
-  private def permMinsUdf(n: Int) = udf { hset: Seq[Long] =>
+  private[operators] def permMinsUdf(n: Int) = udf { hset: Seq[Long] =>
     val as = Array.tabulate(n)(permA)
     val bs = Array.tabulate(n)(permB)
     val mins = Array.fill(n)(Long.MaxValue)
@@ -1099,11 +1145,20 @@ object Dedup {
     * candidate, the division only for survivors (clustering joins on
     * (a, b); only the q25/q27 listings round for presentation). */
   private def verifyJaccardRaw(cand: DataFrame, sh: DataFrame,
-                               threshold: Double): DataFrame = {
+                               threshold: Double): DataFrame =
+    verifyJaccardTwoSided(cand, sh, sh, threshold)
+
+  /** Two-sided form of the verify stage: the `a` side's shingle sets
+    * come from `shA`, the `b` side's from `shB` — the shape the
+    * admission probe needs (batch shingles in-session, base shingles
+    * from the persisted index scan). The one-corpus callers pass the
+    * same frame twice. */
+  private[operators] def verifyJaccardTwoSided(cand: DataFrame,
+      shA: DataFrame, shB: DataFrame, threshold: Double): DataFrame = {
     val d = threshold / (1.0 + threshold)
     cand
-      .join(sh.select(col("doc_id"), col("hset").as("sa")), cand("a") === col("doc_id")).drop("doc_id")
-      .join(sh.select(col("doc_id"), col("hset").as("sb")), cand("b") === col("doc_id")).drop("doc_id")
+      .join(shA.select(col("doc_id"), col("hset").as("sa")), cand("a") === col("doc_id")).drop("doc_id")
+      .join(shB.select(col("doc_id"), col("hset").as("sb")), cand("b") === col("doc_id")).drop("doc_id")
       .select(col("a"), col("b"),
         expr("graft_sorted_intersect_size(sa, sb)").as("inter"),
         (size(col("sa")) + size(col("sb"))).as("stot"))

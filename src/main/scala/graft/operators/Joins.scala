@@ -224,23 +224,43 @@ object Joins {
     * follows, so the result is byte-identical to the plain semi join
     * the oracle runs. This is the manual, deterministic form of Spark
     * 3.3+'s runtime row-level filtering (which injects the same
-    * bloom_filter_agg/might_contain pair when stats warrant it). The
-    * probe is a scalar UDF — off the codegen path by one virtual call,
-    * accepted because it deletes a shuffle orders of magnitude larger
-    * than the codegen loss. */
+    * bloom_filter_agg/might_contain pair when stats warrant it), built
+    * from the SAME expression pair that feature uses: the filter is a
+    * `bloom_filter_agg` SCALAR SUBQUERY over the build side's keys
+    * (computed distributed inside the query — no separate driver-side
+    * `stat.bloomFilter` action, no serialized megabyte literal bloating
+    * every plan string), probed by Spark's codegen'd
+    * `BloomFilterMightContain` (both ends operate on the raw long key:
+    * same hash family by construction; spec-pinned byte-identical to
+    * the plain semi join). Vs the scalar-UDF probe this replaces: the
+    * probe stays inside whole-stage codegen — no per-row virtual call
+    * or boxing — and the subquery result ships to executors via the
+    * standard subquery broadcast, once per executor. */
   def bloomSemiSegments(customer: DataFrame, orders: DataFrame,
                         expectedKeys: Long = 1000000L,
                         fpp: Double = 0.01): DataFrame = {
-    val spark = customer.sparkSession
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LogicalAggregate}
+    import org.apache.spark.sql.graft.ColumnBridge
     val keys = orders.filter(col("o_totalprice") > 120000.0)
       .select(col("o_custkey"))
-    val bloom = keys.stat.bloomFilter("o_custkey", expectedKeys, fpp)
-    // explicit broadcast: the bit array ships once per executor, not
-    // once per task closure
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    // optimal bit count for (expectedKeys, fpp) — the classic
+    // -n·ln(p)/ln(2)² sizing `BloomFilter.create` applies; the
+    // aggregate takes bits explicitly
+    val numBits = math.ceil(
+      -expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val keysPlan = keys.queryExecution.analyzed
+    val bloomAgg = Alias(
+      new BloomFilterAggregate(keysPlan.output.head,
+        Literal(expectedKeys), Literal(numBits)).toAggregateExpression(),
+      "bloomFilter")()
+    val mightContain = ColumnBridge.column(
+      BloomFilterMightContain(
+        ScalarSubquery(LogicalAggregate(Nil, Seq(bloomAgg), keysPlan)),
+        ColumnBridge.expression(col("c_custkey"))))
     customer
-      .filter(mightContain(col("c_custkey")))
+      .filter(mightContain)
       .join(keys, col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))

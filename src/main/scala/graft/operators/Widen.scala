@@ -48,6 +48,12 @@ object Widen {
     * scan leaves' `inputRDD.getNumPartitions`, which plans file splits
     * without running a job. */
   def widen(df: DataFrame): DataFrame = {
+    // streaming inputs pass through untouched: micro-batch width is the
+    // runner's concern, and even INSPECTING optimizedPlan on a streaming
+    // Dataset throws (batch-only assertion). Checked first so streaming
+    // callers (the stateless admission probe shingles its stream side)
+    // can share the batch operators.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     val wideOrNonFile = df.queryExecution.optimizedPlan.find {
       case lr: LogicalRelation => !lr.relation.isInstanceOf[HadoopFsRelation]

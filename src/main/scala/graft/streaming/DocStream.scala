@@ -54,6 +54,13 @@ object DocStream {
       documents.filter(col("doc_id") % 2 === 1),
       documents.filter(col("doc_id") % 2 === 0))
 
+  // NOT EXISTS, deliberately not NOT IN: a NULL base text makes md5()
+  // NULL, and NOT IN against a set containing NULL returns no rows at
+  // all (three-valued logic), while the engine's LEFT ANTI join still
+  // admits every non-matching doc. NOT EXISTS has exactly the anti-join
+  // semantics, so the oracle stays aligned even on corpora with NULL
+  // text (the fixtures have none — this closes the latent divergence,
+  // not an observed one).
   val streamAdmissionOracle: String =
     """WITH base AS (
       |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -62,6 +69,7 @@ object DocStream {
       |       md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fp
       |FROM documents d
       |WHERE d.doc_id % 2 = 1
-      |  AND md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
-      |      NOT IN (SELECT fp FROM base)""".stripMargin
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM base b
+      |    WHERE b.fp = md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))))""".stripMargin
 }

@@ -37,6 +37,36 @@ class BloomSemiSpec extends SparkSpec {
     assertDeterministic(Joins.bloomSemiSegments(customer, orders))
   }
 
+  test("the probe is the engine-native BloomFilterMightContain " +
+    "expression inside whole-stage codegen — no scalar UDF in the plan") {
+    // parquet-backed fixture: over LocalRelations the optimizer folds
+    // the whole probe filter away (ConvertToLocalRelation evaluates it
+    // at plan time), which hides the very node this test pins
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bloom-spec").toString
+    val (custLocal, ordLocal) = fixture
+    custLocal.write.mode("overwrite").parquet(s"$tmp/customer")
+    ordLocal.write.mode("overwrite").parquet(s"$tmp/orders")
+    val customer = spark.read.parquet(s"$tmp/customer")
+    val orders = spark.read.parquet(s"$tmp/orders")
+    val df = Joins.bloomSemiSegments(customer, orders)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"native bloom probe missing from plan:\n$plan")
+    assert(plan.contains("bloom_filter_agg"),
+      s"bloom must be built by the distributed aggregate, not on the driver:\n$plan")
+    assert(!plan.contains("UDF"), s"scalar UDF crept back into:\n$plan")
+    // the filter carrying the probe must sit inside a WholeStageCodegen
+    // span (the expression has doGenCode, nothing forces it out) —
+    // checked on the FINAL adaptive plan, where codegen stages exist;
+    // `*(n) Filter` is the codegen-span marker in the plan string
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Filter [^\n]*might_contain""".r
+      .findFirstIn(finalPlan).isDefined,
+      s"bloom probe outside codegen:\n$finalPlan")
+  }
+
   test("the bloom probe drops (almost all) non-matching rows BEFORE the " +
     "join — the map-side pruning is real, not decorative") {
     val (customer, orders) = fixture
