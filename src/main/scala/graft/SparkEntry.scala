@@ -441,7 +441,18 @@ object SparkEntry {
     // row-local pair dedup instead of distinct(), row-local verify —
     // the same plan runs under writeStream with zero state-store rows
     // (AdmissionIndexSpec replays it); this is its batch twin
-    "q134_stream_neardup" -> ((s, d) => AdmissionIndex.streamNearDup(s, d))
+    "q134_stream_neardup" -> ((s, d) => AdmissionIndex.streamNearDup(s, d)),
+    // embedding-side persisted admission (q131's scale path made
+    // durable): base persisted ONCE as a deterministic IVF layout
+    // (cells = partition dirs), probe reads only the nProbe nearest
+    // cells per batch vector — expected nProbe/C of the base per
+    // ingest vs q131's full-base scan; the oracle reproduces the
+    // identical cell assignment, so the declared approximation is
+    // exactly checked
+    "q135_emb_admission_index" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      AdmissionIndex.embAdmissionIndexed(s, d)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -581,6 +592,7 @@ object SparkEntry {
     "q131_emb_admission" -> Similarity.embAdmissionOracle,
     "q132_stream_admission" -> streaming.DocStream.streamAdmissionOracle,
     "q133_admission_index" -> AdmissionIndex.admissionRejectOracle,
-    "q134_stream_neardup" -> AdmissionIndex.streamNearDupOracle
+    "q134_stream_neardup" -> AdmissionIndex.streamNearDupOracle,
+    "q135_emb_admission_index" -> AdmissionIndex.embAdmissionIndexedOracle
   )
 }

@@ -101,10 +101,14 @@ object AdmissionIndex {
   def indexDirFor(docsPath: String, threshold: Double,
                   maxDfFrac: Double): String = {
     val (b, r) = Dedup.lshBanding(threshold)
-    val pathKey = md5hex(docsPath).take(12)
+    dirFor(docsPath,
+      s"$threshold|$maxDfFrac|b=$b,r=$r|$BandBuckets|$DocBuckets")
+  }
+
+  private def dirFor(path: String, paramKey: String): String = {
+    val pathKey = md5hex(path).take(12)
     val key = md5hex(
-      s"$docsPath|${maxMtime(docsPath)}|$threshold|$maxDfFrac|" +
-        s"b=$b,r=$r|$BandBuckets|$DocBuckets|v$FormatVersion").take(16)
+      s"$path|${maxMtime(path)}|$paramKey|v$FormatVersion").take(16)
     s"$indexRoot/$pathKey-$key"
   }
 
@@ -364,6 +368,176 @@ object AdmissionIndex {
       .filter(col("doc_id") % 2 === 1)
     pairsVsIndex(batch, dir, threshold)
       .orderBy(col("batch_doc"), col("base_doc"))
+  }
+
+  // ====================================================================
+  // Embedding-side persisted admission index (IVF) — q131's scale path
+  // made durable. q131 is EXACT: it scans the full base per ingest
+  // (broadcast batch, zero base shuffle) — correct, but O(base) IO per
+  // ingest forever. This index persists the base ONCE as an IVF layout
+  // (the deterministic cheapest-md5 centroids of q54, each base vector
+  // assigned to its nearest cell by exact integer distance, cells as
+  // partition directories) and the probe reads only the nProbe nearest
+  // cells per batch vector — expected nProbe/C of the base per ingest.
+  // The trade is the standard IVF one: the reject list is bounded to
+  // candidates inside probed cells (recall governed by nProbe/C, the
+  // same measured surface as q119); the ORACLE reproduces the identical
+  // cell assignment and probe, so correctness is exact w.r.t. the
+  // declared approximation. Centroids derive from the BASE at build
+  // time (same df-at-build-time reasoning as the text index: cell
+  // assignment is only valid under the centroids it was built with).
+  // ====================================================================
+
+  val EmbCentroids = 16
+  val EmbNProbe = 4
+  val EmbThreshold = 0.45
+
+  def embIndexDirFor(embPath: String, centroids: Int): String =
+    dirFor(embPath, s"emb|$centroids")
+
+  /** Build-if-absent for the embedding index; same lifecycle contract
+    * as [[ensureIndex]]. */
+  def ensureEmbIndex(spark: SparkSession, sfDir: String,
+                     centroids: Int = EmbCentroids): String =
+    synchronized {
+      val embPath = s"$sfDir/embeddings.parquet"
+      val dir = embIndexDirFor(embPath, centroids)
+      val marker = java.nio.file.Paths.get(dir, okMarker)
+      if (!java.nio.file.Files.exists(marker)) {
+        sweepStale(embPath, keep = dir)
+        val base = graft.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 2 === 0)
+        embBuildIndex(base, dir, centroids)
+      }
+      dir
+    }
+
+  /** One pass over the base vectors → centroid summary + cell-assigned
+    * quantized vectors, partitioned by cell for probe-time pruning. */
+  def embBuildIndex(base: DataFrame, dir: String,
+                    centroids: Int = EmbCentroids): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val q = Similarity.quantized(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Similarity.ivfCentroids(q, centroids)
+      val bc = spark.sparkContext.broadcast(cents)
+      q.select(col("vec_id"), col("qv"), col("n2"),
+          Similarity.ivfCellUdf(bc)(col("qv")).as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/cells")
+      cents.zipWithIndex
+        .map { case ((cqv, cn2), i) => (i, cqv.toSeq, cn2) }.toSeq
+        .toDF("idx", "qv", "n2").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, okMarker),
+        s"""{"kind":"emb","centroids":$centroids,"version":$FormatVersion}
+           |""".stripMargin.getBytes("UTF-8"))
+      ()
+    } finally q.unpersist(false)
+  }
+
+  /** Per-ingest probe: each batch vector's nProbe nearest cells are
+    * computed against the persisted centroid summary (KB-scale collect),
+    * the cell scan is partition-pruned to the probed set, and the best
+    * base match at cos ≥ threshold per batch vector is the reject row.
+    * Candidates bounded to probed cells — the declared IVF
+    * approximation, reproduced exactly by the oracle. */
+  def embProbe(batch: DataFrame, dir: String,
+               threshold: Double = EmbThreshold,
+               nProbe: Int = EmbNProbe): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("idx")).select(col("qv"), col("n2"))
+      .as[(Array[Long], Long)].collect()
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = Similarity.quantized(batch)
+      .select(col("vec_id"), col("qv"), col("n2"),
+        explode(Similarity.ivfProbeUdf(bc, nProbe)(col("qv"))).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0))
+      val baseCells = spark.read.parquet(s"$dir/cells")
+        .filter(col("cell").isin(touched.map(Int.box).toIndexedSeq: _*))
+      val out = probes.as("x").join(baseCells.as("y"), Seq("cell"))
+        .select(col("x.vec_id").as("batch_vec"), col("y.vec_id").as("base_vec"),
+          expr(Similarity.cosExpr).as("cos"))
+        .filter(col("cos") >= threshold)
+        .withColumn("rnk", expr(
+          "row_number() OVER (PARTITION BY batch_vec ORDER BY cos DESC, base_vec ASC)"))
+        .filter(col("rnk") === 1)
+        .select(col("batch_vec"), col("base_vec"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy(col("batch_vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally probes.unpersist(false)
+  }
+
+  /** q135 driver form: ensure the base IVF index for `sfDir`, probe the
+    * incoming batch (odd vec_ids, q65 modulo-split convention). */
+  def embAdmissionIndexed(spark: SparkSession, sfDir: String,
+                          threshold: Double = EmbThreshold,
+                          centroids: Int = EmbCentroids,
+                          nProbe: Int = EmbNProbe): DataFrame = {
+    val dir = ensureEmbIndex(spark, sfDir, centroids)
+    val batch = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+    embProbe(batch, dir, threshold, nProbe)
+  }
+
+  val embAdmissionIndexedOracle: String =
+    embAdmissionIndexedOracleAt(EmbThreshold, EmbCentroids, EmbNProbe)
+
+  /** Oracle builder on the SAME (threshold, centroids, nProbe) as the
+    * engine: recomputes the base-scoped centroid selection, the exact
+    * integer cell assignment (the q54 bigint-encoded argmin — no
+    * cross-engine struct ordering), the nProbe probe cells per batch
+    * vector, and the best verified match per batch vector. */
+  def embAdmissionIndexedOracleAt(threshold: Double, centroids: Int,
+                                  nProbe: Int): String = {
+    val OFF = 274877906944L
+    val dotCQ =
+      """CAST(list_sum(list_transform(range(1, len(q.qv)+1), d -> q.qv[d] * cents[i].qv[d])) AS BIGINT)"""
+    val scores =
+      s"""list_transform(range(1, len(cents)+1), i ->
+         |        (cents[i].n2 - 2 * $dotCQ + $OFF) * 256 + (i - 1))""".stripMargin
+    s"""WITH ${Similarity.oracleQuantized},
+      |ranked_cents AS (
+      |  SELECT qv, n2,
+      |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+      |         vec_id
+      |  FROM qn WHERE vec_id % 2 = 0 ORDER BY h, vec_id LIMIT $centroids),
+      |carr AS (
+      |  SELECT list(struct_pack(qv := qv, n2 := n2) ORDER BY h, vec_id) AS cents
+      |  FROM ranked_cents),
+      |assigned AS (
+      |  SELECT q.vec_id, q.qv, q.n2, list_min($scores) % 256 AS cell
+      |  FROM qn q, carr WHERE q.vec_id % 2 = 0),
+      |probes AS (
+      |  SELECT q.vec_id, q.qv, q.n2, t.pcell
+      |  FROM qn q, carr,
+      |       unnest(list_transform(list_sort($scores)[1:$nProbe], x -> x % 256)) AS t(pcell)
+      |  WHERE q.vec_id % 2 = 1),
+      |scored AS (
+      |  SELECT x.vec_id AS batch_vec, y.vec_id AS base_vec,
+      |         ${Similarity.oracleCosExpr} AS cos
+      |  FROM probes x JOIN assigned y ON x.pcell = y.cell),
+      |ranked AS (
+      |  SELECT batch_vec, base_vec, cos,
+      |         row_number() OVER (PARTITION BY batch_vec
+      |                            ORDER BY cos DESC, base_vec ASC) AS rnk
+      |  FROM scored WHERE cos >= $threshold)
+      |SELECT batch_vec, base_vec, ROUND(cos, 6) AS cosine
+      |FROM ranked WHERE rnk = 1 ORDER BY batch_vec""".stripMargin
   }
 
   // --------------------------------------------------------------------

@@ -66,7 +66,7 @@ object Similarity {
       .filter(col("n2") > 0)
   }
 
-  private val oracleQuantized: String =
+  private[operators] val oracleQuantized: String =
     """q AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
@@ -83,11 +83,11 @@ object Similarity {
     * evaluates interpreted, ~20× slower), which matters at the ANN
     * functions' candidate volumes. Callers must have run
     * `GraftFunctions.register`. */
-  private val cosExpr =
+  private[operators] val cosExpr =
     """CAST(graft_dot_long(x.qv, y.qv) AS DOUBLE)
       |  / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))""".stripMargin
 
-  private val oracleCosExpr =
+  private[operators] val oracleCosExpr =
     """CAST(list_sum(list_transform(range(1, len(x.qv)+1), i -> x.qv[i]*y.qv[i])) AS DOUBLE)
       |  / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))""".stripMargin
 
@@ -491,45 +491,65 @@ object Similarity {
 
   /** Scored IVF candidates (qid, nid, cos) BEFORE ranking — see
     * [[annLshScored]]; AnnRecallSpec sweeps nProbe/centroids over this. */
-  private[graft] def annIvfScored(embeddings: DataFrame, nQueries: Int,
-                                  centroids: Int, nProbe: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+  // ---- shared IVF primitives (annIvfScored + the persisted embedding
+  // admission index, AdmissionIndex.embBuildIndex/embProbe): exact
+  // integer cell scores against a broadcast centroid summary, and the
+  // derived nearest-cell / nProbe-probe UDFs. One implementation so the
+  // in-session path and the persisted path can never drift. ----
+
+  /** C centroids, cheapest-md5-hash-first, fully deterministic. The
+    * collect is the C×dims SUMMARY (a few KB), never the table — the
+    * same legitimate driver-side broadcast build as the LSH hyperplane
+    * weights; inlining it as a plan subtree instead was measured to
+    * re-run the centroid scan once per consumer (3 scans). */
+  private[operators] def ivfCentroids(q: DataFrame,
+      centroids: Int): Array[(Array[Long], Long)] = {
+    val spark = q.sparkSession
     import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
-    val q = quantized(embeddings)
-    // C centroids, cheapest-md5-hash-first, fully deterministic. The
-    // collect here is the C×dims SUMMARY (a few KB), never the table —
-    // the same legitimate driver-side broadcast build as the LSH
-    // hyperplane weights; inlining it as a plan subtree instead was
-    // measured to re-run the centroid scan once per consumer (3 scans).
-    val cents: Array[(Array[Long], Long)] = q
-      .withColumn("h", expr(
+    q.withColumn("h", expr(
         "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
       .orderBy(col("h"), col("vec_id")).limit(centroids)
       .select(col("qv"), col("n2")).as[(Array[Long], Long)].collect()
-    val bc = spark.sparkContext.broadcast(cents)
-    // exact integer distance per centroid: n2_c − 2·v·c (the ‖v‖² term
-    // cancels in the argmin); ties break to the lower centroid index
-    def cellScores(qv: Seq[Long]): Array[Long] = {
-      val cs = bc.value
-      Array.tabulate(cs.length) { i =>
-        val (cqv, cn2) = cs(i)
-        var dot = 0L
-        var d = 0
-        while (d < cqv.length) { dot += qv(d) * cqv(d); d += 1 }
-        cn2 - 2L * dot
-      }
+  }
+
+  /** Exact integer distance per centroid: n2_c − 2·v·c (the ‖v‖² term
+    * cancels in the argmin); ties break to the lower centroid index. */
+  private def ivfCellScores(cs: Array[(Array[Long], Long)],
+                            qv: Seq[Long]): Array[Long] =
+    Array.tabulate(cs.length) { i =>
+      val (cqv, cn2) = cs(i)
+      var dot = 0L
+      var d = 0
+      while (d < cqv.length) { dot += qv(d) * cqv(d); d += 1 }
+      cn2 - 2L * dot
     }
-    val cellUdf = udf { qv: Seq[Long] =>
-      val s = cellScores(qv)
+
+  private[operators] def ivfCellUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Array[Long], Long)]]) =
+    udf { qv: Seq[Long] =>
+      val s = ivfCellScores(bc.value, qv)
       var best = 0
       var i = 1
       while (i < s.length) { if (s(i) < s(best)) best = i; i += 1 }
       best
     }
-    val probeUdf = udf { qv: Seq[Long] =>
-      cellScores(qv).zipWithIndex.sortBy(identity).take(nProbe).map(_._2)
+
+  private[operators] def ivfProbeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Array[Long], Long)]],
+      nProbe: Int) =
+    udf { qv: Seq[Long] =>
+      ivfCellScores(bc.value, qv).zipWithIndex.sortBy(identity)
+        .take(nProbe).map(_._2)
     }
+
+  private[graft] def annIvfScored(embeddings: DataFrame, nQueries: Int,
+                                  centroids: Int, nProbe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val q = quantized(embeddings)
+    val bc = spark.sparkContext.broadcast(ivfCentroids(q, centroids))
+    val cellUdf = ivfCellUdf(bc)
+    val probeUdf = ivfProbeUdf(bc, nProbe)
     val assigned = q
       .select(col("vec_id"), col("qv"), col("n2"), cellUdf(col("qv")).as("cell"))
       .repartition(col("cell"))

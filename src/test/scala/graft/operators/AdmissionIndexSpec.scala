@@ -179,6 +179,38 @@ class AdmissionIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding IVF index: an exact duplicate of a base vector always " +
+    "probes its twin's cell (argmin identical) and is rejected with that " +
+    "match; novel vectors are admitted; the cell scan partition-prunes") {
+    val dims = 8
+    // 40 deterministic base vectors (even ids) + 3 batch vectors (odd):
+    // 101 duplicates base 20's vector exactly, 103 is novel (far from
+    // every base direction), 105 duplicates base 34
+    def vec(seed: Long) = Array.tabulate(dims)(i =>
+      math.sin(seed * 13.0 + i * 7.0).toFloat)
+    val base = (0 until 40).map(i => (2L * i, vec(2L * i), "0"))
+    val batch = Seq(
+      (101L, vec(20L), "0"),
+      (103L, Array.tabulate(dims)(i => if (i == 0) 1e-4f else 0f), "0"),
+      (105L, vec(34L), "0"))
+    val dir = freshDir()
+    AdmissionIndex.embBuildIndex(
+      base.toDF("vec_id", "embedding", "label"), dir, centroids = 8)
+    val out = AdmissionIndex.embProbe(
+      batch.toDF("vec_id", "embedding", "label"), dir,
+      threshold = 0.99, nProbe = 2)
+      .select("batch_vec", "base_vec").as[(Long, Long)].collect().toSet
+    assert(out == Set((101L, 20L), (105L, 34L)), out.toString)
+    // partition pruning: a cell predicate on the persisted layout must
+    // be a PartitionFilter (metadata-only), not a data filter
+    val pruned = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(0, 1))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty && scan.head.partitionFilters.nonEmpty)
+  }
+
   test("index staleness: regenerating the corpus in place (same path, " +
     "newer mtime) yields a different index dir") {
     val tmp = java.nio.file.Files
