@@ -452,7 +452,14 @@ object SparkEntry {
     "q135_emb_admission_index" -> ((s, d) => {
       plans.TopKInstall.install(s)
       AdmissionIndex.embAdmissionIndexed(s, d)
-    })
+    }),
+    // the embedding probe as a STATELESS stream-shaped plan (closing
+    // the admission matrix: exact q132 / minhash q134 / embedding q136
+    // each runnable forever under writeStream with zero state rows);
+    // this is its batch twin — full verified pair set, no rank (an
+    // aggregation would be state)
+    "q136_stream_emb_admission" -> ((s, d) =>
+      AdmissionIndex.streamEmbAdmission(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -593,6 +600,7 @@ object SparkEntry {
     "q132_stream_admission" -> streaming.DocStream.streamAdmissionOracle,
     "q133_admission_index" -> AdmissionIndex.admissionRejectOracle,
     "q134_stream_neardup" -> AdmissionIndex.streamNearDupOracle,
-    "q135_emb_admission_index" -> AdmissionIndex.embAdmissionIndexedOracle
+    "q135_emb_admission_index" -> AdmissionIndex.embAdmissionIndexedOracle,
+    "q136_stream_emb_admission" -> AdmissionIndex.streamEmbAdmissionOracle
   )
 }

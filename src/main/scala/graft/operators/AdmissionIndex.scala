@@ -482,6 +482,67 @@ object AdmissionIndex {
     } finally probes.unpersist(false)
   }
 
+  /** Fully STATELESS embedding probe — the IVF twin of [[pairsVsIndex]]
+    * (q134), closing the admission matrix: exact/minhash/embedding ×
+    * batch/stream. Departures from [[embProbe]], both forced by
+    * statelessness: no cell-prune collect (the probed-cell set is not
+    * known at plan time on a stream — the cells table joins
+    * stream-static instead, still one partition-pruned scan per
+    * micro-batch once Spark pushes the join's cell values; worst case a
+    * full narrow scan of the cell layout), and no best-match rank (an
+    * aggregation = state; the gate needs the pair set). Each
+    * (batch, base) pair emits at most once row-locally: a base vector
+    * lives in exactly one cell, and the nProbe probe cells per batch
+    * vector are distinct by construction. */
+  def embPairsVsIndex(batchVecs: DataFrame, dir: String,
+                      threshold: Double = EmbThreshold,
+                      nProbe: Int = EmbNProbe): DataFrame = {
+    val spark = batchVecs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("idx")).select(col("qv"), col("n2"))
+      .as[(Array[Long], Long)].collect()
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = Similarity.quantized(batchVecs)
+      .select(col("vec_id"), col("qv"), col("n2"),
+        explode(Similarity.ivfProbeUdf(bc, nProbe)(col("qv"))).as("cell"))
+    val baseCells = spark.read.parquet(s"$dir/cells")
+    probes.as("x").join(baseCells.as("y"), Seq("cell"))
+      .select(col("x.vec_id").as("batch_vec"), col("y.vec_id").as("base_vec"),
+        expr(Similarity.cosExpr).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_vec"), col("base_vec"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** q136 driver form: the stateless embedding probe's BATCH twin over
+    * the modulo-split convention, sorted for the oracle compare; the
+    * streaming form is the same [[embPairsVsIndex]] call with a
+    * streaming `batchVecs` (spec-replayed, zero state rows). */
+  def streamEmbAdmission(spark: SparkSession, sfDir: String,
+                         threshold: Double = EmbThreshold,
+                         centroids: Int = EmbCentroids,
+                         nProbe: Int = EmbNProbe): DataFrame = {
+    val dir = ensureEmbIndex(spark, sfDir, centroids)
+    val batch = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+    embPairsVsIndex(batch, dir, threshold, nProbe)
+      .orderBy(col("batch_vec"), col("base_vec"))
+  }
+
+  val streamEmbAdmissionOracle: String =
+    streamEmbAdmissionOracleAt(EmbThreshold, EmbCentroids, EmbNProbe)
+
+  /** [[embAdmissionIndexedOracleAt]] without the best-match rank — the
+    * stateless form's full verified pair set. */
+  def streamEmbAdmissionOracleAt(threshold: Double, centroids: Int,
+                                 nProbe: Int): String =
+    s"""WITH ${embOracleCtes(centroids, nProbe)}
+      |SELECT batch_vec, base_vec, ROUND(cos, 6) AS cosine
+      |FROM scored WHERE cos >= $threshold
+      |ORDER BY batch_vec, base_vec""".stripMargin
+
   /** q135 driver form: ensure the base IVF index for `sfDir`, probe the
     * incoming batch (odd vec_ids, q65 modulo-split convention). */
   def embAdmissionIndexed(spark: SparkSession, sfDir: String,
@@ -497,20 +558,19 @@ object AdmissionIndex {
   val embAdmissionIndexedOracle: String =
     embAdmissionIndexedOracleAt(EmbThreshold, EmbCentroids, EmbNProbe)
 
-  /** Oracle builder on the SAME (threshold, centroids, nProbe) as the
-    * engine: recomputes the base-scoped centroid selection, the exact
-    * integer cell assignment (the q54 bigint-encoded argmin — no
-    * cross-engine struct ordering), the nProbe probe cells per batch
-    * vector, and the best verified match per batch vector. */
-  def embAdmissionIndexedOracleAt(threshold: Double, centroids: Int,
-                                  nProbe: Int): String = {
+  /** Shared CTE chain for the embedding-index oracles (through the
+    * verified `scored(batch_vec, base_vec, cos)` table): base-scoped
+    * centroid selection, exact integer cell assignment (the q54
+    * bigint-encoded argmin — no cross-engine struct ordering), nProbe
+    * probe cells per batch vector, candidates = probed-cell joins. */
+  private def embOracleCtes(centroids: Int, nProbe: Int): String = {
     val OFF = 274877906944L
     val dotCQ =
       """CAST(list_sum(list_transform(range(1, len(q.qv)+1), d -> q.qv[d] * cents[i].qv[d])) AS BIGINT)"""
     val scores =
       s"""list_transform(range(1, len(cents)+1), i ->
          |        (cents[i].n2 - 2 * $dotCQ + $OFF) * 256 + (i - 1))""".stripMargin
-    s"""WITH ${Similarity.oracleQuantized},
+    s"""${Similarity.oracleQuantized},
       |ranked_cents AS (
       |  SELECT qv, n2,
       |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
@@ -530,7 +590,14 @@ object AdmissionIndex {
       |scored AS (
       |  SELECT x.vec_id AS batch_vec, y.vec_id AS base_vec,
       |         ${Similarity.oracleCosExpr} AS cos
-      |  FROM probes x JOIN assigned y ON x.pcell = y.cell),
+      |  FROM probes x JOIN assigned y ON x.pcell = y.cell)""".stripMargin
+  }
+
+  /** Oracle builder on the SAME (threshold, centroids, nProbe) as the
+    * engine: the shared CTE chain plus the best-match rank. */
+  def embAdmissionIndexedOracleAt(threshold: Double, centroids: Int,
+                                  nProbe: Int): String =
+    s"""WITH ${embOracleCtes(centroids, nProbe)},
       |ranked AS (
       |  SELECT batch_vec, base_vec, cos,
       |         row_number() OVER (PARTITION BY batch_vec
@@ -538,7 +605,6 @@ object AdmissionIndex {
       |  FROM scored WHERE cos >= $threshold)
       |SELECT batch_vec, base_vec, ROUND(cos, 6) AS cosine
       |FROM ranked WHERE rnk = 1 ORDER BY batch_vec""".stripMargin
-  }
 
   // --------------------------------------------------------------------
   // Oracles — the all-pairs minhash CTEs with hot-set STATISTICS scoped

@@ -211,6 +211,50 @@ class AdmissionIndexSpec extends SparkSpec {
     assert(scan.nonEmpty && scan.head.partitionFilters.nonEmpty)
   }
 
+  test("embPairsVsIndex runs as a Structured Streaming query (2 micro-" +
+    "batches) with zero state rows, and stream ≡ batch") {
+    val dims = 8
+    def vec(seed: Long) = Array.tabulate(dims)(i =>
+      math.sin(seed * 13.0 + i * 7.0).toFloat)
+    val base = (0 until 40).map(i => (2L * i, vec(2L * i), "0"))
+    val batch = Seq(
+      (101L, vec(20L), "0"),
+      (103L, Array.tabulate(dims)(i => if (i == 0) 1e-4f else 0f), "0"),
+      (105L, vec(34L), "0"))
+    val dir = freshDir()
+    AdmissionIndex.embBuildIndex(
+      base.toDF("vec_id", "embedding", "label"), dir, centroids = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float], String)]
+    val q = AdmissionIndex.embPairsVsIndex(
+        mem.toDF().toDF("vec_id", "embedding", "label"), dir,
+        threshold = 0.99, nProbe = 2)
+      .writeStream.format("memory").queryName("emb_admission_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch.take(1))
+      q.processAllAvailable()
+      mem.addData(batch.drop(1))
+      q.processAllAvailable()
+      val streamed = spark.table("emb_admission_test")
+        .select("batch_vec", "base_vec").as[(Long, Long)].collect().toSet
+      val batchTwin = AdmissionIndex.embPairsVsIndex(
+          batch.toDF("vec_id", "embedding", "label"), dir, 0.99, 2)
+        .select("batch_vec", "base_vec").as[(Long, Long)].collect().toSet
+      assert(streamed == batchTwin, s"stream $streamed != batch $batchTwin")
+      // the planted twins must be among the verified pairs, the novel
+      // vector must not match anything (the full pair set may contain
+      // additional genuine >=0.99 base pairs — the sin-derived fixture
+      // has phase near-aliases, e.g. vec(78) ≈ vec(20))
+      assert(streamed.contains((101L, 20L)) && streamed.contains((105L, 34L)),
+        streamed.toString)
+      assert(streamed.map(_._1) == Set(101L, 105L), streamed.toString)
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(ops =>
+          ops.isEmpty || ops.forall(_.numRowsTotal == 0L)))
+    } finally q.stop()
+  }
+
   test("index staleness: regenerating the corpus in place (same path, " +
     "newer mtime) yields a different index dir") {
     val tmp = java.nio.file.Files
