@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.AdmissionSweep"
   * Writes one JSON line per base (stdout + ADMISSION_SWEEP.json):
   * build once, then two probes (the min is the warm per-ingest cost —
-  * same best-of-2 estimator as Bench, VARIANCE.md). */
+  * same best-of-2 estimator as Bench, VARIANCE.md).
+  *
+  * SPARK_GRAFT_SWEEP_MODE=emb runs the EMBEDDING index's twin sweep
+  * (q135): the documents scale fixtures have no large vector tables
+  * (the exact-quadratic q28 tier bounds them, TESTDATA.md), so the
+  * bases are generated in-session — n deterministic 64-dim vectors
+  * (sin-derived, no RNG) at n = 50k / 150k / 500k — with a fixed
+  * 5k-vector probe batch of exact copies of base vectors (guaranteed
+  * rejects; cell containment makes them found-by-construction). */
 object AdmissionSweep {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,6 +50,11 @@ object AdmissionSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SWEEP_MODE").contains("emb")) {
+      embSweep(spark, out)
+      spark.stop()
+      return
+    }
     val BatchDocs = 5000L
     // deterministic fixed-size probe batch derived from a base: the
     // lowest-id BatchDocs even docs, one token appended (guaranteed
@@ -100,5 +113,64 @@ object AdmissionSweep {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (lines.mkString("[", ",\n", "]") + "\n").getBytes("UTF-8"))
     spark.stop()
+  }
+
+  /** Embedding-index sweep (q135): synthetic deterministic vector
+    * corpora, fixed-size probe batch, build-once + best-of-2 probes.
+    * Centroids scale as ~sqrt(n) (the standard IVF sizing) so cell
+    * population stays ~sqrt(n) — the probe's per-cell scan grows
+    * sublinearly while the probed-cell COUNT stays nProbe. */
+  private def embSweep(spark: SparkSession, out: String): Unit = {
+    import spark.implicits._
+    val dims = 64
+    val BatchVecs = 5000
+    def vecExpr =
+      s"transform(sequence(0, ${dims - 1}), i -> CAST(sin(CAST(vec_id AS DOUBLE) * 13.0 + CAST(i AS DOUBLE) * 7.0) AS FLOAT))"
+    def baseFor(n: Long) = spark.range(n).select(
+        (col("id") * 2).as("vec_id"))
+      .withColumn("embedding", expr(vecExpr))
+      .withColumn("label", lit("0"))
+    def batchFor() = spark.range(BatchVecs).select(
+        (col("id") * 2).as("vec_id"))
+      .withColumn("embedding", expr(vecExpr))
+      // exact copy of an even base vector, remapped to a disjoint odd id
+      .withColumn("vec_id", col("vec_id") + 10000000001L)
+      .persist()
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm-up (JIT/codegen) against a tiny corpus
+    {
+      val wdir = java.nio.file.Files
+        .createTempDirectory("graft-embsweep-warm").toString + "/idx"
+      graft.operators.AdmissionIndex.embBuildIndex(baseFor(2000), wdir, 16)
+      graft.operators.AdmissionIndex
+        .embProbe(batchFor().limit(500), wdir, 0.99, 4).unpersist(false)
+      ()
+    }
+    val batch = batchFor()
+    val batchRows = batch.count()
+    val lines = Seq(50000L, 150000L, 500000L).map { n =>
+      val centroids = math.max(16, math.sqrt(n.toDouble).toInt)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-embsweep-$n").toString + "/idx"
+      val (_, buildSec) = timed(
+        graft.operators.AdmissionIndex.embBuildIndex(baseFor(n), dir, centroids))
+      def probeOnce(): Long = {
+        val p = graft.operators.AdmissionIndex.embProbe(batch, dir, 0.99, 4)
+        val r = p.count()
+        p.unpersist(false)
+        r
+      }
+      val (pairs1, probe1) = timed(probeOnce())
+      val (_, probe2) = timed(probeOnce())
+      val line = f"""{"base_vecs":$n,"dims":$dims,"centroids":$centroids,"batch_vecs":$batchRows,"build_sec":$buildSec%.2f,"probe_sec":${math.min(probe1, probe2)}%.2f,"probe_runs":[$probe1%.2f,$probe2%.2f],"rejects":$pairs1}"""
+      println(line)
+      line
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (lines.mkString("[", ",\n", "]") + "\n").getBytes("UTF-8"))
+    ()
   }
 }
