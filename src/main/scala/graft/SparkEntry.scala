@@ -459,7 +459,15 @@ object SparkEntry {
     // this is its batch twin — full verified pair set, no rank (an
     // aggregation would be state)
     "q136_stream_emb_admission" -> ((s, d) =>
-      AdmissionIndex.streamEmbAdmission(s, d))
+      AdmissionIndex.streamEmbAdmission(s, d)),
+    // the FULL ingest lifecycle over one index: build (mod-3 base) →
+    // probe batch1 → fold its admitted docs in as an idempotent delta
+    // generation → probe batch2, whose rejects now span base ∪
+    // admitted-batch1 — what round 1 admitted, round 2 cannot duplicate
+    "q137_admission_lifecycle" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      AdmissionIndex.admissionLifecycle(s, d)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -601,6 +609,7 @@ object SparkEntry {
     "q133_admission_index" -> AdmissionIndex.admissionRejectOracle,
     "q134_stream_neardup" -> AdmissionIndex.streamNearDupOracle,
     "q135_emb_admission_index" -> AdmissionIndex.embAdmissionIndexedOracle,
-    "q136_stream_emb_admission" -> AdmissionIndex.streamEmbAdmissionOracle
+    "q136_stream_emb_admission" -> AdmissionIndex.streamEmbAdmissionOracle,
+    "q137_admission_lifecycle" -> AdmissionIndex.admissionLifecycleOracle
   )
 }

@@ -105,29 +105,48 @@ object AdmissionIndex {
       s"$threshold|$maxDfFrac|b=$b,r=$r|$BandBuckets|$DocBuckets")
   }
 
+  /** Dir name = `{path-hash}-{family-hash}-{key-hash}`: the family hash
+    * covers the PARAMETERS (so two parameterizations of one corpus —
+    * e.g. the mod-2 and mod-3 split conventions, or text vs embedding —
+    * coexist), the key hash additionally covers content mtime (so
+    * [[sweepStale]] can delete superseded GENERATIONS of one family
+    * without touching its siblings). */
   private def dirFor(path: String, paramKey: String): String = {
     val pathKey = md5hex(path).take(12)
+    val fam = md5hex(paramKey).take(8)
     val key = md5hex(
       s"$path|${maxMtime(path)}|$paramKey|v$FormatVersion").take(16)
-    s"$indexRoot/$pathKey-$key"
+    s"$indexRoot/$pathKey-$fam-$key"
   }
 
   private val okMarker = "_GRAFT_INDEX_OK"
 
   /** Build-if-absent, synchronized (parallel test suites may race on the
     * same fixture). Sweeps superseded generations of the same corpus
-    * before building. Returns the index dir. */
+    * before building. Returns the index dir.
+    *
+    * `baseMod`: the modulo-split convention for the base side — base =
+    * doc_id % baseMod == 0 (2 = the q65 even/odd convention; q137's
+    * lifecycle uses 3 so two disjoint incoming batches exist). Part of
+    * the index key: different conventions are different indexes. */
   def ensureIndex(spark: SparkSession, sfDir: String,
                   threshold: Double = Dedup.DefaultThreshold,
-                  maxDfFrac: Double = Dedup.DefaultMaxDfFrac): String =
+                  maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
+                  baseMod: Int = 2): String =
     synchronized {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = indexDirFor(docsPath, threshold, maxDfFrac)
+      val dir =
+        if (baseMod == 2) indexDirFor(docsPath, threshold, maxDfFrac)
+        else {
+          val (b, r) = Dedup.lshBanding(threshold)
+          dirFor(docsPath, s"$threshold|$maxDfFrac|b=$b,r=$r|" +
+            s"$BandBuckets|$DocBuckets|mod$baseMod")
+        }
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
         sweepStale(docsPath, keep = dir)
         val base = graft.Tables.documents(spark, sfDir)
-          .filter(col("doc_id") % 2 === 0)
+          .filter(col("doc_id") % baseMod === 0)
         buildIndex(base, dir, threshold, maxDfFrac)
       }
       dir
@@ -139,8 +158,10 @@ object AdmissionIndex {
   private def sweepStale(docsPath: String, keep: String): Unit = {
     val root = java.nio.file.Paths.get(indexRoot)
     if (!java.nio.file.Files.exists(root)) return
-    val prefix = md5hex(docsPath).take(12) + "-"
     val keepName = java.nio.file.Paths.get(keep).getFileName.toString
+    // sweep ONLY superseded generations of the same (corpus, parameter
+    // family) — `{path}-{family}-` — never a sibling parameterization
+    val prefix = keepName.split("-").take(2).mkString("-") + "-"
     val s = java.nio.file.Files.list(root)
     try {
       val it = s.iterator()
@@ -163,6 +184,84 @@ object AdmissionIndex {
     java.nio.file.Files.deleteIfExists(p)
     ()
   }
+
+  // ---- delta generations: admitted batches folded into the index ----
+
+  /** All live roots of a text index: the base generation plus every
+    * COMMITTED delta generation (marker present, non-empty), sorted for
+    * deterministic union order. A generation without its marker (a
+    * crashed append) is invisible — appends are atomic at the marker. */
+  private def indexRoots(dir: String): Seq[String] = {
+    val delta = java.nio.file.Paths.get(dir, "delta")
+    val gens =
+      if (!java.nio.file.Files.isDirectory(delta)) Seq.empty[String]
+      else {
+        val s = java.nio.file.Files.list(delta)
+        try {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = s.iterator()
+          while (it.hasNext) {
+            val g = it.next()
+            val m = g.resolve(okMarker)
+            if (java.nio.file.Files.exists(m) &&
+              !new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+                .contains("\"rows\":0")) b += g.toString
+          }
+          b.sorted.toSeq
+        } finally s.close()
+      }
+    dir +: gens
+  }
+
+  /** Fold an ADMITTED batch into the index as a new delta generation —
+    * the maintenance half of the ingest loop (build → probe → admit →
+    * append), so later probes reject against base ∪ everything admitted
+    * so far without any rebuild. Signatures are computed under the
+    * index's FROZEN hot set (df-at-build-time: the persisted base
+    * signatures are only valid under it, so admitted docs must use it
+    * too — the hot set refreshes at snapshot cadence via a rebuild,
+    * which is also when a deployment compacts deltas into the base).
+    * IDEMPOTENT per `genKey`: a committed generation (marker present)
+    * is never re-appended — re-running a lifecycle query cannot
+    * duplicate rows — and the marker is written LAST, so a crashed
+    * append leaves an invisible, harmless partial directory. */
+  def appendGeneration(admitted: DataFrame, dir: String, genKey: String,
+                       threshold: Double = Dedup.DefaultThreshold): Unit =
+    synchronized {
+      val spark = admitted.sparkSession
+      val gdir = s"$dir/delta/${md5hex(genKey).take(16)}"
+      val marker = java.nio.file.Paths.get(gdir, okMarker)
+      if (java.nio.file.Files.exists(marker)) return
+      val (b, r) = Dedup.lshBanding(threshold)
+      val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
+      val sh0 = Dedup.applyHotFilter(Dedup.hashShingled(admitted), hot)
+      val sig = sh0.select(col("doc_id"), col("hset"),
+          Dedup.permMinsUdf(b * r)(col("hset")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rows = sig.count()
+        if (rows > 0) {
+          sig
+            .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(DocBuckets)))
+            .repartition(col("doc_bucket"))
+            .write.mode("overwrite").partitionBy("doc_bucket")
+            .parquet(s"$gdir/hsets")
+          sig
+            .select(col("doc_id"),
+              explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
+            .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
+            .withColumn("band_bucket", pmod(hash(col("band_key")), lit(BandBuckets)))
+            .repartition(col("band_bucket"))
+            .write.mode("overwrite").partitionBy("band_bucket")
+            .parquet(s"$gdir/bands")
+        } else java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(gdir))
+        java.nio.file.Files.write(marker,
+          s"""{"genKey":${graft.Verify.jsonQuote(genKey)},"rows":$rows,"version":$FormatVersion}
+             |""".stripMargin.getBytes("UTF-8"))
+        ()
+      } finally sig.unpersist(false)
+    }
 
   private def bandKeyExpr(sigCol: String, r: Int): String = {
     val parts = (0 until r).map(k => s"$sigCol[band*$r+$k]").mkString(", ")
@@ -247,9 +346,11 @@ object AdmissionIndex {
       try {
         val touched = bandsB.select(col("band_bucket")).distinct()
           .collect().map(_.getInt(0))
-        val baseBands = spark.read.parquet(s"$dir/bands")
-          .filter(col("band_bucket")
-            .isin(touched.map(Int.box).toIndexedSeq: _*))
+        val roots = indexRoots(dir)
+        val baseBands = roots.map(rt => spark.read.parquet(s"$rt/bands")
+            .filter(col("band_bucket")
+              .isin(touched.map(Int.box).toIndexedSeq: _*)))
+          .reduce(_.unionByName(_))
         val cand = bandsB.as("x")
           .join(baseBands.as("y"), Seq("band_key"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -259,10 +360,11 @@ object AdmissionIndex {
           val candBuckets = cand
             .select(pmod(hash(col("b")), lit(DocBuckets)).as("db"))
             .distinct().collect().map(_.getInt(0))
-          val baseH = spark.read.parquet(s"$dir/hsets")
-            .filter(col("doc_bucket")
-              .isin(candBuckets.map(Int.box).toIndexedSeq: _*))
-            .select(col("doc_id"), col("hset"))
+          val baseH = roots.map(rt => spark.read.parquet(s"$rt/hsets")
+              .filter(col("doc_bucket")
+                .isin(candBuckets.map(Int.box).toIndexedSeq: _*))
+              .select(col("doc_id"), col("hset")))
+            .reduce(_.unionByName(_))
           val out = Dedup.verifyJaccardTwoSided(cand, shB, baseH, threshold)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           out.count()
@@ -333,10 +435,13 @@ object AdmissionIndex {
       .select(col("a"), col("ha"), col("siga"),
         explode(expr(s"sequence(0, ${b - 1})")).as("band"))
       .withColumn("band_key", expr(bandKeyExpr("siga", r)))
-    val baseBands = spark.read.parquet(s"$dir/bands")
-      .select(col("doc_id").as("bb"), col("band_key"))
-    val baseH = spark.read.parquet(s"$dir/hsets")
-      .select(col("doc_id").as("b"), col("hset").as("hb"), col("sig").as("sigb"))
+    val roots = indexRoots(dir)
+    val baseBands = roots.map(rt => spark.read.parquet(s"$rt/bands")
+        .select(col("doc_id").as("bb"), col("band_key")))
+      .reduce(_.unionByName(_))
+    val baseH = roots.map(rt => spark.read.parquet(s"$rt/hsets")
+        .select(col("doc_id").as("b"), col("hset").as("hb"), col("sig").as("sigb")))
+      .reduce(_.unionByName(_))
     val rMatch = (0 until r)
       .map(k => s"siga[j*$r+$k] = sigb[j*$r+$k]").mkString(" AND ")
     val d = threshold / (1.0 + threshold)
@@ -369,6 +474,69 @@ object AdmissionIndex {
     pairsVsIndex(batch, dir, threshold)
       .orderBy(col("batch_doc"), col("base_doc"))
   }
+
+  /** q137 driver form — the FULL ingest lifecycle over one index:
+    * build (base = doc_id % 3 == 0) → probe batch1 (% 3 == 1) → fold
+    * batch1's ADMITTED docs into the index as a delta generation →
+    * probe batch2 (% 3 == 2). Output = batch2's reject list, whose base
+    * side spans base ∪ admitted-batch1 — the property that makes the
+    * gate an actual gate: what round 1 admitted, round 2 cannot
+    * duplicate. All signatures under the base's frozen hot set; the
+    * oracle re-derives admitted-batch1 from the same all-pairs table.
+    * Deterministic across re-runs: the index is keyed build-once and
+    * the generation append is idempotent per genKey. */
+  def admissionLifecycle(spark: SparkSession, sfDir: String,
+                         threshold: Double = Dedup.DefaultThreshold,
+                         maxDfFrac: Double = Dedup.DefaultMaxDfFrac): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac, baseMod = 3)
+    val batch1 = docs.filter(col("doc_id") % 3 === 1)
+    val rejected1 = probePairs(batch1, dir, threshold)
+      .select(col("a")).distinct()
+    val admitted1 = batch1
+      .join(rejected1, batch1("doc_id") === rejected1("a"), "left_anti")
+    appendGeneration(admitted1, dir, genKey = s"$sfDir|gen1", threshold)
+    val batch2 = docs.filter(col("doc_id") % 3 === 2)
+    probePairs(batch2, dir, threshold)
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY a ORDER BY jac DESC, b ASC)"))
+      .filter(col("rnk") === 1)
+      .select(col("a").as("batch_doc"), col("b").as("base_doc"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("batch_doc"))
+  }
+
+  val admissionLifecycleOracle: String =
+    admissionLifecycleOracleAt(Dedup.DefaultThreshold)
+
+  /** The all-pairs CTEs with hot-set statistics scoped to the mod-3
+    * base, then: rejected-batch1 = batch1 docs pairing the base;
+    * admitted = batch1 minus those; batch2's reject list ranks pairs
+    * whose other side is base ∪ admitted. */
+  def admissionLifecycleOracleAt(threshold: Double,
+      maxDfFrac: Double = Dedup.DefaultMaxDfFrac): String =
+    s"""WITH ${Dedup.oracleMinhashPairsCtes(threshold, maxDfFrac, "doc_id % 3 = 0")},
+      |rej1 AS (
+      |  SELECT DISTINCT CASE WHEN a % 3 = 1 THEN a ELSE b END AS d
+      |  FROM mp WHERE (a % 3 = 1 AND b % 3 = 0) OR (a % 3 = 0 AND b % 3 = 1)),
+      |idx AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+      |    AND NOT EXISTS (SELECT 1 FROM rej1 WHERE rej1.d = doc_id)),
+      |p2 AS (
+      |  SELECT CASE WHEN a % 3 = 2 THEN a ELSE b END AS batch_doc,
+      |         CASE WHEN a % 3 = 2 THEN b ELSE a END AS base_doc, jac
+      |  FROM mp WHERE ((a % 3 = 2) <> (b % 3 = 2))
+      |    AND EXISTS (SELECT 1 FROM idx
+      |                WHERE idx.doc_id = CASE WHEN a % 3 = 2 THEN b ELSE a END)),
+      |best AS (
+      |  SELECT batch_doc, base_doc, jac,
+      |         row_number() OVER (PARTITION BY batch_doc
+      |                            ORDER BY jac DESC, base_doc ASC) AS rnk
+      |  FROM p2)
+      |SELECT batch_doc, base_doc, ROUND(jac, 4) AS jaccard
+      |FROM best WHERE rnk = 1 ORDER BY batch_doc""".stripMargin
 
   // ====================================================================
   // Embedding-side persisted admission index (IVF) — q131's scale path

@@ -255,6 +255,46 @@ class AdmissionIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lifecycle: an admitted doc folded in as a delta generation " +
+    "rejects later duplicates of itself; append is idempotent per genKey") {
+    val dir = freshDir()
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near a river bank today"),
+      (6L, "pack my box with five dozen liquor jugs before the long journey south"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    AdmissionIndex.buildIndex(base, dir, threshold = 0.5, maxDfFrac = 1.0)
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    // batch1: 1 duplicates base 0 (rejected); 7 is novel (admitted)
+    val batch1 = docs(
+      (1L, "the quick brown fox jumps over the lazy dog near a river bank today"),
+      (7L, "a completely novel incoming document about gardens and architecture styles"))
+    val rejected1 = AdmissionIndex.probePairs(batch1, dir, 0.5)
+      .select("a").as[Long].collect().toSet
+    assert(rejected1 == Set(1L), rejected1.toString)
+    val admitted1 = batch1.filter(!col("doc_id").isin(rejected1.toSeq: _*))
+    AdmissionIndex.appendGeneration(admitted1, dir, "spec-gen1", 0.5)
+    // idempotence: same genKey again — must be a no-op
+    AdmissionIndex.appendGeneration(admitted1, dir, "spec-gen1", 0.5)
+    // batch2: 2 duplicates the ADMITTED 7 -> rejected against 7 (the
+    // gate property: what round 1 admitted, round 2 cannot duplicate);
+    // 8 duplicates base 6 -> still rejected against the base; 9 novel
+    val batch2 = docs(
+      (2L, "a completely novel incoming document about gardens and architecture styles"),
+      (8L, "pack my box with five dozen liquor jugs before the long journey south"),
+      (9L, "yet another entirely different text about oceans and sailing ships"))
+    val pairs2 = AdmissionIndex.probePairs(batch2, dir, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs2 == Set((2L, 7L), (8L, 6L)), pairs2.toString)
+    // the idempotent double-append must not have produced duplicate
+    // index rows: each pair verified exactly once
+    val cnt = AdmissionIndex.probePairs(batch2, dir, 0.5).count()
+    assert(cnt == 2L, s"expected 2 pair rows, got $cnt")
+  }
+
   test("index staleness: regenerating the corpus in place (same path, " +
     "newer mtime) yields a different index dir") {
     val tmp = java.nio.file.Files
