@@ -467,6 +467,29 @@ object SparkEntry {
     "q137_admission_lifecycle" -> ((s, d) => {
       plans.TopKInstall.install(s)
       AdmissionIndex.admissionLifecycle(s, d)
+    }),
+    // the lifecycle with the COMPACTION maintenance step in the loop
+    // (its own mod-4 index): build → probe → fold → COMPACT (delta
+    // generations' stored rows merged into the base tables, IO-only,
+    // no re-signing) → probe. The oracle models NO compaction — the
+    // pin is that compaction is invisible to every probe answer while
+    // returning the index to single-root shape (N ingests = N scan
+    // branches per probe otherwise, the ADMISSION_SWEEP_GENS axis)
+    "q138_admission_compaction" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      AdmissionIndex.admissionCompaction(s, d)
+    }),
+    // the composed production front door: ONE incoming batch through
+    // all three admission tiers in precedence+cost order — exact
+    // fingerprint (q132) → minhash index probe (q134) → IVF embedding
+    // probe (q136), each tier probing only what the previous passed,
+    // every tier reading a PERSISTED index — emitting per-doc reject
+    // attribution (doc_id, tier, match_id). The gate a 100 TB ingest
+    // actually runs; reference analog: the plants task's one
+    // precomputed-lookup pipeline (plants_classifier.py:183-231)
+    "q139_front_door" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      AdmissionIndex.frontDoor(s, d)
     })
   )
 
@@ -610,6 +633,8 @@ object SparkEntry {
     "q134_stream_neardup" -> AdmissionIndex.streamNearDupOracle,
     "q135_emb_admission_index" -> AdmissionIndex.embAdmissionIndexedOracle,
     "q136_stream_emb_admission" -> AdmissionIndex.streamEmbAdmissionOracle,
-    "q137_admission_lifecycle" -> AdmissionIndex.admissionLifecycleOracle
+    "q137_admission_lifecycle" -> AdmissionIndex.admissionLifecycleOracle,
+    "q138_admission_compaction" -> AdmissionIndex.admissionCompactionOracle,
+    "q139_front_door" -> AdmissionIndex.frontDoorOracle
   )
 }

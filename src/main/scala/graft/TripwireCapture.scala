@@ -48,11 +48,14 @@ object TripwireCapture {
       try { f; "GUARD DID NOT FIRE" }
       catch { case t: Throwable =>
         // raise_error surfaces as SparkRuntimeException (USER_RAISED_
-        // EXCEPTION) wrapped in task failure layers; walk to the root
+        // EXCEPTION) wrapped in task failure layers; walk to the root.
+        // getMessage may legitimately be null on a cause link — guard
+        // it, or the capture tool NPEs instead of recording the firing
+        def msg(x: Throwable) = Option(x.getMessage).getOrElse("")
         var cur = t
-        while (cur.getCause != null && !cur.getMessage.contains("simhashDedup") &&
-          !cur.getMessage.contains("triangleCensus")) cur = cur.getCause
-        cur.getMessage.replace("\n", " ").take(400)
+        while (cur.getCause != null && !msg(cur).contains("simhashDedup") &&
+          !msg(cur).contains("triangleCensus")) cur = cur.getCause
+        msg(cur).replace("\n", " ").take(400)
       }
     def esc(s: String): String = Verify.jsonQuote(s)
 

@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   *    index directory:
   *      `hot/`   the template-shingle hot set (KB-scale),
   *      `hsets/` (doc_id, hset, sig), directory-partitioned by
-  *               `doc_bucket = pmod(hash(doc_id), DocBuckets)`,
+  *               `doc_bucket = pmod(hash(doc_id), docBuckets)`,
   *      `bands/` (doc_id, band_key), directory-partitioned by
-  *               `band_bucket = pmod(hash(band_key), BandBuckets)`.
+  *               `band_bucket = pmod(hash(band_key), bandBuckets)`.
   *  - [[probePairs]] runs PER INGEST: shingle/sign only the batch
   *    (O(batch)), then read only the index partitions the batch's band
   *    keys / candidate doc ids hash into — partition pruning makes
@@ -51,19 +51,57 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape at 100 TB: index build is one linear pass per snapshot
   * (amortized over every ingest until the next snapshot); a probe costs
-  * O(batch) compute + O(touched buckets) IO. Bucket counts are
-  * constants here (local[32]-sized); a deployment sizes them so one
-  * bucket ≈ one task's worth of IO (e.g. 2^14 buckets at 100 TB) — the
-  * layout, pruning and probe plan are unchanged by the constant. */
+  * O(batch) compute + O(touched buckets) IO. Bucket counts are DERIVED
+  * from the base row count at build time ([[bucketCountsFor]]: one
+  * bucket ≈ one task's worth of IO, 2^14 cap at 100 TB), recorded in
+  * the index marker, and read back by every probe/append — the layout,
+  * pruning and probe plan are unchanged by the count. */
 object AdmissionIndex {
 
-  /** Hash-bucket counts for the two partition layouts. Constants sized
-    * for the test boxes; see the scale note above. */
-  val BandBuckets = 64
-  val DocBuckets = 64
+  /** Bucket-count sizing policy: derived from the BASE row count at
+    * build time, so one bucket ≈ one task-sized IO unit at any corpus
+    * scale (the r10 counts were fixed local[32]-sized constants
+    * documented as deployment knobs; deriving them closes that knob).
+    * The chosen counts are recorded in the index marker and every
+    * probe/append reads them from there ([[readBucketCounts]]) — layout
+    * and probe agree per INDEX, not per binary, so a binary with a new
+    * policy still probes old indexes correctly. Power-of-two, clamped
+    * to [[MinBuckets]]..[[MaxBuckets]]; at 100 TB both layouts sit at
+    * the 2^14 ceiling the module doc describes. Explicit overrides
+    * (sweeps, deployments with known task sizing) enter the index KEY,
+    * so differently-bucketed indexes of one corpus coexist. */
+  val MinBuckets = 16
+  val MaxBuckets = 16384
+  /** target hset rows per doc bucket */
+  val DocsPerBucket = 4096L
+  /** target band rows per band bucket (hset rows × b band expansion) */
+  val BandRowsPerBucket = 32768L
 
-  /** Bumping this invalidates every persisted index (layout change). */
-  private val FormatVersion = 2
+  private def pow2AtLeast(x: Long): Int = {
+    var v = MinBuckets
+    while (v < MaxBuckets && v < x) v <<= 1
+    v
+  }
+
+  /** (bandBuckets, docBuckets) for a base of `baseDocs` docs signed
+    * into `bands` bands. */
+  def bucketCountsFor(baseDocs: Long, bands: Int): (Int, Int) =
+    (pow2AtLeast((baseDocs * bands + BandRowsPerBucket - 1) / BandRowsPerBucket),
+     pow2AtLeast((baseDocs + DocsPerBucket - 1) / DocsPerBucket))
+
+  /** (bandBuckets, docBuckets) recorded in an index's marker at build
+    * time — the probe/append side of the sizing contract. */
+  private def readBucketCounts(dir: String): (Int, Int) = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, okMarker)), "UTF-8")
+    def f(k: String) = ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+    (f("bandBuckets").getOrElse(MinBuckets), f("docBuckets").getOrElse(MinBuckets))
+  }
+
+  /** Bumping this invalidates every persisted index (layout change).
+    * v3: derived bucket counts + staleness-key change. */
+  private val FormatVersion = 3
 
   /** Repo-local by default (a deployment points this at an object-store
     * prefix). Relative to the working directory like `spark-warehouse`. */
@@ -74,23 +112,48 @@ object AdmissionIndex {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Max mtime under a path — the staleness component of the index key:
-    * regenerating a fixture in place (same path, new bytes) must produce
-    * a different key, or a stale index would silently answer for the new
-    * corpus. */
-  private def maxMtime(path: String): Long = {
+  /** Staleness component of the index key: regenerating a fixture in
+    * place (same path, new bytes) must produce a different key, or a
+    * stale index would silently answer for the new corpus. Two paths:
+    *
+    *  1. O(1) — a `_GRAFT_MANIFEST` file directly under the corpus dir
+    *     (or `{path}.manifest` beside a single-file corpus): its bytes
+    *     ARE the key. A corpus writer that bumps the manifest per
+    *     publish gives constant-time staleness with ZERO listing — the
+    *     object-store path, where a recursive LIST per lookup (the r10
+    *     shape) is a full prefix scan. The manifest is authoritative:
+    *     content edits that do not bump it are the writer's contract
+    *     violation, not detectable here by design.
+    *  2. fallback — one tree walk folding file count + total bytes +
+    *     max mtime. Count+bytes catch regeneration within filesystem
+    *     timestamp granularity and same-mtime content rewrites (the r10
+    *     key was mtime-only and missed both); mtime catches same-size
+    *     rewrites. */
+  private def stalenessKey(path: String): String = {
     val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) return 0L
-    val s = java.nio.file.Files.walk(p)
-    try {
-      var m = 0L
-      val it = s.iterator()
-      while (it.hasNext) {
-        val t = java.nio.file.Files.getLastModifiedTime(it.next()).toMillis
-        if (t > m) m = t
-      }
-      m
-    } finally s.close()
+    val manifest = p.resolve("_GRAFT_MANIFEST")
+    val sibling = java.nio.file.Paths.get(path + ".manifest")
+    if (java.nio.file.Files.isRegularFile(manifest))
+      "m:" + new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8").trim
+    else if (java.nio.file.Files.isRegularFile(sibling))
+      "m:" + new String(java.nio.file.Files.readAllBytes(sibling), "UTF-8").trim
+    else if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        var n = 0L; var bytes = 0L; var m = 0L
+        val it = s.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          n += 1
+          if (java.nio.file.Files.isRegularFile(f))
+            bytes += java.nio.file.Files.size(f)
+          val t = java.nio.file.Files.getLastModifiedTime(f).toMillis
+          if (t > m) m = t
+        }
+        s"w:$n|$bytes|$m"
+      } finally s.close()
+    }
   }
 
   /** Index directory for a corpus path + parameter set:
@@ -99,11 +162,19 @@ object AdmissionIndex {
     * key hash covers content mtime + every parameter that shapes the
     * persisted bytes. */
   def indexDirFor(docsPath: String, threshold: Double,
-                  maxDfFrac: Double): String = {
+                  maxDfFrac: Double,
+                  buckets: Option[(Int, Int)] = None): String = {
     val (b, r) = Dedup.lshBanding(threshold)
     dirFor(docsPath,
-      s"$threshold|$maxDfFrac|b=$b,r=$r|$BandBuckets|$DocBuckets")
+      s"$threshold|$maxDfFrac|b=$b,r=$r|${bucketTag(buckets)}")
   }
+
+  /** Key component for the bucket layout: `auto` = the sizing policy
+    * (the derived counts live in the marker, not the key — deriving
+    * them needs a base count, which a key must not pay); an explicit
+    * override IS the layout and enters the key. */
+  private def bucketTag(buckets: Option[(Int, Int)]): String =
+    buckets.map { case (bb, db) => s"bk$bb,$db" }.getOrElse("auto")
 
   /** Dir name = `{path-hash}-{family-hash}-{key-hash}`: the family hash
     * covers the PARAMETERS (so two parameterizations of one corpus —
@@ -115,42 +186,82 @@ object AdmissionIndex {
     val pathKey = md5hex(path).take(12)
     val fam = md5hex(paramKey).take(8)
     val key = md5hex(
-      s"$path|${maxMtime(path)}|$paramKey|v$FormatVersion").take(16)
+      s"$path|${stalenessKey(path)}|$paramKey|v$FormatVersion").take(16)
     s"$indexRoot/$pathKey-$fam-$key"
   }
 
   private val okMarker = "_GRAFT_INDEX_OK"
 
-  /** Build-if-absent, synchronized (parallel test suites may race on the
-    * same fixture). Sweeps superseded generations of the same corpus
-    * before building. Returns the index dir.
+  /** Build-if-absent, synchronized against sibling THREADS and made
+    * safe against sibling PROCESSES by the build-to-temp + atomic-rename
+    * publish (two processes that both miss the marker each build
+    * privately under `.tmp/` and exactly one rename wins — the r10
+    * ADVICE race, where both built into the live dir with
+    * mode(overwrite), is closed). Sweeps superseded generations of the
+    * same corpus before building. Returns the index dir.
     *
     * `baseMod`: the modulo-split convention for the base side — base =
     * doc_id % baseMod == 0 (2 = the q65 even/odd convention; q137's
-    * lifecycle uses 3 so two disjoint incoming batches exist). Part of
-    * the index key: different conventions are different indexes. */
+    * lifecycle uses 3, q138's compaction lifecycle 4, so disjoint
+    * incoming batches exist). Part of the index key: different
+    * conventions are different indexes. */
   def ensureIndex(spark: SparkSession, sfDir: String,
                   threshold: Double = Dedup.DefaultThreshold,
                   maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
-                  baseMod: Int = 2): String =
+                  baseMod: Int = 2,
+                  buckets: Option[(Int, Int)] = None): String =
     synchronized {
       val docsPath = s"$sfDir/documents.parquet"
       val dir =
-        if (baseMod == 2) indexDirFor(docsPath, threshold, maxDfFrac)
+        if (baseMod == 2) indexDirFor(docsPath, threshold, maxDfFrac, buckets)
         else {
           val (b, r) = Dedup.lshBanding(threshold)
           dirFor(docsPath, s"$threshold|$maxDfFrac|b=$b,r=$r|" +
-            s"$BandBuckets|$DocBuckets|mod$baseMod")
+            s"${bucketTag(buckets)}|mod$baseMod")
         }
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
         sweepStale(docsPath, keep = dir)
         val base = graft.Tables.documents(spark, sfDir)
           .filter(col("doc_id") % baseMod === 0)
-        buildIndex(base, dir, threshold, maxDfFrac)
+        val tmp = buildTmpDir(dir)
+        buildIndex(base, tmp, threshold, maxDfFrac, buckets)
+        publish(tmp, dir)
       }
       dir
     }
+
+  /** Private scratch dir for one build attempt, OUTSIDE the generation
+    * namespace so [[sweepStale]] can never delete an in-flight sibling
+    * build (tmp dirs live under `.tmp/`, whose name matches no
+    * `{path}-{family}-` prefix). */
+  private def buildTmpDir(dir: String): String = {
+    val name = java.nio.file.Paths.get(dir).getFileName.toString
+    s"$indexRoot/.tmp/$name-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+  }
+
+  /** Atomically publish a fully-built directory (its marker was written
+    * LAST, inside `tmp`): one rename makes the whole build visible at
+    * once. If another process won the race, our build is redundant —
+    * delete it and use theirs. A markerless `dest` (a crashed pre-v3
+    * in-place build) is removed first. */
+  private def publish(tmp: String, dest: String): Unit = {
+    val t = java.nio.file.Paths.get(tmp)
+    val d = java.nio.file.Paths.get(dest)
+    if (java.nio.file.Files.exists(d) &&
+        !java.nio.file.Files.exists(d.resolve(okMarker))) deleteRec(d)
+    try {
+      java.nio.file.Files.createDirectories(d.getParent)
+      java.nio.file.Files.move(t, d,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.AccessDeniedException =>
+        deleteRec(t)
+    }
+  }
 
   /** Delete superseded index generations (same corpus path, different
     * key — old mtime or params). Keeps the store bounded at one live
@@ -171,6 +282,21 @@ object AdmissionIndex {
         if (name.startsWith(prefix) && name != keepName) deleteRec(child)
       }
     } finally s.close()
+    // crashed builds leave orphans under .tmp — reap only ones old
+    // enough (6h) that no live process can still be writing them
+    val tmpRoot = root.resolve(".tmp")
+    if (java.nio.file.Files.isDirectory(tmpRoot)) {
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      val ts = java.nio.file.Files.list(tmpRoot)
+      try {
+        val it = ts.iterator()
+        while (it.hasNext) {
+          val child = it.next()
+          if (java.nio.file.Files.getLastModifiedTime(child).toMillis < cutoff)
+            deleteRec(child)
+        }
+      } finally ts.close()
+    }
   }
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
@@ -237,36 +363,42 @@ object AdmissionIndex {
     synchronized {
       val spark = admitted.sparkSession
       val gdir = s"$dir/delta/${md5hex(genKey).take(16)}"
-      val marker = java.nio.file.Paths.get(gdir, okMarker)
-      if (java.nio.file.Files.exists(marker)) return
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(gdir, okMarker))) return
       val (b, r) = Dedup.lshBanding(threshold)
+      val (bandBuckets, docBuckets) = readBucketCounts(dir)
       val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
       val sh0 = Dedup.applyHotFilter(Dedup.hashShingled(admitted), hot)
       val sig = sh0.select(col("doc_id"), col("hset"),
           Dedup.permMinsUdf(b * r)(col("hset")).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // written to a private tmp dir, marker LAST inside it, then one
+        // atomic rename — same cross-process publish protocol as the
+        // base build (a concurrent same-genKey appender loses cleanly)
+        val tmp = buildTmpDir(gdir)
         val rows = sig.count()
         if (rows > 0) {
           sig
-            .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(DocBuckets)))
+            .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(docBuckets)))
             .repartition(col("doc_bucket"))
             .write.mode("overwrite").partitionBy("doc_bucket")
-            .parquet(s"$gdir/hsets")
+            .parquet(s"$tmp/hsets")
           sig
             .select(col("doc_id"),
               explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
             .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
-            .withColumn("band_bucket", pmod(hash(col("band_key")), lit(BandBuckets)))
+            .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
             .repartition(col("band_bucket"))
             .write.mode("overwrite").partitionBy("band_bucket")
-            .parquet(s"$gdir/bands")
+            .parquet(s"$tmp/bands")
         } else java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(gdir))
-        java.nio.file.Files.write(marker,
+          java.nio.file.Paths.get(tmp))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, okMarker),
           s"""{"genKey":${graft.Verify.jsonQuote(genKey)},"rows":$rows,"version":$FormatVersion}
              |""".stripMargin.getBytes("UTF-8"))
-        ()
+        publish(tmp, gdir)
       } finally sig.unpersist(false)
     }
 
@@ -282,7 +414,8 @@ object AdmissionIndex {
     * [[Dedup.minhashPairsPlan]]. */
   def buildIndex(base: DataFrame, dir: String,
                  threshold: Double = Dedup.DefaultThreshold,
-                 maxDfFrac: Double = Dedup.DefaultMaxDfFrac): Unit = {
+                 maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
+                 buckets: Option[(Int, Int)] = None): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     val (b, r) = Dedup.lshBanding(threshold)
@@ -297,10 +430,14 @@ object AdmissionIndex {
           Dedup.permMinsUdf(b * r)(col("hset")).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // the sizing policy needs the base row count; sig is persisted
+        // anyway, so this count is a cached-column pass, not a rescan
+        val (bandBuckets, docBuckets) =
+          buckets.getOrElse(bucketCountsFor(sig.count(), b))
         // repartition by the layout column first: one file per touched
         // bucket instead of tasks × buckets small files
         sig
-          .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(DocBuckets)))
+          .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(docBuckets)))
           .repartition(col("doc_bucket"))
           .write.mode("overwrite").partitionBy("doc_bucket")
           .parquet(s"$dir/hsets")
@@ -308,7 +445,7 @@ object AdmissionIndex {
           .select(col("doc_id"),
             explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
           .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
-          .withColumn("band_bucket", pmod(hash(col("band_key")), lit(BandBuckets)))
+          .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
           .repartition(col("band_bucket"))
           .write.mode("overwrite").partitionBy("band_bucket")
           .parquet(s"$dir/bands")
@@ -316,7 +453,7 @@ object AdmissionIndex {
           .write.mode("overwrite").parquet(s"$dir/hot")
         java.nio.file.Files.write(
           java.nio.file.Paths.get(dir, okMarker),
-          s"""{"threshold":$threshold,"maxDfFrac":$maxDfFrac,"b":$b,"r":$r,"bandBuckets":$BandBuckets,"docBuckets":$DocBuckets,"version":$FormatVersion}
+          s"""{"threshold":$threshold,"maxDfFrac":$maxDfFrac,"b":$b,"r":$r,"bandBuckets":$bandBuckets,"docBuckets":$docBuckets,"version":$FormatVersion}
              |""".stripMargin.getBytes("UTF-8"))
         ()
       } finally sig.unpersist(false)
@@ -333,11 +470,22 @@ object AdmissionIndex {
     * matched set, O(batch) in the non-degenerate regime q26's tripwire
     * family guards. The batch side is persisted and AQE broadcast-joins
     * it against the pruned scans when small — the base never shuffles. */
+  /** Union of one sub-table across every live index root, partition-
+    * pruned to the touched bucket/cell ids — the shared scan shape of
+    * every batch-side probe. */
+  private def prunedUnion(spark: SparkSession, roots: Seq[String],
+                          sub: String, partCol: String,
+                          touched: Array[Int]): DataFrame =
+    roots.map(rt => spark.read.parquet(s"$rt/$sub")
+        .filter(col(partCol).isin(touched.map(Int.box).toIndexedSeq: _*)))
+      .reduce(_.unionByName(_))
+
   def probePairs(batch: DataFrame, dir: String,
                  threshold: Double = Dedup.DefaultThreshold): DataFrame = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val (b, r) = Dedup.lshBanding(threshold)
+    val (bandBuckets, docBuckets) = readBucketCounts(dir)
     val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
     val shB = Dedup.applyHotFilter(Dedup.hashShingled(batch), hot)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -348,16 +496,13 @@ object AdmissionIndex {
         .select(col("doc_id"),
           explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
         .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
-        .withColumn("band_bucket", pmod(hash(col("band_key")), lit(BandBuckets)))
+        .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val touched = bandsB.select(col("band_bucket")).distinct()
           .collect().map(_.getInt(0))
         val roots = indexRoots(dir)
-        val baseBands = roots.map(rt => spark.read.parquet(s"$rt/bands")
-            .filter(col("band_bucket")
-              .isin(touched.map(Int.box).toIndexedSeq: _*)))
-          .reduce(_.unionByName(_))
+        val baseBands = prunedUnion(spark, roots, "bands", "band_bucket", touched)
         val cand = bandsB.as("x")
           .join(baseBands.as("y"), Seq("band_key"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -365,17 +510,19 @@ object AdmissionIndex {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val candBuckets = cand
-            .select(pmod(hash(col("b")), lit(DocBuckets)).as("db"))
+            .select(pmod(hash(col("b")), lit(docBuckets)).as("db"))
             .distinct().collect().map(_.getInt(0))
-          val baseH = roots.map(rt => spark.read.parquet(s"$rt/hsets")
-              .filter(col("doc_bucket")
-                .isin(candBuckets.map(Int.box).toIndexedSeq: _*))
-              .select(col("doc_id"), col("hset")))
-            .reduce(_.unionByName(_))
-          val out = Dedup.verifyJaccardTwoSided(cand, shB, baseH, threshold)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          out.count()
-          out
+          val baseH = prunedUnion(spark, roots, "hsets", "doc_bucket", candBuckets)
+            .select(col("doc_id"), col("hset"))
+          // localCheckpoint (eager), NOT persist-and-leak: materializes
+          // the result here (so the input caches released below are
+          // never re-read) AND its blocks are reclaimed by the
+          // ContextCleaner once the returned frame is unreachable — a
+          // plain persist sits in the CacheManager until someone
+          // unpersists it, which leaked one cached result per ingest
+          // in a long-lived loop (r10 ADVICE)
+          Dedup.verifyJaccardTwoSided(cand, shB, baseH, threshold)
+            .localCheckpoint(true)
         } finally cand.unpersist(false)
       } finally bandsB.unpersist(false)
     } finally shB.unpersist(false)
@@ -467,18 +614,111 @@ object AdmissionIndex {
         round(col("jac"), 4).as("jaccard"))
   }
 
+  /** [[pairsVsIndex]] with the [[probePairs]] partition-prune collects
+    * put back — the per-micro-batch PRODUCTION form (r10 verdict item
+    * 1). Statelessness forced pairsVsIndex to plan the index tables as
+    * full narrow scans: the batch's bucket set is unknown when a
+    * streaming plan is compiled, and at a 2^14-bucket 100 TB index
+    * that is a full band-table scan per micro-batch. Inside a
+    * `foreachBatch` the micro-batch IS static, so the two bounded
+    * collects (≤bandBuckets and ≤docBuckets ints) are legal again and
+    * per-micro-batch index IO drops to O(touched buckets) —
+    * [[startNearDupStream]] wires exactly that. Output ≡ pairsVsIndex
+    * row-for-row: every batch band key hashes into a collected bucket
+    * and every matched candidate's doc bucket is collected, so pruning
+    * removes only rows that could not join; the min-band row-local
+    * pair dedup and the row-local verify are unchanged (still no
+    * `distinct()`, no aggregation, no state). */
+  def pairsVsIndexPruned(batchDocs: DataFrame, dir: String,
+                         threshold: Double = Dedup.DefaultThreshold): DataFrame =
+    pairsVsIndexPrunedPlan(batchDocs, dir, threshold) match {
+      case (plan, release) =>
+        try plan.localCheckpoint(true) finally release()
+    }
+
+  /** The pruned probe as an un-materialized plan plus the release hook
+    * for its two input caches — split out so AdmissionIndexSpec can
+    * execute the plan and assert on its FileSourceScanExec partition
+    * metrics (localCheckpoint replaces the plan with the checkpointed
+    * RDD, erasing the scans the spec needs to see). Callers other than
+    * the spec use [[pairsVsIndexPruned]]. */
+  private[operators] def pairsVsIndexPrunedPlan(
+      batchDocs: DataFrame, dir: String,
+      threshold: Double): (DataFrame, () => Unit) = {
+    val spark = batchDocs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (b, r) = Dedup.lshBanding(threshold)
+    val (bandBuckets, docBuckets) = readBucketCounts(dir)
+    val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
+    val shB = Dedup.applyHotFilter(Dedup.hashShingled(batchDocs), hot)
+    val sigB = shB.select(col("doc_id").as("a"), col("hset").as("ha"),
+      Dedup.permMinsUdf(b * r)(col("hset")).as("siga"))
+    val bandsB = sigB
+      .select(col("a"), col("ha"), col("siga"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("band"))
+      .withColumn("band_key", expr(bandKeyExpr("siga", r)))
+      .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = bandsB.select(col("band_bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val roots = indexRoots(dir)
+    val baseBands = prunedUnion(spark, roots, "bands", "band_bucket", touched)
+      .select(col("doc_id").as("bb"), col("band_key"))
+    val matched = bandsB.join(baseBands, Seq("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candBuckets = matched
+      .select(pmod(hash(col("bb")), lit(docBuckets)).as("db"))
+      .distinct().collect().map(_.getInt(0))
+    val baseH = prunedUnion(spark, roots, "hsets", "doc_bucket", candBuckets)
+      .select(col("doc_id").as("bdoc"), col("hset").as("hb"),
+        col("sig").as("sigb"))
+    val rMatch = (0 until r)
+      .map(k => s"siga[j*$r+$k] = sigb[j*$r+$k]").mkString(" AND ")
+    val d = threshold / (1.0 + threshold)
+    val plan = matched
+      .join(baseH, col("bb") === col("bdoc"))
+      .filter(expr(
+        s"NOT exists(filter(sequence(0, ${b - 1}), j -> j < band), j -> $rMatch)"))
+      .withColumn("inter", expr("graft_sorted_intersect_size(ha, hb)"))
+      .withColumn("stot", size(col("ha")) + size(col("hb")))
+      .filter(col("inter") >= lit(d) * col("stot"))
+      .withColumn("jac",
+        col("inter") / (col("stot") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a").as("batch_doc"), col("bb").as("base_doc"),
+        round(col("jac"), 4).as("jaccard"))
+    (plan, () => { matched.unpersist(false); bandsB.unpersist(false); () })
+  }
+
+  /** The production streaming near-dup gate: the stream wrapped in
+    * `foreachBatch`, each micro-batch probed via [[pairsVsIndexPruned]]
+    * and handed (materialized) to `sink` with its batch id. Zero
+    * streaming state — the probe is stateless per micro-batch and
+    * emission is exactly-once per pair within a batch (min-band);
+    * sinks needing cross-restart idempotence key on (batchId, pair),
+    * the standard foreachBatch contract. */
+  def startNearDupStream(streamDocs: DataFrame, dir: String,
+      threshold: Double = Dedup.DefaultThreshold)
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    streamDocs.writeStream
+      .foreachBatch((mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => sink(pairsVsIndexPruned(mb.toDF(), dir, threshold), id))
+      .start()
+
   /** q134 driver form: the stateless probe's BATCH twin over the
-    * modulo-split convention, sorted for the oracle compare. The
-    * streaming form is the same [[pairsVsIndex]] call with a streaming
-    * `batchDocs` (AdmissionIndexSpec replays it micro-batch-by-
-    * micro-batch and pins stream ≡ batch ≡ oracle). */
+    * modulo-split convention, sorted for the oracle compare — since
+    * r11 the PRUNED form ([[pairsVsIndexPruned]]), i.e. exactly what
+    * one [[startNearDupStream]] micro-batch executes. The un-pruned
+    * single-plan form [[pairsVsIndex]] remains the spec-replayed
+    * stream-static shape (AdmissionIndexSpec pins pruned ≡ un-pruned ≡
+    * stream ≡ oracle). */
   def streamNearDup(spark: SparkSession, sfDir: String,
                     threshold: Double = Dedup.DefaultThreshold,
                     maxDfFrac: Double = Dedup.DefaultMaxDfFrac): DataFrame = {
     val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
     val batch = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 2 === 1)
-    pairsVsIndex(batch, dir, threshold)
+    pairsVsIndexPruned(batch, dir, threshold)
       .orderBy(col("batch_doc"), col("base_doc"))
   }
 
@@ -494,17 +734,40 @@ object AdmissionIndex {
     * the generation append is idempotent per genKey. */
   def admissionLifecycle(spark: SparkSession, sfDir: String,
                          threshold: Double = Dedup.DefaultThreshold,
-                         maxDfFrac: Double = Dedup.DefaultMaxDfFrac): DataFrame = {
+                         maxDfFrac: Double = Dedup.DefaultMaxDfFrac): DataFrame =
+    lifecycleCore(spark, sfDir, threshold, maxDfFrac,
+      m = 3, genTag = "gen1", compact = false)
+
+  /** q138 driver form — the lifecycle with the COMPACTION maintenance
+    * step in the loop (r10 verdict item 2), on its own mod-4 index so
+    * it never couples to q137's mod-3 state: build (base = doc_id % 4
+    * == 0) → probe batch1 (% 4 == 1) → fold its admitted docs in →
+    * [[compactIndex]] → probe batch2 (% 4 == 2). The oracle is the
+    * plain lifecycle oracle at mod 4 — it models NO compaction, which
+    * is exactly the pin: compaction must be invisible to every probe
+    * answer (IO-only maintenance), and idempotent on warm re-runs
+    * (committed generation skips the fold; a compacted index has no
+    * live deltas, so re-compaction is a no-op). */
+  def admissionCompaction(spark: SparkSession, sfDir: String,
+                          threshold: Double = Dedup.DefaultThreshold,
+                          maxDfFrac: Double = Dedup.DefaultMaxDfFrac): DataFrame =
+    lifecycleCore(spark, sfDir, threshold, maxDfFrac,
+      m = 4, genTag = "genC1", compact = true)
+
+  private def lifecycleCore(spark: SparkSession, sfDir: String,
+                            threshold: Double, maxDfFrac: Double,
+                            m: Int, genTag: String,
+                            compact: Boolean): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
-    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac, baseMod = 3)
-    val genKey = s"$sfDir|gen1"
+    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac, baseMod = m)
+    val genKey = s"$sfDir|$genTag"
     // round 1 (probe batch1 + fold its admitted docs in) replays ONLY
     // until its generation is committed: a warm lifecycle pays exactly
     // one probe per ingest — the per-ingest contract — not a re-probe
     // of history (the committed marker already guarantees the fold
     // itself is idempotent; this skips the wasted probe too)
     if (!generationCommitted(dir, genKey)) {
-      val batch1 = docs.filter(col("doc_id") % 3 === 1)
+      val batch1 = docs.filter(col("doc_id") % m === 1)
       val rejected1 = probePairs(batch1, dir, threshold)
         .select(col("a")).distinct()
       // ids-only broadcast (bounded by the batch), so the anti join
@@ -514,7 +777,8 @@ object AdmissionIndex {
           "left_anti")
       appendGeneration(admitted1, dir, genKey, threshold)
     }
-    val batch2 = docs.filter(col("doc_id") % 3 === 2)
+    if (compact) compactIndex(spark, dir)
+    val batch2 = docs.filter(col("doc_id") % m === 2)
     probePairs(batch2, dir, threshold)
       .withColumn("rnk", expr(
         "row_number() OVER (PARTITION BY a ORDER BY jac DESC, b ASC)"))
@@ -524,30 +788,112 @@ object AdmissionIndex {
       .orderBy(col("batch_doc"))
   }
 
+  /** Fold every committed delta generation's STORED rows into the base
+    * band/hset tables and demote the generations to empty committed
+    * markers — IO-only maintenance. No re-shingling, no re-signing:
+    * the stored signatures are reused verbatim, so every probe answer
+    * is bitwise unchanged (the q138 oracle pins exactly that). What it
+    * buys at scale: [[indexRoots]] unions one scan branch per live
+    * generation into every probe, so N ingests = N small parquet roots
+    * per probe (the axis ADMISSION_SWEEP_GENS measures); compaction
+    * returns the index to single-root shape at pure IO cost — the
+    * cheap maintenance half a deployment runs every K ingests. The HOT
+    * SET stays frozen: refreshing df statistics would invalidate every
+    * stored signature (df-at-build-time, module doc), so a hot-set
+    * refresh is BY DEFINITION the snapshot-cadence rebuild, not
+    * compaction.
+    *
+    * Crash protocol: both merged tables are fully written to a `.tmp`
+    * scratch first; then the root marker comes OFF, the two directory
+    * swaps and the generation demotions run, and the marker is written
+    * back LAST. A crash anywhere inside the window leaves a markerless
+    * root → [[ensureIndex]] rebuilds the base tables in place (delta
+    * dirs are untouched by a rebuild, so committed-but-not-yet-demoted
+    * generations still probe: no admitted doc is ever lost).
+    * Generation MARKERS survive demotion (rewritten as `rows:0,
+    * compacted:true`), so [[generationCommitted]] and
+    * [[appendGeneration]]'s per-genKey idempotence hold across
+    * compaction — a replayed lifecycle cannot re-append a compacted
+    * generation. Callers quiesce probes first (driver queries are
+    * sequential; a deployment compacts on the snapshot scheduler that
+    * owns the index, same as rebuilds). Idempotent: no live
+    * generations → no-op. */
+  def compactIndex(spark: SparkSession, dir: String): Unit = synchronized {
+    val gens = indexRoots(dir).drop(1)
+    if (gens.isEmpty) return
+    val roots = dir +: gens
+    val tmp = buildTmpDir(dir)
+    roots.map(rt => spark.read.parquet(s"$rt/hsets"))
+      .reduce(_.unionByName(_))
+      .repartition(col("doc_bucket"))
+      .write.mode("overwrite").partitionBy("doc_bucket")
+      .parquet(s"$tmp/hsets")
+    roots.map(rt => spark.read.parquet(s"$rt/bands"))
+      .reduce(_.unionByName(_))
+      .repartition(col("band_bucket"))
+      .write.mode("overwrite").partitionBy("band_bucket")
+      .parquet(s"$tmp/bands")
+    val rootMarker = java.nio.file.Paths.get(dir, okMarker)
+    val markerBytes = java.nio.file.Files.readAllBytes(rootMarker)
+    java.nio.file.Files.delete(rootMarker) // window opens: crash → rebuild
+    swapDir(s"$tmp/hsets", s"$dir/hsets")
+    swapDir(s"$tmp/bands", s"$dir/bands")
+    deleteRec(java.nio.file.Paths.get(tmp))
+    gens.foreach { g =>
+      val gm = java.nio.file.Paths.get(g, okMarker)
+      val genKeyLine = new String(java.nio.file.Files.readAllBytes(gm), "UTF-8")
+      val genKey = "\"genKey\":(\"(?:[^\"\\\\]|\\\\.)*\")".r
+        .findFirstMatchIn(genKeyLine).map(_.group(1)).getOrElse("\"?\"")
+      deleteRec(java.nio.file.Paths.get(g))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(g))
+      java.nio.file.Files.write(gm,
+        s"""{"genKey":$genKey,"rows":0,"compacted":true,"version":$FormatVersion}
+           |""".stripMargin.getBytes("UTF-8"))
+    }
+    java.nio.file.Files.write(rootMarker, markerBytes) // window closes
+    ()
+  }
+
+  private def swapDir(src: String, dest: String): Unit = {
+    deleteRec(java.nio.file.Paths.get(dest))
+    java.nio.file.Files.move(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dest))
+    ()
+  }
+
   val admissionLifecycleOracle: String =
     admissionLifecycleOracleAt(Dedup.DefaultThreshold)
 
-  /** The all-pairs CTEs with hot-set statistics scoped to the mod-3
-    * base, then: rejected-batch1 = batch1 docs pairing the base;
-    * admitted = batch1 minus those; batch2's reject list ranks pairs
-    * whose other side is base ∪ admitted. */
   def admissionLifecycleOracleAt(threshold: Double,
       maxDfFrac: Double = Dedup.DefaultMaxDfFrac): String =
-    s"""WITH ${Dedup.oracleMinhashPairsCtes(threshold, maxDfFrac, "doc_id % 3 = 0")},
+    modLifecycleOracle(threshold, maxDfFrac, 3)
+
+  val admissionCompactionOracle: String =
+    modLifecycleOracle(Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac, 4)
+
+  /** The all-pairs CTEs with hot-set statistics scoped to the mod-`m`
+    * base, then: rejected-batch1 = batch1 docs (% m == 1) pairing the
+    * base (% m == 0); admitted = batch1 minus those; batch2's
+    * (% m == 2) reject list ranks pairs whose other side is base ∪
+    * admitted. Residues ≥ 3 never enter `idx`, so the EXISTS filter
+    * keeps them out of `p2` for any m. */
+  private def modLifecycleOracle(threshold: Double, maxDfFrac: Double,
+                                 m: Int): String =
+    s"""WITH ${Dedup.oracleMinhashPairsCtes(threshold, maxDfFrac, s"doc_id % $m = 0")},
       |rej1 AS (
-      |  SELECT DISTINCT CASE WHEN a % 3 = 1 THEN a ELSE b END AS d
-      |  FROM mp WHERE (a % 3 = 1 AND b % 3 = 0) OR (a % 3 = 0 AND b % 3 = 1)),
+      |  SELECT DISTINCT CASE WHEN a % $m = 1 THEN a ELSE b END AS d
+      |  FROM mp WHERE (a % $m = 1 AND b % $m = 0) OR (a % $m = 0 AND b % $m = 1)),
       |idx AS (
-      |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+      |  SELECT doc_id FROM documents WHERE doc_id % $m = 0
       |  UNION ALL
-      |  SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+      |  SELECT doc_id FROM documents WHERE doc_id % $m = 1
       |    AND NOT EXISTS (SELECT 1 FROM rej1 WHERE rej1.d = doc_id)),
       |p2 AS (
-      |  SELECT CASE WHEN a % 3 = 2 THEN a ELSE b END AS batch_doc,
-      |         CASE WHEN a % 3 = 2 THEN b ELSE a END AS base_doc, jac
-      |  FROM mp WHERE ((a % 3 = 2) <> (b % 3 = 2))
+      |  SELECT CASE WHEN a % $m = 2 THEN a ELSE b END AS batch_doc,
+      |         CASE WHEN a % $m = 2 THEN b ELSE a END AS base_doc, jac
+      |  FROM mp WHERE ((a % $m = 2) <> (b % $m = 2))
       |    AND EXISTS (SELECT 1 FROM idx
-      |                WHERE idx.doc_id = CASE WHEN a % 3 = 2 THEN b ELSE a END)),
+      |                WHERE idx.doc_id = CASE WHEN a % $m = 2 THEN b ELSE a END)),
       |best AS (
       |  SELECT batch_doc, base_doc, jac,
       |         row_number() OVER (PARTITION BY batch_doc
@@ -635,7 +981,28 @@ object AdmissionIndex {
     * approximation, reproduced exactly by the oracle. */
   def embProbe(batch: DataFrame, dir: String,
                threshold: Double = EmbThreshold,
-               nProbe: Int = EmbNProbe): DataFrame = {
+               nProbe: Int = EmbNProbe): DataFrame =
+    embScored(batch, dir, threshold, nProbe)
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY batch_vec ORDER BY cos DESC, base_vec ASC)"))
+      .filter(col("rnk") === 1)
+      .select(col("batch_vec"), col("base_vec"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy(col("batch_vec"))
+
+  /** Shared pruned scorer behind [[embProbe]] (q135) and
+    * [[embPairsVsIndexPruned]] (q136's production micro-batch form):
+    * verified (batch_vec, base_vec, cos ≥ threshold) over the
+    * partition-pruned probed cells, cos UNROUNDED — the q135 rank must
+    * order by the exact cosine (ranking rounded values could pick a
+    * different tie-winner than the oracle). The threshold filter sits
+    * BEFORE the checkpoint so only verified pairs materialize, never
+    * the raw cell-join candidate volume. Output is
+    * localCheckpoint(eager)ed: materialized once here, blocks
+    * reclaimed by the ContextCleaner when the frame goes unreachable
+    * (the r10 persist leaked per ingest, ADVICE). */
+  private def embScored(batch: DataFrame, dir: String,
+                        threshold: Double, nProbe: Int): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -652,19 +1019,11 @@ object AdmissionIndex {
         .collect().map(_.getInt(0))
       val baseCells = spark.read.parquet(s"$dir/cells")
         .filter(col("cell").isin(touched.map(Int.box).toIndexedSeq: _*))
-      val out = probes.as("x").join(baseCells.as("y"), Seq("cell"))
+      probes.as("x").join(baseCells.as("y"), Seq("cell"))
         .select(col("x.vec_id").as("batch_vec"), col("y.vec_id").as("base_vec"),
           expr(Similarity.cosExpr).as("cos"))
         .filter(col("cos") >= threshold)
-        .withColumn("rnk", expr(
-          "row_number() OVER (PARTITION BY batch_vec ORDER BY cos DESC, base_vec ASC)"))
-        .filter(col("rnk") === 1)
-        .select(col("batch_vec"), col("base_vec"),
-          round(col("cos"), 6).as("cosine"))
-        .orderBy(col("batch_vec"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      out
+        .localCheckpoint(true)
     } finally probes.unpersist(false)
   }
 
@@ -702,10 +1061,39 @@ object AdmissionIndex {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** [[embPairsVsIndex]] with the cell-prune collect put back — the
+    * per-micro-batch PRODUCTION form (IVF twin of
+    * [[pairsVsIndexPruned]]): inside a `foreachBatch` the micro-batch
+    * is static, so the bounded touched-cell collect applies and the
+    * per-micro-batch cells IO is the probed partitions, not the whole
+    * layout. Output ≡ embPairsVsIndex row-for-row (a base vector lives
+    * in exactly one cell; pruning removes only cells no batch vector
+    * probes). */
+  def embPairsVsIndexPruned(batchVecs: DataFrame, dir: String,
+                            threshold: Double = EmbThreshold,
+                            nProbe: Int = EmbNProbe): DataFrame =
+    embScored(batchVecs, dir, threshold, nProbe)
+      .select(col("batch_vec"), col("base_vec"),
+        round(col("cos"), 6).as("cosine"))
+
+  /** The production streaming embedding gate — `foreachBatch` around
+    * [[embPairsVsIndexPruned]]; same contract as
+    * [[startNearDupStream]]. */
+  def startEmbAdmissionStream(streamVecs: DataFrame, dir: String,
+      threshold: Double = EmbThreshold, nProbe: Int = EmbNProbe)
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    streamVecs.writeStream
+      .foreachBatch((mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) =>
+        sink(embPairsVsIndexPruned(mb.toDF(), dir, threshold, nProbe), id))
+      .start()
+
   /** q136 driver form: the stateless embedding probe's BATCH twin over
-    * the modulo-split convention, sorted for the oracle compare; the
-    * streaming form is the same [[embPairsVsIndex]] call with a
-    * streaming `batchVecs` (spec-replayed, zero state rows). */
+    * the modulo-split convention, sorted for the oracle compare —
+    * since r11 the PRUNED form, i.e. exactly one
+    * [[startEmbAdmissionStream]] micro-batch. The un-pruned
+    * single-plan form [[embPairsVsIndex]] remains the spec-replayed
+    * stream-static shape (pruned ≡ un-pruned ≡ stream ≡ oracle). */
   def streamEmbAdmission(spark: SparkSession, sfDir: String,
                          threshold: Double = EmbThreshold,
                          centroids: Int = EmbCentroids,
@@ -713,7 +1101,7 @@ object AdmissionIndex {
     val dir = ensureEmbIndex(spark, sfDir, centroids)
     val batch = graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 2 === 1)
-    embPairsVsIndex(batch, dir, threshold, nProbe)
+    embPairsVsIndexPruned(batch, dir, threshold, nProbe)
       .orderBy(col("batch_vec"), col("base_vec"))
   }
 
@@ -750,6 +1138,16 @@ object AdmissionIndex {
     * bigint-encoded argmin — no cross-engine struct ordering), nProbe
     * probe cells per batch vector, candidates = probed-cell joins. */
   private def embOracleCtes(centroids: Int, nProbe: Int): String = {
+    // the bigint-encoded argmin packs (dist + 2^38)*256 + i: the %256
+    // aliases cell ids past 256 centroids, and the 2^38 offset only
+    // dominates |n2 - 2·dot| for quantized dims ≲ 1300 (|qv| ≤ 1e4 →
+    // |2·dot| ≤ 2·dims·1e8 < 2^38). Both are caller-supplied on the
+    // public oracle builders — fail loud instead of silently corrupting
+    // the encoded ordering (r10 ADVICE).
+    require(centroids >= 1 && centroids <= 256,
+      s"embedding oracle argmin encoding supports at most 256 centroids, got $centroids")
+    require(nProbe >= 1 && nProbe <= centroids,
+      s"nProbe must be in 1..centroids, got $nProbe")
     val OFF = 274877906944L
     val dotCQ =
       """CAST(list_sum(list_transform(range(1, len(q.qv)+1), d -> q.qv[d] * cents[i].qv[d])) AS BIGINT)"""
@@ -791,6 +1189,138 @@ object AdmissionIndex {
       |  FROM scored WHERE cos >= $threshold)
       |SELECT batch_vec, base_vec, ROUND(cos, 6) AS cosine
       |FROM ranked WHERE rnk = 1 ORDER BY batch_vec""".stripMargin
+
+  // ====================================================================
+  // q139 — the composed production front door: one incoming batch
+  // through all three admission tiers in precedence order, each tier
+  // only probing what the previous tiers passed. This is the gate a
+  // real 100 TB ingest runs (reference analog: the plants task's single
+  // precomputed-lookup pipeline, plants_classifier.py:183–231 — one
+  // request, one chain of lookups, one verdict).
+  // ====================================================================
+
+  /** Whitespace-normalized md5 fingerprint — the exact-tier key, shared
+    * semantics with [[graft.streaming.DocStream]] (q132) and
+    * [[Dedup.exactDedup]]. */
+  private def fpCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** One incoming batch (odd doc_ids) → per-doc, per-tier reject
+    * attribution: `(doc_id, tier ∈ exact|near_dup|semantic|admitted,
+    * match_id)` where match_id is the rejecting base doc/vector (NULL
+    * when admitted). Tier order is precedence order AND cost order —
+    * the fingerprint anti-join is the cheapest test and runs first;
+    * the minhash index probe only shingles what it passed; the IVF
+    * embedding probe (vectors keyed vec_id = doc_id) only scores what
+    * both passed. All three tiers read PERSISTED indexes (the mod-2
+    * text index shared with q133/q134, the IVF index shared with
+    * q135/q136), so per-ingest cost is O(batch + touched buckets/
+    * cells) on every tier — nothing base-sized is recomputed.
+    * Attribution ties: exact → lowest matching base id; near_dup →
+    * best jaccard, ties to lowest base id; semantic → best cosine,
+    * ties to lowest base vector. */
+  def frontDoor(spark: SparkSession, sfDir: String,
+                threshold: Double = Dedup.DefaultThreshold,
+                maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
+                embThreshold: Double = EmbThreshold,
+                centroids: Int = EmbCentroids,
+                nProbe: Int = EmbNProbe): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
+    val edir = ensureEmbIndex(spark, sfDir, centroids)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    // tier 1 — exact: fingerprints only (16 bytes/doc, q132 scale
+    // shape); the lowest matching base id is the attribution
+    val baseFp = docs.filter(col("doc_id") % 2 === 0)
+      .select(fpCol(col("text")).as("fp"), col("doc_id").as("bid"))
+    val exactBest = incoming.select(col("doc_id"), fpCol(col("text")).as("fp"))
+      .join(baseFp, Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("bid")).as("exact_id"))
+      .localCheckpoint(true) // tiny; read twice (attribution + tier-2 input)
+    // tier 2 — minhash index probe over tier 1's survivors only
+    val survivors1 = incoming
+      .join(exactBest.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val ndBest = probePairs(survivors1, dir, threshold)
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY a ORDER BY jac DESC, b ASC)"))
+      .filter(col("rnk") === 1)
+      .select(col("a").as("doc_id"), col("b").as("nd_id"))
+      .localCheckpoint(true) // tiny; read twice (attribution + tier-3 input)
+    // tier 3 — IVF embedding probe over tier 1+2's survivors' vectors
+    val survivors2 = survivors1.select(col("doc_id"))
+      .join(ndBest.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .join(survivors2, col("vec_id") === survivors2("doc_id"), "left_semi")
+    val semBest = embProbe(vecs, edir, embThreshold, nProbe)
+      .select(col("batch_vec").as("doc_id"), col("base_vec").as("sem_id"))
+    incoming.select(col("doc_id"))
+      .join(exactBest, Seq("doc_id"), "left")
+      .join(ndBest, Seq("doc_id"), "left")
+      .join(semBest, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("nd_id").isNotNull, lit("near_dup"))
+          .when(col("sem_id").isNotNull, lit("semantic"))
+          .otherwise(lit("admitted")).as("tier"),
+        // -1 sentinel, not NULL: admitted docs have no match, and a
+        // NULL would make the whole column float-ish in downstream
+        // pandas/arrow consumers (and NaN ≠ NaN in naive compares)
+        coalesce(col("exact_id"), col("nd_id"), col("sem_id"), lit(-1L))
+          .as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val frontDoorOracle: String = frontDoorOracleAt(
+    Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac,
+    EmbThreshold, EmbCentroids, EmbNProbe)
+
+  /** Composes the three tiers' CTE chains (exact fingerprint join,
+    * the mod-2 minhash pair CTEs, the IVF cell-assignment CTEs) and
+    * attributes each incoming doc to its first rejecting tier. The
+    * per-tier best-match CTEs rank over ALL docs (not survivors) —
+    * the CASE precedence masks lower tiers exactly as the engine's
+    * survivor filtering does, because per-doc probe results are
+    * independent of which other docs are probed. */
+  def frontDoorOracleAt(threshold: Double, maxDfFrac: Double,
+                        embThreshold: Double, centroids: Int,
+                        nProbe: Int): String =
+    s"""WITH ${Dedup.oracleMinhashPairsCtes(threshold, maxDfFrac, "doc_id % 2 = 0")},
+      |${embOracleCtes(centroids, nProbe)},
+      |exact_best AS (
+      |  SELECT d.doc_id, MIN(e.doc_id) AS exact_id
+      |  FROM documents d JOIN documents e
+      |    ON e.doc_id % 2 = 0
+      |   AND md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) =
+      |       md5(trim(regexp_replace(lower(e.text), '\\s+', ' ', 'g')))
+      |  WHERE d.doc_id % 2 = 1
+      |  GROUP BY d.doc_id),
+      |nd_ranked AS (
+      |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id,
+      |         CASE WHEN a % 2 = 1 THEN b ELSE a END AS nd_id,
+      |         row_number() OVER (
+      |           PARTITION BY CASE WHEN a % 2 = 1 THEN a ELSE b END
+      |           ORDER BY jac DESC,
+      |                    CASE WHEN a % 2 = 1 THEN b ELSE a END ASC) AS rnk
+      |  FROM mp WHERE (a % 2) <> (b % 2)),
+      |nd_best AS (SELECT doc_id, nd_id FROM nd_ranked WHERE rnk = 1),
+      |sem_ranked AS (
+      |  SELECT batch_vec AS doc_id, base_vec AS sem_id,
+      |         row_number() OVER (PARTITION BY batch_vec
+      |                            ORDER BY cos DESC, base_vec ASC) AS rnk
+      |  FROM scored WHERE cos >= $embThreshold),
+      |sem_best AS (SELECT doc_id, sem_id FROM sem_ranked WHERE rnk = 1)
+      |SELECT d.doc_id,
+      |       CASE WHEN x.exact_id IS NOT NULL THEN 'exact'
+      |            WHEN n.nd_id IS NOT NULL THEN 'near_dup'
+      |            WHEN s.sem_id IS NOT NULL THEN 'semantic'
+      |            ELSE 'admitted' END AS tier,
+      |       coalesce(x.exact_id, n.nd_id, s.sem_id, -1) AS match_id
+      |FROM documents d
+      |LEFT JOIN exact_best x ON x.doc_id = d.doc_id
+      |LEFT JOIN nd_best n ON n.doc_id = d.doc_id
+      |LEFT JOIN sem_best s ON s.doc_id = d.doc_id
+      |WHERE d.doc_id % 2 = 1
+      |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // Oracles — the all-pairs minhash CTEs with hot-set STATISTICS scoped
