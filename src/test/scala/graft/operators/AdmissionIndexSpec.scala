@@ -295,6 +295,271 @@ class AdmissionIndexSpec extends SparkSpec {
     assert(cnt == 2L, s"expected 2 pair rows, got $cnt")
   }
 
+  test("pruned micro-batch probe ≡ un-pruned stateless plan, and its " +
+    "band/hset scans read ONLY touched partitions (metadata pruning, " +
+    "partition-count metrics strictly below the layout size)") {
+    val docs = corpus
+    val dir = freshDir()
+    // explicit wide override: 256 band buckets / 64 doc buckets, so a
+    // 4-doc batch's touched set is a strict subset by construction
+    AdmissionIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0), dir,
+      threshold = 0.5, maxDfFrac = 0.3, buckets = Some((256, 64)))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val unpruned = AdmissionIndex.pairsVsIndex(batch, dir, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def partDirs(sub: String) = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir, sub))
+      try {
+        var n = 0
+        val it = s.iterator()
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.contains("=")) n += 1
+        }
+        n
+      } finally s.close()
+    }
+    // AQE off for the whole pruned run so the executed plan exposes
+    // plain FileSourceScanExec nodes with populated partition metrics
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (planDf, release) =
+        AdmissionIndex.pairsVsIndexPrunedPlan(batch, dir, 0.5)
+      try {
+        val pruned = planDf.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(pruned == unpruned, s"$pruned != $unpruned")
+        // the bands scan ran while building the persisted candidate
+        // stage (the bucket-collect job), so it sits inside the cached
+        // plan of an InMemoryTableScan, metrics populated by that real
+        // execution; the hsets scan is in the final plan directly
+        val top = planDf.queryExecution.executedPlan
+        val scans = top.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        } ++ top.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+        }.flatMap(_.relation.cachedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        })
+        def scansOf(sub: String) = scans.filter(
+          _.relation.location.rootPaths.exists(_.toString.contains(s"/$sub")))
+        val bandScans = scansOf("bands")
+        val hsetScans = scansOf("hsets")
+        assert(bandScans.nonEmpty && hsetScans.nonEmpty,
+          scans.map(_.relation.location.rootPaths.mkString).mkString("\n"))
+        assert((bandScans ++ hsetScans).forall(_.partitionFilters.nonEmpty),
+          "bucket predicates must be PartitionFilters (metadata-only pruning)")
+        val bandRead = bandScans.map(_.metrics("numPartitions").value).sum
+        val hsetRead = hsetScans.map(_.metrics("numPartitions").value).sum
+        assert(bandRead < partDirs("bands"),
+          s"band scan read $bandRead of ${partDirs("bands")} partitions — not pruned")
+        assert(hsetRead < partDirs("hsets"),
+          s"hset scan read $hsetRead of ${partDirs("hsets")} partitions — not pruned")
+      } finally release()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("startNearDupStream: foreachBatch around the pruned probe, " +
+    "2 micro-batches, stream ≡ pruned batch twin, exactly-once pairs") {
+    val docs = corpus
+    val dir = freshDir()
+    AdmissionIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0), dir,
+      threshold = 0.5, maxDfFrac = 0.3)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = AdmissionIndex.startNearDupStream(streamDocs, dir, 0.5) {
+      (df, _) =>
+        got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+    }
+    try {
+      val rows = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+      val twin = AdmissionIndex
+        .pairsVsIndexPruned(docs.filter(col("doc_id") % 2 === 1), dir, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.toSet == twin, s"stream ${got.toSet} != batch $twin")
+      assert(got.size == got.distinct.size, "pairs must be exactly-once")
+      assert(got.map(p => (p._1, p._2)).toSet == Set((101L, 102L), (103L, 104L)))
+    } finally q.stop()
+  }
+
+  test("startEmbAdmissionStream: foreachBatch around the pruned IVF " +
+    "probe, stream ≡ pruned twin ≡ un-pruned plan") {
+    val dims = 8
+    def vec(seed: Long) = Array.tabulate(dims)(i =>
+      math.sin(seed * 13.0 + i * 7.0).toFloat)
+    val base = (0 until 40).map(i => (2L * i, vec(2L * i), "0"))
+    val batch = Seq(
+      (101L, vec(20L), "0"),
+      (103L, Array.tabulate(dims)(i => if (i == 0) 1e-4f else 0f), "0"),
+      (105L, vec(34L), "0"))
+    val dir = freshDir()
+    AdmissionIndex.embBuildIndex(
+      base.toDF("vec_id", "embedding", "label"), dir, centroids = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float], String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = AdmissionIndex.startEmbAdmissionStream(
+      mem.toDF().toDF("vec_id", "embedding", "label"), dir,
+      threshold = 0.99, nProbe = 2) { (df, _) =>
+        got ++= df.select("batch_vec", "base_vec").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+    }
+    try {
+      mem.addData(batch.take(1))
+      q.processAllAvailable()
+      mem.addData(batch.drop(1))
+      q.processAllAvailable()
+      val prunedTwin = AdmissionIndex.embPairsVsIndexPruned(
+          batch.toDF("vec_id", "embedding", "label"), dir, 0.99, 2)
+        .select("batch_vec", "base_vec").as[(Long, Long)].collect().toSet
+      val unpruned = AdmissionIndex.embPairsVsIndex(
+          batch.toDF("vec_id", "embedding", "label"), dir, 0.99, 2)
+        .select("batch_vec", "base_vec").as[(Long, Long)].collect().toSet
+      assert(got.toSet == prunedTwin, s"stream ${got.toSet} != $prunedTwin")
+      assert(prunedTwin == unpruned, s"pruned $prunedTwin != un-pruned $unpruned")
+      assert(got.toSet.contains((101L, 20L)) && got.toSet.contains((105L, 34L)))
+    } finally q.stop()
+  }
+
+  test("compaction: probe answers bitwise unchanged, generations demoted " +
+    "to committed markers, append idempotence survives, re-run is a no-op") {
+    val dir = freshDir()
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near a river bank today"),
+      (6L, "pack my box with five dozen liquor jugs before the long journey south"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    AdmissionIndex.buildIndex(base, dir, threshold = 0.5, maxDfFrac = 1.0)
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val admitted1 = docs(
+      (7L, "a completely novel incoming document about gardens and architecture styles"))
+    AdmissionIndex.appendGeneration(admitted1, dir, "spec-compact-g1", 0.5)
+    val batch2 = docs(
+      (2L, "a completely novel incoming document about gardens and architecture styles"),
+      (8L, "pack my box with five dozen liquor jugs before the long journey south"),
+      (9L, "yet another entirely different text about oceans and sailing ships"))
+    def probe() = AdmissionIndex.probePairs(batch2, dir, 0.5)
+      .select(col("a"), col("b"), round(col("jac"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probe()
+    assert(before.map(p => (p._1, p._2)) == Set((2L, 7L), (8L, 6L)), before.toString)
+    val gdirs = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "delta"))
+      try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val it = s.iterator(); while (it.hasNext) b += it.next()
+        b.toSeq
+      } finally s.close()
+    }
+    assert(gdirs.nonEmpty && gdirs.forall(g =>
+      java.nio.file.Files.isDirectory(g.resolve("bands"))))
+    AdmissionIndex.compactIndex(spark, dir)
+    // probe answer identical off the single-root layout
+    assert(probe() == before)
+    // generations demoted: marker present (idempotence key), data gone
+    gdirs.foreach { g =>
+      assert(java.nio.file.Files.exists(g.resolve("_GRAFT_INDEX_OK")),
+        "generation marker must survive compaction")
+      assert(!java.nio.file.Files.exists(g.resolve("bands")),
+        "generation data must be folded away")
+    }
+    // a replayed lifecycle cannot re-append the compacted generation
+    AdmissionIndex.appendGeneration(admitted1, dir, "spec-compact-g1", 0.5)
+    gdirs.foreach(g =>
+      assert(!java.nio.file.Files.exists(g.resolve("bands")),
+        "append after compaction must remain a no-op"))
+    assert(probe() == before)
+    // idempotent: nothing live to compact
+    AdmissionIndex.compactIndex(spark, dir)
+    assert(probe() == before)
+  }
+
+  test("bucket sizing: counts derive from the base size (pow2, clamped), " +
+    "and probes read the MARKER's counts — an override layout probes " +
+    "identically to the default one") {
+    assert(AdmissionIndex.bucketCountsFor(100L, 9) == (16, 16))
+    assert(AdmissionIndex.bucketCountsFor(300000L, 9) == (128, 128))
+    assert(AdmissionIndex.bucketCountsFor(1L << 40, 9) == (16384, 16384))
+    val docs = corpus
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val dirA = freshDir()
+    val dirB = freshDir()
+    AdmissionIndex.buildIndex(base, dirA, threshold = 0.5, maxDfFrac = 0.3)
+    AdmissionIndex.buildIndex(base, dirB, threshold = 0.5, maxDfFrac = 0.3,
+      buckets = Some((32, 8)))
+    def probe(dir: String) = AdmissionIndex.probePairs(batch, dir, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(probe(dirA) == probe(dirB))
+    assert(probe(dirB) == Set((101L, 102L), (103L, 104L)))
+    // the override's counts landed in the marker
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dirB, "_GRAFT_INDEX_OK")), "UTF-8")
+    assert(marker.contains("\"bandBuckets\":32") &&
+      marker.contains("\"docBuckets\":8"), marker)
+  }
+
+  test("staleness key: a content rewrite that PRESERVES every mtime " +
+    "still rotates the index dir (count+bytes in the fingerprint)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-admission-mtime").toString
+    val docsPath = s"$tmp/documents.parquet"
+    def pinMtimes(): Unit = {
+      val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(docsPath))
+      try {
+        val it = s.iterator()
+        while (it.hasNext) java.nio.file.Files.setLastModifiedTime(it.next(), t)
+      } finally s.close()
+    }
+    corpus.write.mode("overwrite").parquet(docsPath)
+    pinMtimes()
+    val d1 = AdmissionIndex.indexDirFor(docsPath, 0.5, 0.1)
+    assert(d1 == AdmissionIndex.indexDirFor(docsPath, 0.5, 0.1))
+    // regenerate with different content, then pin every mtime back to
+    // the exact same instant — the r10 mtime-only key missed this
+    corpus.union(corpus.withColumn("doc_id", col("doc_id") + 1000))
+      .write.mode("overwrite").parquet(docsPath)
+    pinMtimes()
+    assert(AdmissionIndex.indexDirFor(docsPath, 0.5, 0.1) != d1,
+      "same-mtime content rewrite must rotate the index key")
+  }
+
+  test("manifest staleness: _GRAFT_MANIFEST is the O(1) authoritative " +
+    "key — file churn under it does not rotate, bumping it does") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-admission-manifest").toString
+    val docsPath = s"$tmp/documents.parquet"
+    corpus.write.mode("overwrite").parquet(docsPath)
+    val mf = java.nio.file.Paths.get(docsPath, "_GRAFT_MANIFEST")
+    java.nio.file.Files.write(mf, "v1".getBytes("UTF-8"))
+    val d1 = AdmissionIndex.indexDirFor(docsPath, 0.5, 0.1)
+    // touch the data files: with a manifest present the key must NOT
+    // move (the manifest is the version, by contract)
+    val f = java.nio.file.Paths.get(docsPath)
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis + 5000))
+    assert(AdmissionIndex.indexDirFor(docsPath, 0.5, 0.1) == d1)
+    java.nio.file.Files.write(mf, "v2".getBytes("UTF-8"))
+    assert(AdmissionIndex.indexDirFor(docsPath, 0.5, 0.1) != d1,
+      "manifest bump must rotate the index key")
+  }
+
   test("index staleness: regenerating the corpus in place (same path, " +
     "newer mtime) yields a different index dir") {
     val tmp = java.nio.file.Files
