@@ -358,48 +358,72 @@ object AdmissionIndex {
     java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"$dir/delta/${md5hex(genKey).take(16)}", okMarker))
 
+  /** One shingle → hot-filter → sign pass over a batch, under the
+    * index's frozen hot set: (doc_id, hset, sig). THE shared per-ingest
+    * batch stage — [[probePairsSigned]] probes from it and
+    * [[appendGenerationSigned]] folds from it, so a lifecycle caller
+    * (probe, then fold the admitted docs) pays it exactly once
+    * (profiled as the dominant per-ingest term: ~21 of 47 s warm at the
+    * 100× fixture). Docs with < 3 tokens or an all-hot shingle set drop
+    * here — identically on the probe and fold sides, and identically to
+    * the pre-split shape where each op re-ran the pass itself. */
+  def signedBatch(batch: DataFrame, dir: String,
+                  threshold: Double = Dedup.DefaultThreshold): DataFrame = {
+    val spark = batch.sparkSession
+    val (b, r) = Dedup.lshBanding(threshold)
+    val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
+    Dedup.applyHotFilter(Dedup.hashShingled(batch), hot)
+      .select(col("doc_id"), col("hset"),
+        Dedup.permMinsUdf(b * r)(col("hset")).as("sig"))
+  }
+
   def appendGeneration(admitted: DataFrame, dir: String, genKey: String,
-                       threshold: Double = Dedup.DefaultThreshold): Unit =
+                       threshold: Double = Dedup.DefaultThreshold): Unit = {
+    val signed = signedBatch(admitted, dir, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try appendGenerationSigned(signed, dir, genKey, threshold)
+    finally signed.unpersist(false)
+  }
+
+  /** Fold an ALREADY-SIGNED admitted frame (doc_id, hset, sig — the
+    * [[signedBatch]] shape, normally the probe's own signed input
+    * anti-joined against its rejects) into the index as a committed
+    * generation, skipping the re-shingle/re-sign the plain
+    * [[appendGeneration]] pays. Same marker/idempotence contract. */
+  def appendGenerationSigned(signed: DataFrame, dir: String, genKey: String,
+                             threshold: Double = Dedup.DefaultThreshold): Unit =
     synchronized {
-      val spark = admitted.sparkSession
       val gdir = s"$dir/delta/${md5hex(genKey).take(16)}"
       if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(gdir, okMarker))) return
       val (b, r) = Dedup.lshBanding(threshold)
       val (bandBuckets, docBuckets) = readBucketCounts(dir)
-      val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
-      val sh0 = Dedup.applyHotFilter(Dedup.hashShingled(admitted), hot)
-      val sig = sh0.select(col("doc_id"), col("hset"),
-          Dedup.permMinsUdf(b * r)(col("hset")).as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // written to a private tmp dir, marker LAST inside it, then one
-        // atomic rename — same cross-process publish protocol as the
-        // base build (a concurrent same-genKey appender loses cleanly)
-        val tmp = buildTmpDir(gdir)
-        val rows = sig.count()
-        if (rows > 0) {
-          sig
-            .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(docBuckets)))
-            .repartition(col("doc_bucket"))
-            .write.mode("overwrite").partitionBy("doc_bucket")
-            .parquet(s"$tmp/hsets")
-          sig
-            .select(col("doc_id"),
-              explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
-            .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
-            .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
-            .repartition(col("band_bucket"))
-            .write.mode("overwrite").partitionBy("band_bucket")
-            .parquet(s"$tmp/bands")
-        } else java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(tmp))
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(tmp, okMarker),
-          s"""{"genKey":${graft.Verify.jsonQuote(genKey)},"rows":$rows,"version":$FormatVersion}
-             |""".stripMargin.getBytes("UTF-8"))
-        publish(tmp, gdir)
-      } finally sig.unpersist(false)
+      // written to a private tmp dir, marker LAST inside it, then one
+      // atomic rename — same cross-process publish protocol as the
+      // base build (a concurrent same-genKey appender loses cleanly)
+      val tmp = buildTmpDir(gdir)
+      val rows = signed.count()
+      if (rows > 0) {
+        signed
+          .withColumn("doc_bucket", pmod(hash(col("doc_id")), lit(docBuckets)))
+          .repartition(col("doc_bucket"))
+          .write.mode("overwrite").partitionBy("doc_bucket")
+          .parquet(s"$tmp/hsets")
+        signed
+          .select(col("doc_id"),
+            explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
+          .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
+          .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
+          .repartition(col("band_bucket"))
+          .write.mode("overwrite").partitionBy("band_bucket")
+          .parquet(s"$tmp/bands")
+      } else java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, okMarker),
+        s"""{"genKey":${graft.Verify.jsonQuote(genKey)},"rows":$rows,"version":$FormatVersion}
+           |""".stripMargin.getBytes("UTF-8"))
+      publish(tmp, gdir)
     }
 
   private def bandKeyExpr(sigCol: String, r: Int): String = {
@@ -482,22 +506,31 @@ object AdmissionIndex {
 
   def probePairs(batch: DataFrame, dir: String,
                  threshold: Double = Dedup.DefaultThreshold): DataFrame = {
-    val spark = batch.sparkSession
+    val signed = signedBatch(batch, dir, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try probePairsSigned(signed, dir, threshold)
+    finally signed.unpersist(false)
+  }
+
+  /** [[probePairs]] from an ALREADY-SIGNED batch (the [[signedBatch]]
+    * shape; callers persist it — the frame is read by the band explode
+    * AND the verify join). The lifecycle's shape: sign once, probe from
+    * the signed frame, fold its anti-joined survivors via
+    * [[appendGenerationSigned]] — one shingle+sign pass per ingest
+    * where the split ops pay two. */
+  def probePairsSigned(signed: DataFrame, dir: String,
+                       threshold: Double = Dedup.DefaultThreshold): DataFrame = {
+    val spark = signed.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val (b, r) = Dedup.lshBanding(threshold)
     val (bandBuckets, docBuckets) = readBucketCounts(dir)
-    val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
-    val shB = Dedup.applyHotFilter(Dedup.hashShingled(batch), hot)
+    val bandsB = signed
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
+      .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
+      .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sigB = shB.select(col("doc_id"),
-        Dedup.permMinsUdf(b * r)(col("hset")).as("sig"))
-      val bandsB = sigB
-        .select(col("doc_id"),
-          explode(expr(s"sequence(0, ${b - 1})")).as("band"), col("sig"))
-        .select(col("doc_id"), expr(bandKeyExpr("sig", r)).as("band_key"))
-        .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    locally {
       try {
         val touched = bandsB.select(col("band_bucket")).distinct()
           .collect().map(_.getInt(0))
@@ -521,11 +554,11 @@ object AdmissionIndex {
           // plain persist sits in the CacheManager until someone
           // unpersists it, which leaked one cached result per ingest
           // in a long-lived loop (r10 ADVICE)
-          Dedup.verifyJaccardTwoSided(cand, shB, baseH, threshold)
+          Dedup.verifyJaccardTwoSided(cand, signed, baseH, threshold)
             .localCheckpoint(true)
         } finally cand.unpersist(false)
       } finally bandsB.unpersist(false)
-    } finally shB.unpersist(false)
+    }
   }
 
   /** q133 driver form: ensure the base-side index for `sfDir` exists
@@ -767,15 +800,22 @@ object AdmissionIndex {
     // of history (the committed marker already guarantees the fold
     // itself is idempotent; this skips the wasted probe too)
     if (!generationCommitted(dir, genKey)) {
+      // sign batch1 ONCE; the probe and the fold both read the cached
+      // signed frame — the split ops would shingle+sign the admitted
+      // docs a second time (profiled as the dominant per-ingest term)
       val batch1 = docs.filter(col("doc_id") % m === 1)
-      val rejected1 = probePairs(batch1, dir, threshold)
-        .select(col("a")).distinct()
-      // ids-only broadcast (bounded by the batch), so the anti join
-      // never shuffles the batch's text payload
-      val admitted1 = batch1
-        .join(broadcast(rejected1), batch1("doc_id") === rejected1("a"),
-          "left_anti")
-      appendGeneration(admitted1, dir, genKey, threshold)
+      val signed1 = signedBatch(batch1, dir, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rejected1 = probePairsSigned(signed1, dir, threshold)
+          .select(col("a")).distinct()
+        // ids-only broadcast (bounded by the batch), so the anti join
+        // never shuffles the signed frame's hset payload
+        val admitted1 = signed1
+          .join(broadcast(rejected1), signed1("doc_id") === rejected1("a"),
+            "left_anti")
+        appendGenerationSigned(admitted1, dir, genKey, threshold)
+      } finally signed1.unpersist(false)
     }
     if (compact) compactIndex(spark, dir)
     val batch2 = docs.filter(col("doc_id") % m === 2)
