@@ -1245,6 +1245,101 @@ object AdmissionIndex {
   private def fpCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
 
+  // ---- persisted exact-fingerprint index (the tier-1 durable form) ----
+  //
+  // q132's stream-static gate and the pre-r11 front door both derived
+  // the base fingerprint table from the corpus PER CALL — an O(base)
+  // scan+md5 every ingest, the exact-tier analog of the re-signing
+  // shape q133 retired for minhash. This index persists (fp, bid =
+  // lowest base doc id per fp) ONCE per base snapshot, hash-bucket-
+  // partitioned on the fp so a probe metadata-prunes to the buckets the
+  // batch's own fingerprints hash into: per-ingest IO is
+  // O(batch + touched buckets), never O(base). ~24 bytes/doc stored —
+  // the cheapest of the three indexes by far. Rebuild cadence = the
+  // base snapshot (same staleness key as the text index); the front
+  // door's fold-less contract means no delta generations here.
+
+  /** target fp rows per bucket (16-byte fp + 8-byte id rows) */
+  val FpsPerBucket = 65536L
+
+  def fpIndexDirFor(docsPath: String): String = dirFor(docsPath, "fp|mod2")
+
+  /** Build-if-absent for the fingerprint index; same key/marker/atomic-
+    * publish contract as [[ensureIndex]]. */
+  def ensureFpIndex(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val docsPath = s"$sfDir/documents.parquet"
+      val dir = fpIndexDirFor(docsPath)
+      val marker = java.nio.file.Paths.get(dir, okMarker)
+      if (!java.nio.file.Files.exists(marker)) {
+        sweepStale(docsPath, keep = dir)
+        val base = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 2 === 0)
+        buildFpIndex(base, dir)
+      }
+      dir
+    }
+
+  /** One pass over the base → the bucketed (fp, bid) table. `bid` is
+    * the LOWEST base doc id per fingerprint — the attribution the front
+    * door emits, folded at build time so a probe never aggregates. */
+  def buildFpIndex(base: DataFrame, dir: String): Unit = {
+    val fps = base
+      .select(fpCol(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("bid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val buckets = pow2AtLeast(
+        (fps.count() + FpsPerBucket - 1) / FpsPerBucket)
+      val tmp = buildTmpDir(dir)
+      fps
+        .withColumn("fp_bucket", pmod(hash(col("fp")), lit(buckets)))
+        .repartition(col("fp_bucket"))
+        .write.mode("overwrite").partitionBy("fp_bucket")
+        .parquet(s"$tmp/fps")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, okMarker),
+        s"""{"fpBuckets":$buckets,"version":$FormatVersion}
+           |""".stripMargin.getBytes("UTF-8"))
+      publish(tmp, dir)
+    } finally fps.unpersist(false)
+  }
+
+  /** Exact-tier probe: (doc_id, exact_id) for every batch doc whose
+    * fingerprint the base has seen — the persisted twin of q132's
+    * derived-table anti join, partition-pruned to the batch's own fp
+    * buckets (≤ min(|batch|, fpBuckets) directories read). */
+  def fpProbe(batch: DataFrame, dir: String): DataFrame = {
+    val (df, release) = fpProbePlan(batch, dir)
+    try df.localCheckpoint(true)
+    finally release()
+  }
+
+  /** [[fpProbe]] before its eager checkpoint — the spec's plan-shape
+    * hook (the checkpointed frame no longer exposes the pruned scan);
+    * callers run `release()` after materializing. */
+  private[graft] def fpProbePlan(batch: DataFrame,
+                                 dir: String): (DataFrame, () => Unit) = {
+    val spark = batch.sparkSession
+    val buckets = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, okMarker)), "UTF-8")
+      "\"fpBuckets\":(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(MinBuckets)
+    }
+    val bf = batch
+      .select(col("doc_id"), fpCol(col("text")).as("fp"))
+      .withColumn("fp_bucket", pmod(hash(col("fp")), lit(buckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = bf.select(col("fp_bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val idx = spark.read.parquet(s"$dir/fps")
+      .filter(col("fp_bucket").isin(touched.map(Int.box).toIndexedSeq: _*))
+    val out = bf.join(idx.select(col("fp"), col("bid")), Seq("fp"))
+      .select(col("doc_id"), col("bid").as("exact_id"))
+    (out, () => { bf.unpersist(false); () })
+  }
+
   /** One incoming batch (odd doc_ids) → per-doc, per-tier reject
     * attribution: `(doc_id, tier ∈ exact|near_dup|semantic|admitted,
     * match_id)` where match_id is the rejecting base doc/vector (NULL
@@ -1266,17 +1361,29 @@ object AdmissionIndex {
                 centroids: Int = EmbCentroids,
                 nProbe: Int = EmbNProbe): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    frontDoorBatch(incoming, spark, sfDir, threshold, maxDfFrac,
+      embThreshold, centroids, nProbe)
+  }
+
+  /** The front door over an ARBITRARY incoming batch — the per-micro-
+    * batch body of [[startFrontDoorStream]] and the core of the q139
+    * driver form. Ensures all three persisted indexes, then chains the
+    * tiers; `incoming` must carry (doc_id, text), vectors are looked up
+    * by vec_id = doc_id. */
+  def frontDoorBatch(incoming: DataFrame, spark: SparkSession,
+                     sfDir: String,
+                     threshold: Double = Dedup.DefaultThreshold,
+                     maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
+                     embThreshold: Double = EmbThreshold,
+                     centroids: Int = EmbCentroids,
+                     nProbe: Int = EmbNProbe): DataFrame = {
     val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
     val edir = ensureEmbIndex(spark, sfDir, centroids)
-    val incoming = docs.filter(col("doc_id") % 2 === 1)
-    // tier 1 — exact: fingerprints only (16 bytes/doc, q132 scale
-    // shape); the lowest matching base id is the attribution
-    val baseFp = docs.filter(col("doc_id") % 2 === 0)
-      .select(fpCol(col("text")).as("fp"), col("doc_id").as("bid"))
-    val exactBest = incoming.select(col("doc_id"), fpCol(col("text")).as("fp"))
-      .join(baseFp, Seq("fp"))
-      .groupBy(col("doc_id")).agg(min(col("bid")).as("exact_id"))
-      .localCheckpoint(true) // tiny; read twice (attribution + tier-2 input)
+    val fdir = ensureFpIndex(spark, sfDir)
+    // tier 1 — exact: the persisted fingerprint index ([[fpProbe]] is
+    // already eager + tiny; read twice: attribution + tier-2 input)
+    val exactBest = fpProbe(incoming, fdir)
     // tier 2 — minhash index probe over tier 1's survivors only
     val survivors1 = incoming
       .join(exactBest.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -1309,6 +1416,28 @@ object AdmissionIndex {
           .as("match_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** The production STREAMING front door: the incoming document stream
+    * wrapped in `foreachBatch`, each micro-batch run through the full
+    * three-tier [[frontDoorBatch]] (persisted fp / minhash / IVF
+    * indexes, each tier pruned to what the previous passed) and handed
+    * materialized to `sink` with its batch id. Zero streaming state —
+    * every tier is a batch probe against static indexes; exactly-once
+    * per doc within a batch, sinks needing cross-restart idempotence
+    * key on (batchId, doc_id), the standard foreachBatch contract. */
+  def startFrontDoorStream(streamDocs: DataFrame, sfDir: String,
+      threshold: Double = Dedup.DefaultThreshold,
+      maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
+      embThreshold: Double = EmbThreshold,
+      centroids: Int = EmbCentroids,
+      nProbe: Int = EmbNProbe)
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    streamDocs.writeStream
+      .foreachBatch((mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => sink(
+        frontDoorBatch(mb.toDF(), mb.sparkSession, sfDir, threshold,
+          maxDfFrac, embThreshold, centroids, nProbe), id))
+      .start()
 
   val frontDoorOracle: String = frontDoorOracleAt(
     Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac,

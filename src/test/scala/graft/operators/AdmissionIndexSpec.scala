@@ -579,4 +579,93 @@ class AdmissionIndexSpec extends SparkSpec {
     // parameters rotate the key too
     assert(AdmissionIndex.indexDirFor(docsPath, 0.4, 0.1) != d2)
   }
+
+  test("fp index: exact-tier probe matches normalized dups with " +
+    "lowest-id attribution, misses novels, pruned scan") {
+    // 40 distinct base docs so all 16 fp buckets are populated (the
+    // pruning assertion needs read-partitions < total-partitions);
+    // 20/22 share one text — the stored bid must be the LOWER id
+    val base = ((0 until 40).map(i =>
+        (2L * i, if (i == 11) "shared duplicate text body" // id 22
+                 else s"unique base document number $i about topic t$i")) :+
+      (20L, "shared duplicate text body")) // duplicate of 22's text
+      .toDF("doc_id", "text")
+    val dir = freshDir()
+    AdmissionIndex.buildFpIndex(base, dir)
+    val batch = Seq(
+      // normalization: case + whitespace variants ARE the same doc
+      (101L, "  SHARED   duplicate\ttext body "),
+      (103L, "unique base document number 7 about topic t7"),
+      (105L, "a novel incoming document the base has never seen")
+    ).toDF("doc_id", "text")
+    val got = AdmissionIndex.fpProbe(batch, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 20L), (103L, 14L)),
+      s"fp probe got $got") // 101 → lowest of {20, 22}; 105 admitted
+    // plan shape: the fps scan is metadata-pruned to touched buckets
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (planDf, release) = AdmissionIndex.fpProbePlan(batch, dir)
+      try {
+        assert(planDf.collect().length == 2)
+        val scans = planDf.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("/fps")))
+        assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+          "fp_bucket predicate must be a PartitionFilter")
+        val readParts = scans.map(_.metrics("numPartitions").value).sum
+        val totalParts = {
+          val s = java.nio.file.Files.list(
+            java.nio.file.Paths.get(dir, "fps"))
+          try {
+            var n = 0
+            val it = s.iterator()
+            while (it.hasNext) {
+              if (it.next().getFileName.toString.contains("=")) n += 1
+            }
+            n
+          } finally s.close()
+        }
+        assert(readParts < totalParts,
+          s"fps scan read $readParts of $totalParts partitions — not pruned")
+      } finally release()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("streaming front door: 2 micro-batches through all three tiers " +
+    "≡ the q139 batch form, exactly-once per doc") {
+    val sfDir = "/root/testdata/sf0.001"
+    val twin = AdmissionIndex.frontDoor(spark, sfDir)
+      .as[(Long, String, Long)].collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = AdmissionIndex.startFrontDoorStream(streamDocs, sfDir) {
+      (df, _) =>
+        got ++= df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+    }
+    try {
+      val rows = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      mem.addData(rows.take(rows.size / 2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.size / 2))
+      q.processAllAvailable()
+      assert(got.size == got.distinct.size, "per-doc rows must be exactly-once")
+      assert(got.toSet == twin,
+        s"stream diff: extra=${got.toSet -- twin} missing=${twin -- got.toSet}")
+      // verdicts drawn from the tier vocabulary, and the gate both
+      // rejects and admits on this fixture
+      val tiers = got.map(_._2).toSet
+      assert(tiers.subsetOf(Set("exact", "near_dup", "semantic", "admitted")))
+      assert(tiers.contains("admitted") && tiers.size >= 2, tiers.toString)
+    } finally q.stop()
+  }
 }
