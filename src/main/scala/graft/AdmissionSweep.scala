@@ -60,6 +60,11 @@ object AdmissionSweep {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SWEEP_MODE").contains("fd")) {
+      fdSweep(spark, out, bases)
+      spark.stop()
+      return
+    }
     // optional square bucket-count override (e.g. 1024): the sweep then
     // measures the probe on a non-default layout — the sizing-policy
     // robustness artifact (r10 verdict item 5)
@@ -125,6 +130,83 @@ object AdmissionSweep {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (lines.mkString("[", ",\n", "]") + "\n").getBytes("UTF-8"))
     spark.stop()
+  }
+
+  /** Front-door sweep: per-ingest cost of the COMPOSED three-tier gate
+    * (q139's `frontDoorBatch`) vs base size, fixed mixed batch — the
+    * capstone flatness artifact: if each tier's persisted probe is
+    * O(batch + touched buckets/cells), the composition must be too.
+    * Batch (fixed size across bases): 2000 exact copies of base docs
+    * (tier-1 rejects), 2000 one-token near-dups (tier-2 rejects), and
+    * 1000 ORIGINAL odd docs kept under their real ids so their vectors
+    * exist and tier 3 does real scoring work. Build (all three indexes
+    * from scratch) is timed alongside as the amortized contrast. */
+  private def fdSweep(spark: SparkSession, out: String,
+                      bases: Seq[String]): Unit = {
+    val AI = graft.operators.AdmissionIndex
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+    }
+    def batchFor(dir: String) = {
+      val docs = graft.Tables.documents(spark, dir)
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+        .orderBy(col("doc_id")).limit(2000)
+      val exact = evens.select(
+        (col("doc_id") * 2 + 40000000001L).as("doc_id"), col("text"))
+      val near = evens.select(
+        (col("doc_id") * 2 + 50000000001L).as("doc_id"),
+        concat(col("text"), lit(" fdsweepmarker")).as("text"))
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+        .orderBy(col("doc_id")).limit(1000)
+        .select(col("doc_id"), col("text"))
+      exact.unionByName(near).unionByName(odds)
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .persist()
+    }
+    // JIT/codegen warm-up outside the timings
+    locally {
+      val wb = batchFor("/root/testdata/sf0.01")
+      graft.operators.AdmissionIndex
+        .frontDoorBatch(wb.limit(300), spark, "/root/testdata/sf0.01")
+        .queryExecution.toRdd.count()
+      wb.unpersist(false)
+      ()
+    }
+    val lines = bases.map { dir =>
+      val baseDocs = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 2 === 0).count()
+      // fresh builds: real one-time cost, not marker hits
+      Seq(AI.indexDirFor(s"$dir/documents.parquet", 0.5, 0.1),
+          AI.embIndexDirFor(s"$dir/embeddings.parquet", AI.EmbCentroids),
+          AI.fpIndexDirFor(s"$dir/documents.parquet"))
+        .foreach(d => rm(new java.io.File(d)))
+      val (_, buildSec) = timed {
+        AI.ensureIndex(spark, dir)
+        AI.ensureEmbIndex(spark, dir)
+        AI.ensureFpIndex(spark, dir)
+      }
+      val batch = batchFor(dir)
+      val batchRows = batch.count()
+      def probeOnce() = AI.frontDoorBatch(batch, spark, dir)
+        .groupBy(col("tier")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (tiers, p1) = timed(probeOnce())
+      val (_, p2) = timed(probeOnce())
+      batch.unpersist(false)
+      val tierJson = tiers.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val line = f"""{"base":"$dir","base_docs":$baseDocs,"batch_docs":$batchRows,"build_sec":$buildSec%.2f,"probe_sec":${math.min(p1, p2)}%.2f,"probe_runs":[$p1%.2f,$p2%.2f],"tiers":{$tierJson}}"""
+      println(line)
+      line
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (lines.mkString("[", ",\n", "]") + "\n").getBytes("UTF-8"))
+    ()
   }
 
   /** Generation-count sweep (r10 verdict item 3): the one admission
