@@ -490,7 +490,11 @@ object SparkEntry {
     "q139_front_door" -> ((s, d) => {
       plans.TopKInstall.install(s)
       AdmissionIndex.frontDoor(s, d)
-    })
+    }),
+    // duplicated-span SCRUB: q75's audit as an EDIT — tokens covered by
+    // corpus-repeated k-spans removed, cleaned text re-emitted; only
+    // (doc_id, pos, h) triples shuffle, text moves once for affected docs
+    "q140_span_scrub" -> ((s, d) => Dedup.scrubDupSpans(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -635,6 +639,7 @@ object SparkEntry {
     "q136_stream_emb_admission" -> AdmissionIndex.streamEmbAdmissionOracle,
     "q137_admission_lifecycle" -> AdmissionIndex.admissionLifecycleOracle,
     "q138_admission_compaction" -> AdmissionIndex.admissionCompactionOracle,
-    "q139_front_door" -> AdmissionIndex.frontDoorOracle
+    "q139_front_door" -> AdmissionIndex.frontDoorOracle,
+    "q140_span_scrub" -> Dedup.scrubDupSpansOracle
   )
 }

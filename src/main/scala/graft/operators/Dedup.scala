@@ -1315,6 +1315,119 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated-span SCRUB — the EDIT form of [[dupSpans]]'s audit
+    * (Lee et al. 2022 §4.1 as a transform, not a report): every token
+    * covered by a k-token span occurring ≥ 2 times CORPUS-WIDE is
+    * removed, and the cleaned text re-emitted for the docs that
+    * changed — the boilerplate/template scrub a curation pipeline runs
+    * where dropping whole documents (the q24–q27 tiers) would throw
+    * away the unique remainder. Deliberately scrub-ALL (every
+    * occurrence goes, including the "first"): keep-one needs a global
+    * occurrence ordering — an inherently sequential tiebreak; the
+    * doc-level keeper tier (q77) already covers keep-best semantics.
+    * Same 32-bit span hash as [[dupSpans]] on BOTH engines, so the two
+    * views agree on what a repeated span is (and a within-corpus hash
+    * collision scrubs identically on both sides).
+    *
+    * Scale shape: corpus-wide exchanges carry (doc_id, pos, h)
+    * triples — never text; ONE h-keyed exchange feeds both the
+    * duplicate-count aggregation and the duplicated-start join
+    * (ReusedExchange, the [[sourceOverlap]] barrier pattern);
+    * duplicated START positions collapse to one bounded int-list row
+    * per affected doc before the single doc-keyed join that fetches
+    * text for AFFECTED docs only; the rebuild is one compiled
+    * row-local pass. */
+  def scrubDupSpans(documents: DataFrame,
+                    k: Int = DefaultSpanTokens): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    val occ = Widen.widen(documents)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("lt"))
+      .filter(size(col("lt")) >= k)
+      .select(col("doc_id"), posexplode(spanHashUdf(k)(col("lt"))))
+      .toDF("doc_id", "pos", "h")
+      // barrier: one h-keyed exchange feeds BOTH the count and the
+      // start join (ReusedExchange) instead of re-deriving the span
+      // explosion per branch
+      .repartition(col("h"))
+    val dupH = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("g")).filter(col("g") >= 2).select(col("h"))
+    val starts = occ.join(dupH, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    Widen.widen(documents)
+      .join(starts, Seq("doc_id"))
+      .select(col("doc_id"),
+        scrubUdf(k)(split(col("text"), "\\s+"), col("starts")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_tokens"),
+        col("r._2").as("n_removed"), col("r._3").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Row-local rebuild: mark [s, s+k) covered for every duplicated
+    * start, emit kept ORIGINAL-case tokens space-joined. Compiled UDF —
+    * per-token lambda work at corpus scale is the interpreted
+    * higher-order-function trap. */
+  private def scrubUdf(k: Int) = udf { (toks: Seq[String], starts: Seq[Int]) =>
+    val n = toks.length
+    val covered = new Array[Boolean](n)
+    starts.foreach { s =>
+      var i = s
+      val e = math.min(s + k - 1, n - 1)
+      while (i <= e) { covered(i) = true; i += 1 }
+    }
+    val sb = new java.lang.StringBuilder()
+    var removed = 0
+    var i = 0
+    while (i < n) {
+      if (covered(i)) removed += 1
+      else {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(toks(i)); ()
+      }
+      i += 1
+    }
+    (n.toLong, removed.toLong, sb.toString)
+  }
+
+  val scrubDupSpansOracle: String = scrubDupSpansOracleAt(DefaultSpanTokens)
+
+  /** Oracle builder on the SAME span width; 1-based positions where the
+    * engine is 0-based (internal to each side). The parallel `unnest`s
+    * zip in DuckDB; `string_agg` skips the CASE's NULLs, so kept tokens
+    * join in position order. */
+  def scrubDupSpansOracleAt(k: Int): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS lts,
+      |         string_split_regex(text, '\\s+') AS ots
+      |  FROM documents
+      |  WHERE len(string_split_regex(lower(text), '\\s+')) >= $k),
+      |spans AS (
+      |  SELECT doc_id,
+      |         unnest([CAST(concat('0x', substr(md5(array_to_string(lts[i:i+${k - 1}], ' ')), 1, 8)) AS BIGINT)
+      |                 for i in range(1, len(lts) - ${k - 2})]) AS h,
+      |         unnest([i for i in range(1, len(lts) - ${k - 2})]) AS s
+      |  FROM toks),
+      |dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+      |starts AS (SELECT DISTINCT doc_id, s FROM spans JOIN dup USING (h)),
+      |positions AS (
+      |  SELECT doc_id, unnest([i for i in range(1, len(ots) + 1)]) AS pos,
+      |         unnest(ots) AS tok
+      |  FROM toks),
+      |covered AS (
+      |  SELECT DISTINCT p.doc_id, p.pos
+      |  FROM positions p JOIN starts d
+      |    ON d.doc_id = p.doc_id AND p.pos BETWEEN d.s AND d.s + ${k - 1}),
+      |scrubbed AS (
+      |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(count(c.pos) AS BIGINT) AS n_removed,
+      |         coalesce(string_agg(CASE WHEN c.pos IS NULL THEN p.tok END,
+      |                             ' ' ORDER BY p.pos), '') AS clean_text
+      |  FROM positions p LEFT JOIN covered c
+      |    ON c.doc_id = p.doc_id AND c.pos = p.pos
+      |  GROUP BY p.doc_id)
+      |SELECT doc_id, n_tokens, n_removed, clean_text
+      |FROM scrubbed WHERE n_removed > 0 ORDER BY doc_id""".stripMargin
+
   val dupSpansOracle: String = dupSpansOracleAt(DefaultSpanTokens)
 
   /** Oracle builder on the SAME span width as the engine function. */

@@ -224,6 +224,34 @@ class DedupSpec extends SparkSpec {
     assertDeterministic(Dedup.dupSpans(d))
   }
 
+  test("scrubDupSpans: covered tokens removed with original case kept, " +
+    "fully-templated doc scrubs to empty, clean docs absent") {
+    val d = docs(
+      // A and B (and D) share the lowercased 5-token span
+      // "alpha beta gamma delta epsilon"; case differs — hashing is
+      // case-folded, the REBUILT text preserves the original case
+      (1L, "Alpha beta gamma delta epsilon UNIQUE1 UNIQUE2", 10L),
+      (2L, "prefix1 alpha BETA gamma delta epsilon tail1 tail2", 10L),
+      (3L, "c1 c2 c3 c4 c5 c6 entirely clean document", 10L),
+      (4L, "alpha beta gamma delta epsilon", 10L))
+    val out = Dedup.scrubDupSpans(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 4L), out.keySet.toString)
+    assert(out(1L) == ((7L, 5L, "UNIQUE1 UNIQUE2")), out(1L).toString)
+    assert(out(2L) == ((8L, 5L, "prefix1 tail1 tail2")), out(2L).toString)
+    assert(out(4L) == ((5L, 5L, "")), out(4L).toString)
+    assertDeterministic(Dedup.scrubDupSpans(d))
+    // scrub is idempotent on its own output: re-running over the
+    // cleaned corpus finds no corpus-repeated span (the shared block is
+    // gone from every copy)
+    import spark.implicits._
+    val cleaned = out.toSeq.map { case (id, (_, _, t)) => (id, t, 1L) } :+
+      ((3L, "c1 c2 c3 c4 c5 c6 entirely clean document", 1L))
+    val again = Dedup.scrubDupSpans(docs(cleaned: _*)).collect()
+    assert(again.isEmpty, again.mkString(","))
+  }
+
   test("sourceOverlap: hand-computed span-overlap matrix; sources with no " +
     "shared span emit no row") {
     import spark.implicits._
