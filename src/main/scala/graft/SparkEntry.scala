@@ -494,7 +494,14 @@ object SparkEntry {
     // duplicated-span SCRUB: q75's audit as an EDIT — tokens covered by
     // corpus-repeated k-spans removed, cleaned text re-emitted; only
     // (doc_id, pos, h) triples shuffle, text moves once for affected docs
-    "q140_span_scrub" -> ((s, d) => Dedup.scrubDupSpans(documents(s, d)))
+    "q140_span_scrub" -> ((s, d) => Dedup.scrubDupSpans(documents(s, d))),
+    // the embedding tier's full ingest lifecycle (q137's IVF twin):
+    // build -> probe -> fold admitted vectors as a delta generation
+    // under FROZEN centroids -> probe again; and its compaction twin
+    "q141_emb_lifecycle" -> ((s, d) =>
+      AdmissionIndex.embAdmissionLifecycle(s, d)),
+    "q142_emb_compaction" -> ((s, d) =>
+      AdmissionIndex.embAdmissionCompaction(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -640,6 +647,8 @@ object SparkEntry {
     "q137_admission_lifecycle" -> AdmissionIndex.admissionLifecycleOracle,
     "q138_admission_compaction" -> AdmissionIndex.admissionCompactionOracle,
     "q139_front_door" -> AdmissionIndex.frontDoorOracle,
-    "q140_span_scrub" -> Dedup.scrubDupSpansOracle
+    "q140_span_scrub" -> Dedup.scrubDupSpansOracle,
+    "q141_emb_lifecycle" -> AdmissionIndex.embAdmissionLifecycleOracle,
+    "q142_emb_compaction" -> AdmissionIndex.embAdmissionCompactionOracle
   )
 }

@@ -964,21 +964,25 @@ object AdmissionIndex {
   val EmbNProbe = 4
   val EmbThreshold = 0.45
 
-  def embIndexDirFor(embPath: String, centroids: Int): String =
-    dirFor(embPath, s"emb|$centroids")
+  def embIndexDirFor(embPath: String, centroids: Int,
+                     baseMod: Int = 2): String =
+    dirFor(embPath,
+      s"emb|$centroids" + (if (baseMod == 2) "" else s"|m$baseMod"))
 
   /** Build-if-absent for the embedding index; same lifecycle contract
-    * as [[ensureIndex]]. */
+    * as [[ensureIndex]] (incl. the `baseMod` split-convention key —
+    * q141's lifecycle uses 3, q142's compaction lifecycle 4). */
   def ensureEmbIndex(spark: SparkSession, sfDir: String,
-                     centroids: Int = EmbCentroids): String =
+                     centroids: Int = EmbCentroids,
+                     baseMod: Int = 2): String =
     synchronized {
       val embPath = s"$sfDir/embeddings.parquet"
-      val dir = embIndexDirFor(embPath, centroids)
+      val dir = embIndexDirFor(embPath, centroids, baseMod)
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
         sweepStale(embPath, keep = dir)
         val base = graft.Tables.embeddings(spark, sfDir)
-          .filter(col("vec_id") % 2 === 0)
+          .filter(col("vec_id") % baseMod === 0)
         embBuildIndex(base, dir, centroids)
       }
       dir
@@ -1057,8 +1061,10 @@ object AdmissionIndex {
     try {
       val touched = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0))
-      val baseCells = spark.read.parquet(s"$dir/cells")
-        .filter(col("cell").isin(touched.map(Int.box).toIndexedSeq: _*))
+      // union of base + committed delta generations, partition-pruned
+      // to the probed cells — same multi-root shape as the text probe
+      val baseCells =
+        prunedUnion(spark, indexRoots(dir), "cells", "cell", touched)
       probes.as("x").join(baseCells.as("y"), Seq("cell"))
         .select(col("x.vec_id").as("batch_vec"), col("y.vec_id").as("base_vec"),
           expr(Similarity.cosExpr).as("cos"))
@@ -1092,7 +1098,9 @@ object AdmissionIndex {
     val probes = Similarity.quantized(batchVecs)
       .select(col("vec_id"), col("qv"), col("n2"),
         explode(Similarity.ivfProbeUdf(bc, nProbe)(col("qv"))).as("cell"))
-    val baseCells = spark.read.parquet(s"$dir/cells")
+    val baseCells = indexRoots(dir)
+      .map(rt => spark.read.parquet(s"$rt/cells"))
+      .reduce(_.unionByName(_))
     probes.as("x").join(baseCells.as("y"), Seq("cell"))
       .select(col("x.vec_id").as("batch_vec"), col("y.vec_id").as("base_vec"),
         expr(Similarity.cosExpr).as("cos"))
@@ -1177,23 +1185,168 @@ object AdmissionIndex {
     * centroid selection, exact integer cell assignment (the q54
     * bigint-encoded argmin — no cross-engine struct ordering), nProbe
     * probe cells per batch vector, candidates = probed-cell joins. */
-  private def embOracleCtes(centroids: Int, nProbe: Int): String = {
-    // the bigint-encoded argmin packs (dist + 2^38)*256 + i: the %256
-    // aliases cell ids past 256 centroids, and the 2^38 offset only
-    // dominates |n2 - 2·dot| for quantized dims ≲ 1300 (|qv| ≤ 1e4 →
-    // |2·dot| ≤ 2·dims·1e8 < 2^38). Both are caller-supplied on the
-    // public oracle builders — fail loud instead of silently corrupting
-    // the encoded ordering (r10 ADVICE).
+  // ---- emb delta generations: admitted vectors folded into the IVF ----
+
+  /** Fold ADMITTED vectors into the embedding index as a committed
+    * delta generation — the IVF twin of [[appendGeneration]], closing
+    * the fold gap: without it a semantic dup of an admitted-but-
+    * unindexed vector passes the gate forever. Cell assignment uses the
+    * index's FROZEN centroid summary (centroids-at-build-time — stored
+    * cell ids are only valid under the centroids they were assigned
+    * with; a centroid refresh is BY DEFINITION the snapshot-cadence
+    * rebuild), so probes need no per-generation centroid logic: every
+    * root's cells table speaks the same cell vocabulary. Same
+    * marker-last tmp-dir atomic-publish protocol and per-genKey
+    * idempotence as the text fold. */
+  def embAppendGeneration(admitted: DataFrame, dir: String,
+                          genKey: String): Unit =
+    synchronized {
+      val spark = admitted.sparkSession
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val gdir = s"$dir/delta/${md5hex(genKey).take(16)}"
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(gdir, okMarker))) return
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .orderBy(col("idx")).select(col("qv"), col("n2"))
+        .as[(Array[Long], Long)].collect()
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = Similarity.quantized(admitted)
+        .select(col("vec_id"), col("qv"), col("n2"),
+          Similarity.ivfCellUdf(bc)(col("qv")).as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val tmp = buildTmpDir(gdir)
+        val rows = assigned.count()
+        if (rows > 0) {
+          assigned
+            .repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$tmp/cells")
+        } else java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tmp))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, okMarker),
+          s"""{"genKey":${graft.Verify.jsonQuote(genKey)},"rows":$rows,"version":$FormatVersion}
+             |""".stripMargin.getBytes("UTF-8"))
+        publish(tmp, gdir)
+      } finally assigned.unpersist(false)
+    }
+
+  /** IO-only compaction for the embedding index — [[compactIndex]]'s
+    * IVF twin: committed generations' STORED cell rows merge into the
+    * base cells table (no re-quantization, no re-assignment — the
+    * frozen-centroid contract makes stored rows reusable verbatim),
+    * generations demote to empty committed markers, probe answers are
+    * bitwise unchanged, re-compaction is a no-op. Same crash protocol:
+    * merge to tmp, root marker OFF, swap, demote, marker LAST. */
+  def embCompactIndex(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      val gens = indexRoots(dir).drop(1)
+      if (gens.isEmpty) return
+      val roots = dir +: gens
+      val tmp = buildTmpDir(dir)
+      roots.map(rt => spark.read.parquet(s"$rt/cells"))
+        .reduce(_.unionByName(_))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/cells")
+      val rootMarker = java.nio.file.Paths.get(dir, okMarker)
+      val markerBytes = java.nio.file.Files.readAllBytes(rootMarker)
+      java.nio.file.Files.delete(rootMarker) // window opens: crash → rebuild
+      swapDir(s"$tmp/cells", s"$dir/cells")
+      deleteRec(java.nio.file.Paths.get(tmp))
+      gens.foreach { g =>
+        val gm = java.nio.file.Paths.get(g, okMarker)
+        val genKeyLine = new String(java.nio.file.Files.readAllBytes(gm), "UTF-8")
+        val genKey = "\"genKey\":(\"(?:[^\"\\\\]|\\\\.)*\")".r
+          .findFirstMatchIn(genKeyLine).map(_.group(1)).getOrElse("\"?\"")
+        deleteRec(java.nio.file.Paths.get(g))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(g))
+        java.nio.file.Files.write(gm,
+          s"""{"genKey":$genKey,"rows":0,"compacted":true,"version":$FormatVersion}
+             |""".stripMargin.getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(rootMarker, markerBytes) // window closes
+      ()
+    }
+
+  /** q141 driver form — the embedding tier's FULL ingest lifecycle
+    * (q137's IVF twin) on a mod-3 split: build (base = vec_id % 3 == 0)
+    * → probe batch1 (% 3 == 1) → fold batch1's ADMITTED vectors in as a
+    * delta generation → probe batch2 (% 3 == 2). Output = batch2's
+    * reject list whose base side spans base ∪ admitted-batch1 — the
+    * gate property on the semantic tier: a vector round 1 admitted,
+    * round 2 cannot duplicate. All cell assignment under the base's
+    * frozen centroids; the oracle re-derives admitted-batch1 from the
+    * identical probed-cell scoring. */
+  def embAdmissionLifecycle(spark: SparkSession, sfDir: String,
+                            threshold: Double = EmbThreshold,
+                            centroids: Int = EmbCentroids,
+                            nProbe: Int = EmbNProbe): DataFrame =
+    embLifecycleCore(spark, sfDir, threshold, centroids, nProbe,
+      m = 3, genTag = "embGen1", compact = false)
+
+  /** q142 driver form — the emb lifecycle with the COMPACTION
+    * maintenance step in the loop (q138's IVF twin), on its own mod-4
+    * index; the oracle models NO compaction — invisibility is the pin,
+    * and a warm re-run is fully idempotent (committed generation skips
+    * the fold; a compacted index has no live deltas). */
+  def embAdmissionCompaction(spark: SparkSession, sfDir: String,
+                             threshold: Double = EmbThreshold,
+                             centroids: Int = EmbCentroids,
+                             nProbe: Int = EmbNProbe): DataFrame =
+    embLifecycleCore(spark, sfDir, threshold, centroids, nProbe,
+      m = 4, genTag = "embGenC1", compact = true)
+
+  private def embLifecycleCore(spark: SparkSession, sfDir: String,
+                               threshold: Double, centroids: Int,
+                               nProbe: Int, m: Int, genTag: String,
+                               compact: Boolean): DataFrame = {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+    val dir = ensureEmbIndex(spark, sfDir, centroids, baseMod = m)
+    val genKey = s"$sfDir|$genTag"
+    if (!generationCommitted(dir, genKey)) {
+      val batch1 = vecs.filter(col("vec_id") % m === 1)
+      val rejected1 = embProbe(batch1, dir, threshold, nProbe)
+        .select(col("batch_vec")).distinct()
+      val admitted1 = batch1.join(broadcast(rejected1),
+        batch1("vec_id") === rejected1("batch_vec"), "left_anti")
+      embAppendGeneration(admitted1, dir, genKey)
+    }
+    if (compact) embCompactIndex(spark, dir)
+    embProbe(vecs.filter(col("vec_id") % m === 2), dir, threshold, nProbe)
+  }
+
+  // the bigint-encoded argmin packs (dist + 2^38)*256 + i: the %256
+  // aliases cell ids past 256 centroids, and the 2^38 offset only
+  // dominates |n2 - 2·dot| for quantized dims ≲ 1300 (|qv| ≤ 1e4 →
+  // |2·dot| ≤ 2·dims·1e8 < 2^38). Both are caller-supplied on the
+  // public oracle builders — fail loud instead of silently corrupting
+  // the encoded ordering (r10 ADVICE).
+  private def embOracleGuards(centroids: Int, nProbe: Int): Unit = {
     require(centroids >= 1 && centroids <= 256,
       s"embedding oracle argmin encoding supports at most 256 centroids, got $centroids")
     require(nProbe >= 1 && nProbe <= centroids,
       s"nProbe must be in 1..centroids, got $nProbe")
+    ()
+  }
+
+  /** The packed-argmin score list over the `carr` centroid array for
+    * the row alias `q` — shared by every emb oracle builder. A `def`,
+    * NOT a val: the oracle VALs above it initialize during object
+    * construction in declaration order and would read a null val. */
+  private def embScoresExpr: String = {
     val OFF = 274877906944L
     val dotCQ =
       """CAST(list_sum(list_transform(range(1, len(q.qv)+1), d -> q.qv[d] * cents[i].qv[d])) AS BIGINT)"""
-    val scores =
-      s"""list_transform(range(1, len(cents)+1), i ->
-         |        (cents[i].n2 - 2 * $dotCQ + $OFF) * 256 + (i - 1))""".stripMargin
+    s"""list_transform(range(1, len(cents)+1), i ->
+       |        (cents[i].n2 - 2 * $dotCQ + $OFF) * 256 + (i - 1))""".stripMargin
+  }
+
+  private def embOracleCtes(centroids: Int, nProbe: Int): String = {
+    embOracleGuards(centroids, nProbe)
+    val scores = embScoresExpr
     s"""${Similarity.oracleQuantized},
       |ranked_cents AS (
       |  SELECT qv, n2,
@@ -1229,6 +1382,68 @@ object AdmissionIndex {
       |  FROM scored WHERE cos >= $threshold)
       |SELECT batch_vec, base_vec, ROUND(cos, 6) AS cosine
       |FROM ranked WHERE rnk = 1 ORDER BY batch_vec""".stripMargin
+
+  val embAdmissionLifecycleOracle: String =
+    embLifecycleOracleAt(EmbThreshold, EmbCentroids, EmbNProbe, 3)
+
+  val embAdmissionCompactionOracle: String =
+    embLifecycleOracleAt(EmbThreshold, EmbCentroids, EmbNProbe, 4)
+
+  /** The emb lifecycle's CTE chain at split modulo `m`: centroids and
+    * cell assignment from the mod-`m` BASE only (frozen-centroid
+    * semantics), rejected-batch1 from the identical probed-cell
+    * scoring, admitted = batch1 minus rejects assigned under the SAME
+    * centroids, batch2 ranked against base ∪ admitted. Residues ≥ 3
+    * never enter `assigned2`. Compaction (m = 4) is invisible by
+    * construction — the oracle models none. */
+  def embLifecycleOracleAt(threshold: Double, centroids: Int,
+                           nProbe: Int, m: Int): String = {
+    embOracleGuards(centroids, nProbe)
+    val scores = embScoresExpr
+    s"""WITH ${Similarity.oracleQuantized},
+      |ranked_cents AS (
+      |  SELECT qv, n2,
+      |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+      |         vec_id
+      |  FROM qn WHERE vec_id % $m = 0 ORDER BY h, vec_id LIMIT $centroids),
+      |carr AS (
+      |  SELECT list(struct_pack(qv := qv, n2 := n2) ORDER BY h, vec_id) AS cents
+      |  FROM ranked_cents),
+      |assigned_base AS (
+      |  SELECT q.vec_id, q.qv, q.n2, list_min($scores) % 256 AS cell
+      |  FROM qn q, carr WHERE q.vec_id % $m = 0),
+      |probes1 AS (
+      |  SELECT q.vec_id, q.qv, q.n2, t.pcell
+      |  FROM qn q, carr,
+      |       unnest(list_transform(list_sort($scores)[1:$nProbe], x -> x % 256)) AS t(pcell)
+      |  WHERE q.vec_id % $m = 1),
+      |scored1 AS (
+      |  SELECT x.vec_id AS bv, ${Similarity.oracleCosExpr} AS cos
+      |  FROM probes1 x JOIN assigned_base y ON x.pcell = y.cell),
+      |rej1 AS (SELECT DISTINCT bv FROM scored1 WHERE cos >= $threshold),
+      |assigned_adm AS (
+      |  SELECT q.vec_id, q.qv, q.n2, list_min($scores) % 256 AS cell
+      |  FROM qn q, carr WHERE q.vec_id % $m = 1
+      |    AND NOT EXISTS (SELECT 1 FROM rej1 WHERE rej1.bv = q.vec_id)),
+      |assigned2 AS (
+      |  SELECT * FROM assigned_base UNION ALL SELECT * FROM assigned_adm),
+      |probes2 AS (
+      |  SELECT q.vec_id, q.qv, q.n2, t.pcell
+      |  FROM qn q, carr,
+      |       unnest(list_transform(list_sort($scores)[1:$nProbe], x -> x % 256)) AS t(pcell)
+      |  WHERE q.vec_id % $m = 2),
+      |scored2 AS (
+      |  SELECT x.vec_id AS batch_vec, y.vec_id AS base_vec,
+      |         ${Similarity.oracleCosExpr} AS cos
+      |  FROM probes2 x JOIN assigned2 y ON x.pcell = y.cell),
+      |ranked AS (
+      |  SELECT batch_vec, base_vec, cos,
+      |         row_number() OVER (PARTITION BY batch_vec
+      |                            ORDER BY cos DESC, base_vec ASC) AS rnk
+      |  FROM scored2 WHERE cos >= $threshold)
+      |SELECT batch_vec, base_vec, ROUND(cos, 6) AS cosine
+      |FROM ranked WHERE rnk = 1 ORDER BY batch_vec""".stripMargin
+  }
 
   // ====================================================================
   // q139 — the composed production front door: one incoming batch

@@ -580,6 +580,54 @@ class AdmissionIndexSpec extends SparkSpec {
     assert(AdmissionIndex.indexDirFor(docsPath, 0.4, 0.1) != d2)
   }
 
+  test("emb delta generations: a folded admitted vector rejects its later " +
+    "duplicate, append is idempotent, compaction is invisible") {
+    val dims = 8
+    def vec(seed: Long) = Array.tabulate(dims)(i =>
+      math.sin(seed * 13.0 + i * 7.0).toFloat)
+    val base = (0 until 40).map(i => (2L * i, vec(2L * i), "0"))
+    val dir = freshDir()
+    AdmissionIndex.embBuildIndex(
+      base.toDF("vec_id", "embedding", "label"), dir, centroids = 8)
+    // batch1: one novel vector — a one-hot axis vector; cos against any
+    // sin-family base vector is |v0|/||v|| ≤ ~0.5, far below 0.99
+    val oneHot = Array.tabulate(dims)(i => if (i == 0) 1f else 0f)
+    val novel = Seq((1001L, oneHot, "0")).toDF("vec_id", "embedding", "label")
+    assert(AdmissionIndex.embProbe(novel, dir, 0.99, 2).count() == 0,
+      "the planted novel vector must be admitted by the base index")
+    AdmissionIndex.embAppendGeneration(novel, dir, "emb-spec-g1")
+    // batch2: an exact copy of the admitted vector — the gate property:
+    // what round 1 admitted, round 2 cannot duplicate
+    val copy = Seq((2001L, oneHot, "0")).toDF("vec_id", "embedding", "label")
+    def probeCopy() = AdmissionIndex.embProbe(copy, dir, 0.99, 2)
+      .select("batch_vec", "base_vec").as[(Long, Long)].collect().toSet
+    assert(probeCopy() == Set((2001L, 1001L)), probeCopy().toString)
+    // idempotence: replaying the fold cannot duplicate the generation
+    AdmissionIndex.embAppendGeneration(novel, dir, "emb-spec-g1")
+    val rows = AdmissionIndex.embProbe(copy, dir, 0.99, 2).count()
+    assert(rows == 1, s"replayed fold must not duplicate: $rows rows")
+    // the pruned stateless form sees the generation too
+    val viaPruned = AdmissionIndex.embPairsVsIndexPruned(copy, dir, 0.99, 2)
+      .select("batch_vec", "base_vec").as[(Long, Long)].collect().toSet
+    assert(viaPruned == Set((2001L, 1001L)), viaPruned.toString)
+    // compaction: bitwise-identical probe, generation demoted, no-op re-run
+    val before = AdmissionIndex.embProbe(copy, dir, 0.99, 2)
+      .collect().map(_.toString).toSet
+    AdmissionIndex.embCompactIndex(spark, dir)
+    val after = AdmissionIndex.embProbe(copy, dir, 0.99, 2)
+      .collect().map(_.toString).toSet
+    assert(before == after, s"compaction changed answers: $before vs $after")
+    val gens = new java.io.File(s"$dir/delta").listFiles()
+    assert(gens != null && gens.forall { g =>
+      new String(java.nio.file.Files.readAllBytes(
+        g.toPath.resolve("_GRAFT_INDEX_OK")), "UTF-8").contains("\"rows\":0")
+    }, "generations must demote to empty committed markers")
+    AdmissionIndex.embCompactIndex(spark, dir) // no live gens -> no-op
+    AdmissionIndex.embAppendGeneration(novel, dir, "emb-spec-g1")
+    assert(AdmissionIndex.embProbe(copy, dir, 0.99, 2).count() == 1,
+      "a compacted generation's genKey must stay committed")
+  }
+
   test("fp index: exact-tier probe matches normalized dups with " +
     "lowest-id attribution, misses novels, pruned scan") {
     // 40 distinct base docs so all 16 fp buckets are populated (the
