@@ -501,7 +501,26 @@ object SparkEntry {
     "q141_emb_lifecycle" -> ((s, d) =>
       AdmissionIndex.embAdmissionLifecycle(s, d)),
     "q142_emb_compaction" -> ((s, d) =>
-      AdmissionIndex.embAdmissionCompaction(s, d))
+      AdmissionIndex.embAdmissionCompaction(s, d)),
+    // the COMPOSED front door's full ingest lifecycle (mod-3 split):
+    // build all three indexes → batch1 through the three-tier gate →
+    // fold its admitted docs into ALL THREE tiers as one idempotent
+    // delta generation (fingerprints + minhash signatures + vectors)
+    // → batch2 through the same gate. Output = batch2's attribution,
+    // whose match_ids reach into batch1: what round 1 admitted through
+    // any tier, round 2 cannot re-admit — the composed gate property
+    // q139 alone could not state (its fp tier was fold-less)
+    "q143_front_door_lifecycle" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      AdmissionIndex.frontDoorLifecycle(s, d)
+    }),
+    // the composed lifecycle with all three tiers' COMPACTION in the
+    // maintenance slot (own mod-4 index family); the oracle models no
+    // compaction — the pin is joint invisibility across the tiers
+    "q144_front_door_compaction" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      AdmissionIndex.frontDoorCompaction(s, d)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -649,6 +668,8 @@ object SparkEntry {
     "q139_front_door" -> AdmissionIndex.frontDoorOracle,
     "q140_span_scrub" -> Dedup.scrubDupSpansOracle,
     "q141_emb_lifecycle" -> AdmissionIndex.embAdmissionLifecycleOracle,
-    "q142_emb_compaction" -> AdmissionIndex.embAdmissionCompactionOracle
+    "q142_emb_compaction" -> AdmissionIndex.embAdmissionCompactionOracle,
+    "q143_front_door_lifecycle" -> AdmissionIndex.frontDoorLifecycleOracle,
+    "q144_front_door_compaction" -> AdmissionIndex.frontDoorCompactionOracle
   )
 }

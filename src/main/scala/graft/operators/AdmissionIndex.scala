@@ -204,20 +204,32 @@ object AdmissionIndex {
     * doc_id % baseMod == 0 (2 = the q65 even/odd convention; q137's
     * lifecycle uses 3, q138's compaction lifecycle 4, so disjoint
     * incoming batches exist). Part of the index key: different
-    * conventions are different indexes. */
+    * conventions are different indexes.
+    *
+    * `famTag`: the OWNING-LIFECYCLE tag. An index accumulates delta
+    * generations, so two lifecycles folding into ONE dir would leak
+    * each other's admits into their probes (q137's text-only gate
+    * admits docs the composed gate sem-rejects — sharing its index
+    * made q143's batch2 "see" them). In production that sharing is
+    * the point — one corpus, one gate; for independently-specified
+    * lifecycles the tag keys them apart. Empty = the default family
+    * (existing dirs stay valid). */
   def ensureIndex(spark: SparkSession, sfDir: String,
                   threshold: Double = Dedup.DefaultThreshold,
                   maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
                   baseMod: Int = 2,
-                  buckets: Option[(Int, Int)] = None): String =
+                  buckets: Option[(Int, Int)] = None,
+                  famTag: String = ""): String =
     synchronized {
       val docsPath = s"$sfDir/documents.parquet"
+      val fam = if (famTag.isEmpty) "" else s"|f$famTag"
       val dir =
-        if (baseMod == 2) indexDirFor(docsPath, threshold, maxDfFrac, buckets)
+        if (baseMod == 2 && famTag.isEmpty)
+          indexDirFor(docsPath, threshold, maxDfFrac, buckets)
         else {
           val (b, r) = Dedup.lshBanding(threshold)
           dirFor(docsPath, s"$threshold|$maxDfFrac|b=$b,r=$r|" +
-            s"${bucketTag(buckets)}|mod$baseMod")
+            s"${bucketTag(buckets)}|mod$baseMod$fam")
         }
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
@@ -965,19 +977,21 @@ object AdmissionIndex {
   val EmbThreshold = 0.45
 
   def embIndexDirFor(embPath: String, centroids: Int,
-                     baseMod: Int = 2): String =
+                     baseMod: Int = 2, famTag: String = ""): String =
     dirFor(embPath,
-      s"emb|$centroids" + (if (baseMod == 2) "" else s"|m$baseMod"))
+      s"emb|$centroids" + (if (baseMod == 2) "" else s"|m$baseMod") +
+        (if (famTag.isEmpty) "" else s"|f$famTag"))
 
   /** Build-if-absent for the embedding index; same lifecycle contract
     * as [[ensureIndex]] (incl. the `baseMod` split-convention key —
-    * q141's lifecycle uses 3, q142's compaction lifecycle 4). */
+    * q141's lifecycle uses 3, q142's compaction lifecycle 4 — and the
+    * `famTag` owning-lifecycle key). */
   def ensureEmbIndex(spark: SparkSession, sfDir: String,
                      centroids: Int = EmbCentroids,
-                     baseMod: Int = 2): String =
+                     baseMod: Int = 2, famTag: String = ""): String =
     synchronized {
       val embPath = s"$sfDir/embeddings.parquet"
-      val dir = embIndexDirFor(embPath, centroids, baseMod)
+      val dir = embIndexDirFor(embPath, centroids, baseMod, famTag)
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
         sweepStale(embPath, keep = dir)
@@ -1471,25 +1485,42 @@ object AdmissionIndex {
   // batch's own fingerprints hash into: per-ingest IO is
   // O(batch + touched buckets), never O(base). ~24 bytes/doc stored —
   // the cheapest of the three indexes by far. Rebuild cadence = the
-  // base snapshot (same staleness key as the text index); the front
-  // door's fold-less contract means no delta generations here.
+  // base snapshot (same staleness key as the text index). Since r12 the
+  // tier has the same delta-generation lifecycle as its siblings
+  // ([[fpAppendGeneration]] / [[fpCompactIndex]]): the composed
+  // front-door lifecycle (q143) folds admitted docs' fingerprints in,
+  // so an EXACT resubmission of an admitted doc is caught by tier 1
+  // directly — including sub-3-token docs the minhash tier cannot
+  // sign, the case the "minhash catches it at jaccard 1.0" argument
+  // would have missed.
 
   /** target fp rows per bucket (16-byte fp + 8-byte id rows) */
   val FpsPerBucket = 65536L
 
-  def fpIndexDirFor(docsPath: String): String = dirFor(docsPath, "fp|mod2")
+  /** `baseMod` and `famTag` enter the key exactly as in
+    * [[indexDirFor]]: different split conventions / owning lifecycles
+    * are different fp indexes (the mod-2 tag is the historical
+    * spelling, so existing indexes stay valid). */
+  def fpIndexDirFor(docsPath: String, baseMod: Int = 2,
+                    famTag: String = ""): String =
+    dirFor(docsPath, s"fp|mod$baseMod" +
+      (if (famTag.isEmpty) "" else s"|f$famTag"))
 
   /** Build-if-absent for the fingerprint index; same key/marker/atomic-
-    * publish contract as [[ensureIndex]]. */
-  def ensureFpIndex(spark: SparkSession, sfDir: String): String =
+    * publish contract as [[ensureIndex]], including the `baseMod`
+    * split-convention parameter (base = doc_id % baseMod == 0 — the
+    * composed front-door lifecycle runs at 3/4, q139 at the default 2)
+    * and the `famTag` owning-lifecycle key. */
+  def ensureFpIndex(spark: SparkSession, sfDir: String,
+                    baseMod: Int = 2, famTag: String = ""): String =
     synchronized {
       val docsPath = s"$sfDir/documents.parquet"
-      val dir = fpIndexDirFor(docsPath)
+      val dir = fpIndexDirFor(docsPath, baseMod, famTag)
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
         sweepStale(docsPath, keep = dir)
         val base = graft.Tables.documents(spark, sfDir)
-          .filter(col("doc_id") % 2 === 0)
+          .filter(col("doc_id") % baseMod === 0)
         buildFpIndex(base, dir)
       }
       dir
@@ -1521,9 +1552,15 @@ object AdmissionIndex {
   }
 
   /** Exact-tier probe: (doc_id, exact_id) for every batch doc whose
-    * fingerprint the base has seen — the persisted twin of q132's
-    * derived-table anti join, partition-pruned to the batch's own fp
-    * buckets (≤ min(|batch|, fpBuckets) directories read). */
+    * fingerprint the index has seen (base ∪ committed delta
+    * generations) — the persisted twin of q132's derived-table anti
+    * join, partition-pruned to the batch's own fp buckets
+    * (≤ min(|batch|, fpBuckets) directories read per root).
+    * `exact_id` = the lowest matching id ACROSS roots: each root
+    * stores its own per-fp minimum, so the cross-root min is the
+    * global attribution (base fps and delta fps are disjoint under the
+    * lifecycle discipline — a fp the base has is rejected, never
+    * folded — but the agg makes the probe correct for any fold). */
   def fpProbe(batch: DataFrame, dir: String): DataFrame = {
     val (df, release) = fpProbePlan(batch, dir)
     try df.localCheckpoint(true)
@@ -1536,24 +1573,104 @@ object AdmissionIndex {
   private[graft] def fpProbePlan(batch: DataFrame,
                                  dir: String): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
-    val buckets = {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(dir, okMarker)), "UTF-8")
-      "\"fpBuckets\":(\\d+)".r.findFirstMatchIn(txt)
-        .map(_.group(1).toInt).getOrElse(MinBuckets)
-    }
+    val buckets = readFpBuckets(dir)
     val bf = batch
       .select(col("doc_id"), fpCol(col("text")).as("fp"))
       .withColumn("fp_bucket", pmod(hash(col("fp")), lit(buckets)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = bf.select(col("fp_bucket")).distinct()
       .collect().map(_.getInt(0))
-    val idx = spark.read.parquet(s"$dir/fps")
-      .filter(col("fp_bucket").isin(touched.map(Int.box).toIndexedSeq: _*))
+    val idx = prunedUnion(spark, indexRoots(dir), "fps", "fp_bucket", touched)
     val out = bf.join(idx.select(col("fp"), col("bid")), Seq("fp"))
-      .select(col("doc_id"), col("bid").as("exact_id"))
+      .groupBy(col("doc_id")).agg(min(col("bid")).as("exact_id"))
     (out, () => { bf.unpersist(false); () })
   }
+
+  private def readFpBuckets(dir: String): Int = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, okMarker)), "UTF-8")
+    "\"fpBuckets\":(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(MinBuckets)
+  }
+
+  /** Fold ADMITTED docs' fingerprints into the fp index as a committed
+    * delta generation — the exact tier's fold, closing the last
+    * fold-less tier (r11 verdict item 1): without it an exact
+    * resubmission of an admitted doc passes tier 1 forever (and the
+    * minhash tier cannot catch sub-3-token docs at all). Rows are
+    * (fp, bid = lowest admitted doc id per fp WITHIN the generation),
+    * bucketed under the ROOT's fpBuckets layout so one pruned scan
+    * vocabulary spans all roots. Same marker-last tmp-dir
+    * atomic-publish protocol and per-genKey idempotence as
+    * [[appendGeneration]]. */
+  def fpAppendGeneration(admitted: DataFrame, dir: String,
+                         genKey: String): Unit =
+    synchronized {
+      val gdir = s"$dir/delta/${md5hex(genKey).take(16)}"
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(gdir, okMarker))) return
+      val buckets = readFpBuckets(dir)
+      val fps = admitted
+        .select(fpCol(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("bid"))
+        .withColumn("fp_bucket", pmod(hash(col("fp")), lit(buckets)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val tmp = buildTmpDir(gdir)
+        val rows = fps.count()
+        if (rows > 0) {
+          fps.repartition(col("fp_bucket"))
+            .write.mode("overwrite").partitionBy("fp_bucket")
+            .parquet(s"$tmp/fps")
+        } else java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tmp))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, okMarker),
+          s"""{"genKey":${graft.Verify.jsonQuote(genKey)},"rows":$rows,"version":$FormatVersion}
+             |""".stripMargin.getBytes("UTF-8"))
+        publish(tmp, gdir)
+      } finally fps.unpersist(false)
+    }
+
+  /** IO-only compaction for the fp index — [[compactIndex]]'s exact-
+    * tier twin: committed generations' stored (fp, bid) rows merge into
+    * the base fps table, re-collapsed to min(bid) per fp (the probe
+    * already min-aggregates across roots, so the collapse leaves every
+    * probe answer bitwise unchanged), generations demote to empty
+    * committed markers. Same crash protocol: merge to tmp, root marker
+    * OFF, swap, demote, marker LAST. */
+  def fpCompactIndex(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      val gens = indexRoots(dir).drop(1)
+      if (gens.isEmpty) return
+      val roots = dir +: gens
+      val tmp = buildTmpDir(dir)
+      roots.map(rt => spark.read.parquet(s"$rt/fps"))
+        .reduce(_.unionByName(_))
+        .groupBy(col("fp"), col("fp_bucket")).agg(min(col("bid")).as("bid"))
+        .select(col("fp"), col("bid"), col("fp_bucket"))
+        .repartition(col("fp_bucket"))
+        .write.mode("overwrite").partitionBy("fp_bucket")
+        .parquet(s"$tmp/fps")
+      val rootMarker = java.nio.file.Paths.get(dir, okMarker)
+      val markerBytes = java.nio.file.Files.readAllBytes(rootMarker)
+      java.nio.file.Files.delete(rootMarker) // window opens: crash → rebuild
+      swapDir(s"$tmp/fps", s"$dir/fps")
+      deleteRec(java.nio.file.Paths.get(tmp))
+      gens.foreach { g =>
+        val gm = java.nio.file.Paths.get(g, okMarker)
+        val genKeyLine = new String(java.nio.file.Files.readAllBytes(gm), "UTF-8")
+        val genKey = "\"genKey\":(\"(?:[^\"\\\\]|\\\\.)*\")".r
+          .findFirstMatchIn(genKeyLine).map(_.group(1)).getOrElse("\"?\"")
+        deleteRec(java.nio.file.Paths.get(g))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(g))
+        java.nio.file.Files.write(gm,
+          s"""{"genKey":$genKey,"rows":0,"compacted":true,"version":$FormatVersion}
+             |""".stripMargin.getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(rootMarker, markerBytes) // window closes
+      ()
+    }
 
   /** One incoming batch (odd doc_ids) → per-doc, per-tier reject
     * attribution: `(doc_id, tier ∈ exact|near_dup|semantic|admitted,
@@ -1596,6 +1713,19 @@ object AdmissionIndex {
     val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
     val edir = ensureEmbIndex(spark, sfDir, centroids)
     val fdir = ensureFpIndex(spark, sfDir)
+    frontDoorOn(incoming, spark, sfDir, dir, edir, fdir,
+      threshold, embThreshold, nProbe)
+  }
+
+  /** The three-tier chain against EXPLICIT index dirs — the shared core
+    * of [[frontDoorBatch]] (mod-2 indexes) and the composed lifecycle's
+    * probes (mod-3/mod-4 indexes whose delta generations carry what
+    * earlier batches admitted). Vectors are looked up by
+    * vec_id = doc_id from `sfDir`'s embeddings table. */
+  private def frontDoorOn(incoming: DataFrame, spark: SparkSession,
+                          sfDir: String, dir: String, edir: String,
+                          fdir: String, threshold: Double,
+                          embThreshold: Double, nProbe: Int): DataFrame = {
     // tier 1 — exact: the persisted fingerprint index ([[fpProbe]] is
     // already eager + tiny; read twice: attribution + tier-2 input)
     val exactBest = fpProbe(incoming, fdir)
@@ -1654,6 +1784,118 @@ object AdmissionIndex {
           maxDfFrac, embThreshold, centroids, nProbe), id))
       .start()
 
+  /** q143 driver form — the COMPOSED front door's full ingest
+    * lifecycle, closing the one semantic gap the per-tier lifecycles
+    * (q137/q141) left open: q139 probes three persisted indexes but
+    * never folds what it admits, so re-submitting an identical batch
+    * re-admits every doc. This is the integrated loop a production
+    * ingest runs (reference analog: the plants task's one
+    * lookup-train-emit pipeline, plants_classifier.py:183–231), on a
+    * mod-3 split so disjoint batches exist: build all three indexes
+    * (base = id % 3 == 0) → batch1 (% 3 == 1) through the three-tier
+    * gate → fold batch1's ADMITTED docs into ALL THREE tiers as one
+    * idempotent delta generation (fingerprints via
+    * [[fpAppendGeneration]], signatures via [[appendGenerationSigned]]
+    * — signed ONCE, shared by probe and fold — vectors via
+    * [[embAppendGeneration]]) → batch2 (% 3 == 2) through the same
+    * gate. Output = batch2's per-doc attribution, whose match_ids now
+    * reach into batch1 (ids ≡ 1 mod 3): the COMPOSED gate property —
+    * what batch 1 admitted through any tier, batch 2 cannot re-admit. */
+  def frontDoorLifecycle(spark: SparkSession, sfDir: String,
+                         threshold: Double = Dedup.DefaultThreshold,
+                         maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
+                         embThreshold: Double = EmbThreshold,
+                         centroids: Int = EmbCentroids,
+                         nProbe: Int = EmbNProbe): DataFrame =
+    frontDoorLifecycleCore(spark, sfDir, threshold, maxDfFrac,
+      embThreshold, centroids, nProbe, m = 3, genTag = "fdGen1",
+      compact = false)
+
+  /** q144 driver form — the composed lifecycle with ALL THREE tiers'
+    * compaction in the maintenance slot (q138/q142's composed form),
+    * on its own mod-4 index family. The oracle models NO compaction —
+    * the pin is that the three compactions together are invisible to
+    * the composed gate's every answer while returning each index to
+    * single-root shape; a warm re-run is fully idempotent. */
+  def frontDoorCompaction(spark: SparkSession, sfDir: String,
+                          threshold: Double = Dedup.DefaultThreshold,
+                          maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
+                          embThreshold: Double = EmbThreshold,
+                          centroids: Int = EmbCentroids,
+                          nProbe: Int = EmbNProbe): DataFrame =
+    frontDoorLifecycleCore(spark, sfDir, threshold, maxDfFrac,
+      embThreshold, centroids, nProbe, m = 4, genTag = "fdGenC1",
+      compact = true)
+
+  private def frontDoorLifecycleCore(spark: SparkSession, sfDir: String,
+      threshold: Double, maxDfFrac: Double, embThreshold: Double,
+      centroids: Int, nProbe: Int, m: Int, genTag: String,
+      compact: Boolean): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    // famTag "fd": the composed lifecycle owns its own index family —
+    // without it the mod-3/4 dirs are q137/q141's, whose text-only /
+    // emb-only folds would leak their admits into the composed probes
+    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac,
+      baseMod = m, famTag = "fd")
+    val edir = ensureEmbIndex(spark, sfDir, centroids,
+      baseMod = m, famTag = "fd")
+    val fdir = ensureFpIndex(spark, sfDir, baseMod = m, famTag = "fd")
+    val genKey = s"$sfDir|$genTag"
+    // round 1 replays only until all three folds are committed (each
+    // append is idempotent per genKey on its own; skipping the whole
+    // round also skips the wasted re-probe — the q137 contract)
+    if (!(generationCommitted(fdir, genKey) &&
+          generationCommitted(dir, genKey) &&
+          generationCommitted(edir, genKey))) {
+      val batch1 = docs.filter(col("doc_id") % m === 1)
+      // tier 1 — exact (fpProbe is eager + batch-bounded)
+      val exact1 = fpProbe(batch1, fdir)
+      val survivors1 = batch1
+        .join(exact1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // tier 2 — sign ONCE; the probe and the fold share the frame
+        val signed1 = signedBatch(survivors1, dir, threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nd1 = probePairsSigned(signed1, dir, threshold)
+            .select(col("a")).distinct()
+            .localCheckpoint(true) // tiny ids; read by tier 3 AND the fold
+          val survivors2 = survivors1.select(col("doc_id"))
+            .join(nd1, survivors1("doc_id") === nd1("a"), "left_anti")
+          // tier 3 — IVF over the remaining docs' vectors
+          val vecs2 = graft.Tables.embeddings(spark, sfDir)
+            .join(survivors2, col("vec_id") === survivors2("doc_id"),
+              "left_semi")
+          val sem1 = embProbe(vecs2, edir, embThreshold, nProbe)
+            .select(col("batch_vec")).distinct()
+          // admitted ids: bounded by the batch, shared by all 3 folds
+          val admitted = survivors2
+            .join(broadcast(sem1),
+              survivors2("doc_id") === sem1("batch_vec"), "left_anti")
+            .localCheckpoint(true)
+          fpAppendGeneration(
+            batch1.join(admitted, Seq("doc_id"), "left_semi"), fdir, genKey)
+          appendGenerationSigned(
+            signed1.join(admitted, Seq("doc_id"), "left_semi"),
+            dir, genKey, threshold)
+          embAppendGeneration(
+            graft.Tables.embeddings(spark, sfDir)
+              .join(admitted, col("vec_id") === admitted("doc_id"),
+                "left_semi"),
+            edir, genKey)
+        } finally signed1.unpersist(false)
+      } finally survivors1.unpersist(false)
+    }
+    if (compact) {
+      fpCompactIndex(spark, fdir)
+      compactIndex(spark, dir)
+      embCompactIndex(spark, edir)
+    }
+    frontDoorOn(docs.filter(col("doc_id") % m === 2), spark, sfDir,
+      dir, edir, fdir, threshold, embThreshold, nProbe)
+  }
+
   val frontDoorOracle: String = frontDoorOracleAt(
     Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac,
     EmbThreshold, EmbCentroids, EmbNProbe)
@@ -1705,6 +1947,123 @@ object AdmissionIndex {
       |LEFT JOIN sem_best s ON s.doc_id = d.doc_id
       |WHERE d.doc_id % 2 = 1
       |ORDER BY d.doc_id""".stripMargin
+
+  val frontDoorLifecycleOracle: String = frontDoorLifecycleOracleAt(
+    Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac,
+    EmbThreshold, EmbCentroids, EmbNProbe, 3)
+
+  val frontDoorCompactionOracle: String = frontDoorLifecycleOracleAt(
+    Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac,
+    EmbThreshold, EmbCentroids, EmbNProbe, 4)
+
+  /** The composed lifecycle's oracle at split modulo `m`: round 1's
+    * admitted set is re-derived from ALL THREE tiers (fp match vs the
+    * mod-`m` base; minhash pairs with hot stats scoped to that base;
+    * IVF scoring under the base's frozen centroids — per-doc tier
+    * results are independent of which other docs probe, so "admitted"
+    * = matched by none, exactly the engine's survivor chaining); round
+    * 2's attribution then runs every tier against base ∪ admitted:
+    * exact2 takes MIN over the widened id set (the engine's cross-root
+    * min-fold), nd2/sem2 rank best-match with the admitted side
+    * eligible. Residues ≥ 3 are neither base nor batch for any m.
+    * Compaction (m = 4) is invisible by construction — the oracle
+    * models none. */
+  def frontDoorLifecycleOracleAt(threshold: Double, maxDfFrac: Double,
+                                 embThreshold: Double, centroids: Int,
+                                 nProbe: Int, m: Int): String = {
+    embOracleGuards(centroids, nProbe)
+    val scores = embScoresExpr
+    s"""WITH ${Dedup.oracleMinhashPairsCtes(threshold, maxDfFrac, s"doc_id % $m = 0")},
+      |${Similarity.oracleQuantized},
+      |ranked_cents AS (
+      |  SELECT qv, n2,
+      |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+      |         vec_id
+      |  FROM qn WHERE vec_id % $m = 0 ORDER BY h, vec_id LIMIT $centroids),
+      |carr AS (
+      |  SELECT list(struct_pack(qv := qv, n2 := n2) ORDER BY h, vec_id) AS cents
+      |  FROM ranked_cents),
+      |assigned_base AS (
+      |  SELECT q.vec_id, q.qv, q.n2, list_min($scores) % 256 AS cell
+      |  FROM qn q, carr WHERE q.vec_id % $m = 0),
+      |fpd AS MATERIALIZED (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |exact1 AS (
+      |  SELECT d.doc_id FROM fpd d
+      |  WHERE d.doc_id % $m = 1 AND EXISTS (
+      |    SELECT 1 FROM fpd e WHERE e.doc_id % $m = 0 AND e.fp = d.fp)),
+      |nd1 AS (
+      |  SELECT DISTINCT CASE WHEN a % $m = 1 THEN a ELSE b END AS doc_id
+      |  FROM mp WHERE (a % $m = 1 AND b % $m = 0) OR (a % $m = 0 AND b % $m = 1)),
+      |probes1 AS (
+      |  SELECT q.vec_id, q.qv, q.n2, t.pcell
+      |  FROM qn q, carr,
+      |       unnest(list_transform(list_sort($scores)[1:$nProbe], x -> x % 256)) AS t(pcell)
+      |  WHERE q.vec_id % $m = 1),
+      |sem1 AS (
+      |  SELECT DISTINCT x.vec_id AS doc_id
+      |  FROM probes1 x JOIN assigned_base y ON x.pcell = y.cell
+      |  WHERE ${Similarity.oracleCosExpr} >= $embThreshold),
+      |adm1 AS MATERIALIZED (
+      |  SELECT doc_id FROM documents dd WHERE doc_id % $m = 1
+      |    AND NOT EXISTS (SELECT 1 FROM exact1 WHERE exact1.doc_id = dd.doc_id)
+      |    AND NOT EXISTS (SELECT 1 FROM nd1 WHERE nd1.doc_id = dd.doc_id)
+      |    AND NOT EXISTS (SELECT 1 FROM sem1 WHERE sem1.doc_id = dd.doc_id)),
+      |exact2 AS (
+      |  SELECT d.doc_id, MIN(e.doc_id) AS exact_id
+      |  FROM fpd d JOIN fpd e ON d.fp = e.fp
+      |  WHERE d.doc_id % $m = 2
+      |    AND (e.doc_id % $m = 0 OR EXISTS (
+      |           SELECT 1 FROM adm1 WHERE adm1.doc_id = e.doc_id))
+      |  GROUP BY d.doc_id),
+      |nd2r AS (
+      |  SELECT CASE WHEN a % $m = 2 THEN a ELSE b END AS doc_id,
+      |         CASE WHEN a % $m = 2 THEN b ELSE a END AS nd_id, jac
+      |  FROM mp WHERE ((a % $m = 2) <> (b % $m = 2))
+      |    AND (CASE WHEN a % $m = 2 THEN b ELSE a END % $m = 0
+      |         OR EXISTS (SELECT 1 FROM adm1
+      |                    WHERE adm1.doc_id = CASE WHEN a % $m = 2 THEN b ELSE a END))),
+      |nd2 AS (
+      |  SELECT doc_id, nd_id FROM (
+      |    SELECT doc_id, nd_id,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY jac DESC, nd_id ASC) AS rnk
+      |    FROM nd2r) WHERE rnk = 1),
+      |assigned_adm AS (
+      |  SELECT q.vec_id, q.qv, q.n2, list_min($scores) % 256 AS cell
+      |  FROM qn q, carr
+      |  WHERE EXISTS (SELECT 1 FROM adm1 WHERE adm1.doc_id = q.vec_id)),
+      |assigned2 AS (
+      |  SELECT * FROM assigned_base UNION ALL SELECT * FROM assigned_adm),
+      |probes2 AS (
+      |  SELECT q.vec_id, q.qv, q.n2, t.pcell
+      |  FROM qn q, carr,
+      |       unnest(list_transform(list_sort($scores)[1:$nProbe], x -> x % 256)) AS t(pcell)
+      |  WHERE q.vec_id % $m = 2),
+      |scored2 AS (
+      |  SELECT x.vec_id AS doc_id, y.vec_id AS sem_id,
+      |         ${Similarity.oracleCosExpr} AS cos
+      |  FROM probes2 x JOIN assigned2 y ON x.pcell = y.cell),
+      |sem2 AS (
+      |  SELECT doc_id, sem_id FROM (
+      |    SELECT doc_id, sem_id,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY cos DESC, sem_id ASC) AS rnk
+      |    FROM scored2 WHERE cos >= $embThreshold) WHERE rnk = 1)
+      |SELECT d.doc_id,
+      |       CASE WHEN x.exact_id IS NOT NULL THEN 'exact'
+      |            WHEN n.nd_id IS NOT NULL THEN 'near_dup'
+      |            WHEN s.sem_id IS NOT NULL THEN 'semantic'
+      |            ELSE 'admitted' END AS tier,
+      |       coalesce(x.exact_id, n.nd_id, s.sem_id, -1) AS match_id
+      |FROM documents d
+      |LEFT JOIN exact2 x ON x.doc_id = d.doc_id
+      |LEFT JOIN nd2 n ON n.doc_id = d.doc_id
+      |LEFT JOIN sem2 s ON s.doc_id = d.doc_id
+      |WHERE d.doc_id % $m = 2
+      |ORDER BY d.doc_id""".stripMargin
+  }
 
   // --------------------------------------------------------------------
   // Oracles — the all-pairs minhash CTEs with hot-set STATISTICS scoped

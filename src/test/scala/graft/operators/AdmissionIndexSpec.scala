@@ -716,4 +716,94 @@ class AdmissionIndexSpec extends SparkSpec {
       assert(tiers.contains("admitted") && tiers.size >= 2, tiers.toString)
     } finally q.stop()
   }
+
+  test("composed front-door lifecycle: what batch1 admitted through ANY " +
+    "tier, batch2 cannot re-admit — on every tier, including the " +
+    "sub-3-token doc only the fp fold can catch") {
+    // a planted sfDir: ids ≡0 mod 3 = base, ≡1 = batch1, ≡2 = batch2
+    val sfDir = java.nio.file.Files
+      .createTempDirectory("graft-fd-lifecycle").toString
+    val docs = Seq(
+      // base
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (6L, "one two three four five six seven eight nine ten eleven twelve"),
+      (9L, "mountain river forest desert ocean valley hill lake stream meadow cliff cave"),
+      (12L, "red orange yellow green blue indigo violet pink brown black white gray"),
+      // batch1: 7 exact-dups base 6; 10 near-dups base 9; 13/16/19 novel
+      (7L, "one two three four five six seven eight nine ten eleven twelve"),
+      (10L, "mountain river forest desert ocean valley hill lake stream meadow cliff cavern"),
+      (13L, "zebra yak xylophone walrus vulture unicorn tiger snake rabbit quail porcupine otter"),
+      (16L, "zz qq"), // 2 tokens: unsignable — only the fp fold can gate its dups
+      (19L, "council of ancient mariners charted seven unknown seas beyond the horizon line"),
+      // batch2: 8 exact-dups BASE 6; 11 exact-dups ADMITTED 13 (case/ws
+      // variant — normalization is part of the fp contract); 14
+      // exact-dups the unsignable 16; 17 near-dups ADMITTED 13; 20 is
+      // novel text whose VECTOR copies admitted 19's; 23 fully novel
+      (8L, "one two three four five six seven eight nine ten eleven twelve"),
+      (11L, "  ZEBRA yak\txylophone walrus vulture unicorn tiger snake rabbit quail porcupine otter "),
+      (14L, "ZZ  qq"),
+      (17L, "zebra yak xylophone walrus vulture unicorn tiger snake rabbit quail porcupine ottered"),
+      (20L, "completely different topic discussing culinary techniques and pastry recipes in detail"),
+      (23L, "unmatched final document about astronomy telescopes and distant galaxy clusters")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    docs.write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    def oneHot(k: Int) = Array.tabulate(8)(i => if (i == k) 1f else 0f)
+    Seq( // base vectors (4 cells), admitted 19's vector, 20 = its copy,
+         // 23 orthogonal to everything live
+      (3L, oneHot(2), 0), (6L, oneHot(3), 0), (9L, oneHot(4), 0),
+      (12L, oneHot(5), 0), (19L, oneHot(0), 0), (20L, oneHot(0), 0),
+      (23L, oneHot(1), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    def run() = AdmissionIndex.frontDoorLifecycle(spark, sfDir)
+      .as[(Long, String, Long)].collect().toSeq
+    val got = run()
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == Map(
+      8L -> (("exact", 6L)),       // base match survives the fold
+      11L -> (("exact", 13L)),     // fp fold: admitted batch1 doc gates
+      14L -> (("exact", 16L)),     // fp fold on the UNSIGNABLE doc
+      17L -> (("near_dup", 13L)),  // minhash fold
+      20L -> (("semantic", 19L)),  // IVF fold
+      23L -> (("admitted", -1L))
+    ), got.toString)
+    // warm replay: committed generations make the whole round-1 fold a
+    // no-op — attribution identical, nothing duplicated
+    assert(run() == got, "warm lifecycle re-run must be identical")
+  }
+
+  test("fp delta generations + compaction: folded fingerprint gates a " +
+    "later exact dup; compaction is invisible, demotes, no-ops") {
+    val base = (0 until 40).map(i =>
+      (2L * i, s"unique base document number $i about topic t$i"))
+      .toDF("doc_id", "text")
+    val dir = freshDir()
+    AdmissionIndex.buildFpIndex(base, dir)
+    val novel = Seq((1001L, "a brand new admitted document"))
+      .toDF("doc_id", "text")
+    assert(AdmissionIndex.fpProbe(novel, dir).count() == 0)
+    AdmissionIndex.fpAppendGeneration(novel, dir, "fp-spec-g1")
+    val copy = Seq((2001L, "A  brand NEW admitted\tdocument"))
+      .toDF("doc_id", "text")
+    def probeCopy() = AdmissionIndex.fpProbe(copy, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(probeCopy() == Set((2001L, 1001L)), probeCopy().toString)
+    // idempotent re-fold
+    AdmissionIndex.fpAppendGeneration(novel, dir, "fp-spec-g1")
+    assert(probeCopy() == Set((2001L, 1001L)))
+    // compaction: bitwise-identical probe, generations demoted, no-op
+    AdmissionIndex.fpCompactIndex(spark, dir)
+    assert(probeCopy() == Set((2001L, 1001L)),
+      "compaction changed the fp probe answer")
+    val gens = new java.io.File(s"$dir/delta").listFiles()
+    assert(gens != null && gens.forall { g =>
+      new String(java.nio.file.Files.readAllBytes(
+        g.toPath.resolve("_GRAFT_INDEX_OK")), "UTF-8").contains("\"rows\":0")
+    }, "fp generations must demote to empty committed markers")
+    AdmissionIndex.fpCompactIndex(spark, dir) // no live gens → no-op
+    // the genKey stays committed across compaction
+    AdmissionIndex.fpAppendGeneration(novel, dir, "fp-spec-g1")
+    assert(probeCopy() == Set((2001L, 1001L)))
+  }
 }
