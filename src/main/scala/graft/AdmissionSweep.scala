@@ -50,6 +50,11 @@ object AdmissionSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_SWEEP_MODE").contains("embgens")) {
+      embGensSweep(spark, out)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SWEEP_MODE").contains("emb")) {
       embSweep(spark, out)
       spark.stop()
@@ -306,6 +311,110 @@ object AdmissionSweep {
     val tail = f"""{"compact_sec":$compactSec%.2f,"probe_after_compact_sec":${math.min(p1, p2)}%.2f,"pairs":$pairsF,"gens_after_compact":0}"""
     println(tail)
     val json = s"""{"base":"$baseDir","base_docs":$baseDocs,"build_sec":${f"$buildSec%.2f"},"rounds":[${roundLines.mkString(",\n")}],
+                  |"after_compact":$tail}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    ()
+  }
+
+  /** Embedding-index GENERATION sweep (r11 verdict item 2): the IVF
+    * twin of [[gensSweep]] — probe cost vs the number of live emb
+    * delta generations at a FIXED base, then [[AdmissionIndex
+    * .embCompactIndex]] timed and the probe re-measured single-root.
+    * ADMISSION_SWEEP_GENS measured the text tier's per-root overhead
+    * (~0.29 s/root); this closes the same axis for the embedding tier
+    * so its compaction cadence is evidence-backed, not inferred.
+    * Fixture: the embSweep middle point (150k synthetic 64-dim
+    * vectors, sqrt-n centroids); per-round batch = 1000 exact copies
+    * of base vectors (rejected every round — the verify stage stays
+    * honest) + 1000 novel vectors from a different functional family
+    * with round-unique ids (admitted, folded as generation k). */
+  private def embGensSweep(spark: SparkSession, out: String): Unit = {
+    val AI = graft.operators.AdmissionIndex
+    val dims = 64
+    val baseN = 150000L
+    val centroids = math.max(16, math.sqrt(baseN.toDouble).toInt)
+    val Rounds = 32
+    val record = Set(1, 2, 4, 8, 16, 32)
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def baseVecExpr =
+      s"transform(sequence(0, ${dims - 1}), i -> CAST(sin(CAST(vec_id AS DOUBLE) * 13.0 + CAST(i AS DOUBLE) * 7.0) AS FLOAT))"
+    def baseFor(n: Long) = spark.range(n).select((col("id") * 2).as("vec_id"))
+      .withColumn("embedding", expr(baseVecExpr))
+      .withColumn("label", lit("0"))
+    def batchFor(round: Int) = {
+      // exact copies of the 1000 lowest base vectors, remapped to a
+      // disjoint id range (embedding computed BEFORE the remap)
+      val planted = spark.range(1000).select((col("id") * 2).as("vec_id"))
+        .withColumn("embedding", expr(baseVecExpr))
+        .withColumn("vec_id",
+          col("vec_id") + 10000000001L + round.toLong * 1000000L)
+      // novel vectors must be novel vs the base AND vs every other
+      // round's folds at threshold 0.99. Sin-arithmetic families are
+      // USELESS for that: sin(a + θi) spans the 2-D subspace
+      // {cos θi, sin θi} (all vectors on one circle — measured as
+      // rejects=2000 and empty generations from round 2 on), and even
+      // polynomial-exponent variants keep enough phase structure to
+      // cross 0.99 (measured max cross-round cos 0.9988). Murmur3 per
+      // (vec_id, component) is actually pseudo-random: pairwise cos
+      // ~N(0, 1/64), max over the sweep's ~10⁸ pairs ≈ 0.5 ≪ 0.99
+      val novel = spark.range(1000)
+        .select((col("id") * 2 + 20000000001L + round.toLong * 1000000L)
+          .as("vec_id"))
+        .withColumn("embedding", expr(
+          s"transform(sequence(0, ${dims - 1}), i -> CAST((hash(vec_id, i) % 10000) / 10000.0 AS FLOAT))"))
+      planted.unionByName(novel).withColumn("label", lit("0")).persist()
+    }
+    // warm-up (JIT/codegen) against a tiny corpus
+    locally {
+      val wdir = java.nio.file.Files
+        .createTempDirectory("graft-embgens-warm").toString + "/idx"
+      AI.embBuildIndex(baseFor(2000), wdir, 16)
+      val wb = batchFor(0)
+      AI.embProbe(wb.limit(500), wdir, 0.99, 4).unpersist(false)
+      wb.unpersist(false)
+      ()
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-embgens").toString + "/idx"
+    val (_, buildSec) = timed(AI.embBuildIndex(baseFor(baseN), dir, centroids))
+    var admittedTotal = 0L
+    val roundLines = (1 to Rounds).flatMap { round =>
+      val batch = batchFor(round)
+      var lastProbe: org.apache.spark.sql.DataFrame = null
+      def probeOnce(): Long = {
+        lastProbe = AI.embProbe(batch, dir, 0.99, 4)
+        lastProbe.count()
+      }
+      val (rejects, probe1) = timed(probeOnce())
+      val probeSec =
+        if (record(round)) math.min(probe1, timed(probeOnce())._2)
+        else probe1
+      val rejected = lastProbe.select(col("batch_vec")).distinct()
+      val admitted = batch.join(broadcast(rejected),
+        batch("vec_id") === rejected("batch_vec"), "left_anti")
+      val (_, foldSec) = timed(
+        AI.embAppendGeneration(admitted, dir, s"embgens-sweep-$round"))
+      admittedTotal += 2000L - rejects
+      batch.unpersist(false)
+      if (record(round)) {
+        val line = f"""{"gens_before_probe":${round - 1},"probe_sec":$probeSec%.2f,"fold_sec":$foldSec%.2f,"rejects":$rejects,"admitted_total":$admittedTotal}"""
+        println(line)
+        Some(line)
+      } else None
+    }
+    val (_, compactSec) = timed(AI.embCompactIndex(spark, dir))
+    val batchF = batchFor(Rounds + 1)
+    def probeF(): Long = AI.embProbe(batchF, dir, 0.99, 4).count()
+    val (rejF, p1) = timed(probeF())
+    val (_, p2) = timed(probeF())
+    batchF.unpersist(false)
+    val tail = f"""{"compact_sec":$compactSec%.2f,"probe_after_compact_sec":${math.min(p1, p2)}%.2f,"rejects":$rejF,"gens_after_compact":0}"""
+    println(tail)
+    val json = s"""{"base_vecs":$baseN,"dims":$dims,"centroids":$centroids,"build_sec":${f"$buildSec%.2f"},"rounds":[${roundLines.mkString(",\n")}],
                   |"after_compact":$tail}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

@@ -69,7 +69,8 @@ object GraftFunctions {
     * used by Verify/Bench/tests and the query lambdas that need them). */
   def register(spark: SparkSession): Unit =
     Seq(adler32Descriptor, SortedIntersectSize.descriptor,
-        DotLongExpression.descriptor, H32Expression.descriptor).foreach { d =>
+        DotLongExpression.descriptor, H32Expression.descriptor,
+        SpanHashesExpression.descriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
 }

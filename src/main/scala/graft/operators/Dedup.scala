@@ -1258,42 +1258,24 @@ object Dedup {
     * long-form documents). */
   val DefaultSpanTokens = 5
 
-  /** All positional k-token span hashes in one compiled pass — the JVM
-    * twin of `transform(sequence(...), i -> h32(concat_ws(' ',
-    * slice(toks, i, k))))`, which as a HigherOrderFunction chain is
-    * interpreted per element; same md5-derived 32-bit value as
-    * [[hsetUdf]] so the DuckDB oracle recomputes it exactly. */
-  private def spanHashUdf(k: Int) = udf { toks: Seq[String] =>
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val n = toks.length - k + 1
-    val out = new Array[Long](math.max(n, 0))
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i < n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j)); ()
-        j += 1
-      }
-      val d = md.digest(sb.toString.getBytes("UTF-8"))
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      i += 1
-    }
-    out
-  }
+  // span hashing is the codegen'd
+  // [[graft.functions.SpanHashesExpression]] (`graft_span_hashes(toks,
+  // k)`): same md5-derived 32-bit value as [[hsetUdf]] so the DuckDB
+  // oracle recomputes it exactly; vs the Scala UDF it replaced it reads
+  // the Tungsten array in place (no ArrayData→Seq deserialization) and
+  // encodes each token's bytes once per row instead of once per span.
 
   /** Per-doc duplicated-span profile: doc_id, n_spans, n_dup_spans and
     * the duplicated fraction in basis points (integer-only output — no
     * float crosses the engine boundary). */
   def dupSpans(documents: DataFrame, k: Int = DefaultSpanTokens): DataFrame = {
     require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val perDoc = Widen.widen(documents)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(spanHashUdf(k)(col("toks"))).as("h"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_span_hashes(toks, $k)")).as("h"))
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("c"))
     // corpus-wide singles: g = 1 ⟺ one doc, one occurrence — min(doc_id)
@@ -1340,10 +1322,12 @@ object Dedup {
   def scrubDupSpans(documents: DataFrame,
                     k: Int = DefaultSpanTokens): DataFrame = {
     require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val occ = Widen.widen(documents)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("lt"))
       .filter(size(col("lt")) >= k)
-      .select(col("doc_id"), posexplode(spanHashUdf(k)(col("lt"))))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_span_hashes(lt, $k)")))
       .toDF("doc_id", "pos", "h")
       // barrier: one h-keyed exchange feeds BOTH the count and the
       // start join (ReusedExchange) instead of re-deriving the span
@@ -1471,10 +1455,12 @@ object Dedup {
   // --------------------------------------------------------------------
   def sourceOverlap(documents: DataFrame, k: Int = DefaultSpanTokens): DataFrame = {
     require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val spans = Widen.widen(documents)
       .select(col("source"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col("source"), explode(spanHashUdf(k)(col("toks"))).as("h"))
+      .select(col("source"),
+        explode(expr(s"graft_span_hashes(toks, $k)")).as("h"))
       .distinct()
       // barrier: one h-keyed exchange feeds BOTH self-join branches
       // (ReusedExchange) instead of re-deriving the span explosion per
