@@ -1948,6 +1948,72 @@ object AdmissionIndex {
       |WHERE d.doc_id % 2 = 1
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The composed lifecycle as a STREAMING ingest loop — the form a
+    * production front door actually runs: each micro-batch goes
+    * through the three-tier probe against the lifecycle's OWN index
+    * family, the attribution is handed (materialized) to `sink`, and
+    * the batch's admitted docs fold into ALL THREE tiers keyed by the
+    * micro-batch id. foreachBatch is at-least-once — a crashed sink
+    * replays the batch — and the per-genKey idempotent fold is exactly
+    * the bridge to effective exactly-once on the INDEX side: a
+    * replayed batch re-probes (answers unchanged: its own committed
+    * generation would reject its docs as self-dups only on ids it
+    * already admitted, but the fold is skipped outright because the
+    * generation is committed) and cannot double-fold. Later
+    * micro-batches reject against base ∪ everything earlier batches
+    * admitted — the q143 gate property, continuous. `famTag` defaults
+    * to its own family ("fds") so the stream never couples to the
+    * q143/q144 driver state; `baseMod` picks the base-split convention
+    * the indexes are built over. */
+  def startFrontDoorLifecycleStream(streamDocs: DataFrame, sfDir: String,
+      threshold: Double = Dedup.DefaultThreshold,
+      maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
+      embThreshold: Double = EmbThreshold,
+      centroids: Int = EmbCentroids,
+      nProbe: Int = EmbNProbe,
+      baseMod: Int = 3, famTag: String = "fds")
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    streamDocs.writeStream
+      .foreachBatch((mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => {
+        val spark = mb.sparkSession
+        val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac,
+          baseMod = baseMod, famTag = famTag)
+        val edir = ensureEmbIndex(spark, sfDir, centroids,
+          baseMod = baseMod, famTag = famTag)
+        val fdir = ensureFpIndex(spark, sfDir, baseMod = baseMod,
+          famTag = famTag)
+        val batch = mb.toDF()
+        // materialize the attribution BEFORE folding: every
+        // index-reading leg inside frontDoorOn is already eager, but
+        // the contract (sink sees the pre-fold verdicts) should not
+        // depend on that internal detail
+        val att = frontDoorOn(batch, spark, sfDir, dir, edir, fdir,
+          threshold, embThreshold, nProbe).localCheckpoint(true)
+        val genKey = s"$sfDir|fdStream|$famTag|$id"
+        if (!(generationCommitted(fdir, genKey) &&
+              generationCommitted(dir, genKey) &&
+              generationCommitted(edir, genKey))) {
+          val admitted = att.filter(col("tier") === lit("admitted"))
+            .select(col("doc_id"))
+          fpAppendGeneration(
+            batch.join(admitted, Seq("doc_id"), "left_semi"), fdir, genKey)
+          // one extra sign pass over the ADMITTED docs only (the batch
+          // lifecycle shares the probe's signed frame; the composed
+          // probe is encapsulated here, and admitted ⊆ batch bounds it)
+          appendGeneration(
+            batch.join(admitted, Seq("doc_id"), "left_semi"),
+            dir, genKey, threshold)
+          embAppendGeneration(
+            graft.Tables.embeddings(spark, sfDir)
+              .join(admitted, col("vec_id") === admitted("doc_id"),
+                "left_semi"),
+            edir, genKey)
+        }
+        sink(att, id)
+      })
+      .start()
+
   val frontDoorLifecycleOracle: String = frontDoorLifecycleOracleAt(
     Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac,
     EmbThreshold, EmbCentroids, EmbNProbe, 3)

@@ -717,10 +717,10 @@ class AdmissionIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("composed front-door lifecycle: what batch1 admitted through ANY " +
-    "tier, batch2 cannot re-admit — on every tier, including the " +
-    "sub-3-token doc only the fp fold can catch") {
-    // a planted sfDir: ids ≡0 mod 3 = base, ≡1 = batch1, ≡2 = batch2
+  /** A planted sfDir for the composed-lifecycle family: ids ≡0 mod 3 =
+    * base, ≡1 = batch1, ≡2 = batch2, with one case per tier-fold path
+    * (see the doc Seq). Fresh temp dir per call → fresh index family. */
+  private def plantedFdCorpus(): String = {
     val sfDir = java.nio.file.Files
       .createTempDirectory("graft-fd-lifecycle").toString
     val docs = Seq(
@@ -757,20 +757,74 @@ class AdmissionIndexSpec extends SparkSpec {
       (23L, oneHot(1), 0)
     ).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    sfDir
+  }
+
+  /** The batch2 attribution every composed-lifecycle form must produce
+    * on [[plantedFdCorpus]] — one case per tier-fold path. */
+  private val fdExpected = Map(
+    8L -> (("exact", 6L)),       // base match survives the fold
+    11L -> (("exact", 13L)),     // fp fold: admitted batch1 doc gates
+    14L -> (("exact", 16L)),     // fp fold on the UNSIGNABLE doc
+    17L -> (("near_dup", 13L)),  // minhash fold
+    20L -> (("semantic", 19L)),  // IVF fold
+    23L -> (("admitted", -1L))
+  )
+
+  test("composed front-door lifecycle: what batch1 admitted through ANY " +
+    "tier, batch2 cannot re-admit — on every tier, including the " +
+    "sub-3-token doc only the fp fold can catch") {
+    val sfDir = plantedFdCorpus()
     def run() = AdmissionIndex.frontDoorLifecycle(spark, sfDir)
       .as[(Long, String, Long)].collect().toSeq
     val got = run()
-    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == Map(
-      8L -> (("exact", 6L)),       // base match survives the fold
-      11L -> (("exact", 13L)),     // fp fold: admitted batch1 doc gates
-      14L -> (("exact", 16L)),     // fp fold on the UNSIGNABLE doc
-      17L -> (("near_dup", 13L)),  // minhash fold
-      20L -> (("semantic", 19L)),  // IVF fold
-      23L -> (("admitted", -1L))
-    ), got.toString)
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == fdExpected,
+      got.toString)
     // warm replay: committed generations make the whole round-1 fold a
     // no-op — attribution identical, nothing duplicated
     assert(run() == got, "warm lifecycle re-run must be identical")
+  }
+
+  test("streaming front-door lifecycle: per-micro-batch probe-and-fold " +
+    "≡ the batch lifecycle, and a re-submitted batch is fully rejected") {
+    val sfDir = plantedFdCorpus()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val byBatch = scala.collection.mutable.Map
+      .empty[Long, Map[Long, (String, Long)]]
+    val q = AdmissionIndex.startFrontDoorLifecycleStream(
+      streamDocs, sfDir) { (df, id) =>
+      byBatch(id) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      ()
+    }
+    try {
+      val all = graft.Tables.documents(spark, sfDir)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      val batch1 = all.filter(_._1 % 3 == 1)
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(all.filter(_._1 % 3 == 2))
+      q.processAllAvailable()
+      // micro-batch 2 sees base ∪ admitted-batch1 on every tier —
+      // byte-for-byte the q143 batch lifecycle's attribution
+      assert(byBatch(1L) == fdExpected, byBatch(1L).toString)
+      // re-submitting batch1 whole: every doc it ADMITTED is now its
+      // own exact dup (fp fold gates the resubmission), the ones it
+      // rejected still attribute to their original base matches
+      mem.addData(batch1)
+      q.processAllAvailable()
+      assert(byBatch(2L) == Map(
+        7L -> (("exact", 6L)),
+        10L -> (("near_dup", 9L)),
+        13L -> (("exact", 13L)),
+        16L -> (("exact", 16L)),
+        19L -> (("exact", 19L))
+      ), byBatch(2L).toString)
+    } finally q.stop()
   }
 
   test("fp delta generations + compaction: folded fingerprint gates a " +
