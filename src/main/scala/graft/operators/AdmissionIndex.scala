@@ -1718,14 +1718,14 @@ object AdmissionIndex {
   }
 
   /** The three-tier chain against EXPLICIT index dirs — the shared core
-    * of [[frontDoorBatch]] (mod-2 indexes) and the composed lifecycle's
+    * of [[frontDoorBatch]] (mod-2 indexes), the composed lifecycle's
     * probes (mod-3/mod-4 indexes whose delta generations carry what
-    * earlier batches admitted). Vectors are looked up by
-    * vec_id = doc_id from `sfDir`'s embeddings table. */
-  private def frontDoorOn(incoming: DataFrame, spark: SparkSession,
-                          sfDir: String, dir: String, edir: String,
-                          fdir: String, threshold: Double,
-                          embThreshold: Double, nProbe: Int): DataFrame = {
+    * earlier batches admitted), and the fdlife sweep harness. Vectors
+    * are looked up by vec_id = doc_id from `sfDir`'s embeddings table. */
+  private[graft] def frontDoorOn(incoming: DataFrame, spark: SparkSession,
+                                 sfDir: String, dir: String, edir: String,
+                                 fdir: String, threshold: Double,
+                                 embThreshold: Double, nProbe: Int): DataFrame = {
     // tier 1 — exact: the persisted fingerprint index ([[fpProbe]] is
     // already eager + tiny; read twice: attribution + tier-2 input)
     val exactBest = fpProbe(incoming, fdir)
