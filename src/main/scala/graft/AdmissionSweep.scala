@@ -204,12 +204,14 @@ object AdmissionSweep {
       Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
     }
     // fresh family: builds must be real one-time costs, and prior
-    // sweep generations must not leak into round 1. The text dir's
-    // famTag spelling lives inside ensureIndex, so derive it by
-    // ensuring once (cheap if already present), then wipe all three
-    // and time the real build.
-    val probeDirs = ensureAll(baseDir)
-    Seq(probeDirs._1, probeDirs._2, probeDirs._3)
+    // sweep generations must not leak into round 1
+    Seq(
+      AI.textIndexDirFor(s"$baseDir/documents.parquet",
+        graft.operators.Dedup.DefaultThreshold,
+        graft.operators.Dedup.DefaultMaxDfFrac, famTag = "fdlife"),
+      AI.embIndexDirFor(s"$baseDir/embeddings.parquet", AI.EmbCentroids,
+        2, "fdlife"),
+      AI.fpIndexDirFor(s"$baseDir/documents.parquet", 2, "fdlife"))
       .foreach(d => rm(new java.io.File(d)))
     val (dirs, buildSec) = timed(ensureAll(baseDir))
     val (dir, edir, fdir) = dirs

@@ -12,6 +12,7 @@ object SpanHashHelper {
   private val tl: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
   private val space = Array[Byte](' '.toByte)
+  private val NullBytes = "null".getBytes("UTF-8")
 
   /** All positional k-token span hashes of a token array: element i is
     * [[H32Helper.h32]] of `toks[i..i+k)` joined by single spaces —
@@ -29,7 +30,13 @@ object SpanHashHelper {
     val tb = new Array[Array[Byte]](nTok)
     var t = 0
     while (t < nTok) {
-      tb(t) = toks.getUTF8String(t).getBytes
+      val u = toks.getUTF8String(t)
+      // null element → the string "null", matching Scala string
+      // interpolation (the UDF this replaces concatenated via
+      // StringBuilder, which renders null that way); the engine's own
+      // split() never produces nulls, but the function is registered
+      // for general SQL use
+      tb(t) = if (u == null) NullBytes else u.getBytes
       t += 1
     }
     val md = tl.get()

@@ -214,6 +214,23 @@ object AdmissionIndex {
     * the point — one corpus, one gate; for independently-specified
     * lifecycles the tag keys them apart. Empty = the default family
     * (existing dirs stay valid). */
+  /** The text index dir for ANY parameterization — the baseMod/famTag
+    * generalization of [[indexDirFor]] (which keeps the historical
+    * mod-2 default-family spelling): [[ensureIndex]] and harnesses
+    * that wipe-and-rebuild derive names from this one spelling. */
+  def textIndexDirFor(docsPath: String, threshold: Double,
+                      maxDfFrac: Double, baseMod: Int = 2,
+                      buckets: Option[(Int, Int)] = None,
+                      famTag: String = ""): String =
+    if (baseMod == 2 && famTag.isEmpty)
+      indexDirFor(docsPath, threshold, maxDfFrac, buckets)
+    else {
+      val (b, r) = Dedup.lshBanding(threshold)
+      val fam = if (famTag.isEmpty) "" else s"|f$famTag"
+      dirFor(docsPath, s"$threshold|$maxDfFrac|b=$b,r=$r|" +
+        s"${bucketTag(buckets)}|mod$baseMod$fam")
+    }
+
   def ensureIndex(spark: SparkSession, sfDir: String,
                   threshold: Double = Dedup.DefaultThreshold,
                   maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
@@ -222,15 +239,8 @@ object AdmissionIndex {
                   famTag: String = ""): String =
     synchronized {
       val docsPath = s"$sfDir/documents.parquet"
-      val fam = if (famTag.isEmpty) "" else s"|f$famTag"
-      val dir =
-        if (baseMod == 2 && famTag.isEmpty)
-          indexDirFor(docsPath, threshold, maxDfFrac, buckets)
-        else {
-          val (b, r) = Dedup.lshBanding(threshold)
-          dirFor(docsPath, s"$threshold|$maxDfFrac|b=$b,r=$r|" +
-            s"${bucketTag(buckets)}|mod$baseMod$fam")
-        }
+      val dir = textIndexDirFor(docsPath, threshold, maxDfFrac,
+        baseMod, buckets, famTag)
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
         sweepStale(docsPath, keep = dir)
@@ -1726,13 +1736,32 @@ object AdmissionIndex {
                                  sfDir: String, dir: String, edir: String,
                                  fdir: String, threshold: Double,
                                  embThreshold: Double, nProbe: Int): DataFrame = {
+    val (att, _, release) = frontDoorProbe(incoming, spark, sfDir,
+      dir, edir, fdir, threshold, embThreshold, nProbe)
+    try att finally release()
+  }
+
+  /** [[frontDoorOn]] exposing the tier-2 SIGNED survivor frame (persisted;
+    * caller runs `release()` when done) — the lifecycle's fold reuses it
+    * so the admitted docs are never re-shingled/re-signed. The returned
+    * attribution's index-reading legs are all eager (fpProbe /
+    * localCheckpoint / embScored checkpoint), so it stays correct if the
+    * caller folds into the indexes before collecting it. */
+  private def frontDoorProbe(incoming: DataFrame, spark: SparkSession,
+                             sfDir: String, dir: String, edir: String,
+                             fdir: String, threshold: Double,
+                             embThreshold: Double, nProbe: Int)
+      : (DataFrame, DataFrame, () => Unit) = {
     // tier 1 — exact: the persisted fingerprint index ([[fpProbe]] is
     // already eager + tiny; read twice: attribution + tier-2 input)
     val exactBest = fpProbe(incoming, fdir)
-    // tier 2 — minhash index probe over tier 1's survivors only
+    // tier 2 — minhash index probe over tier 1's survivors only,
+    // signed ONCE (probe here, fold later from the same frame)
     val survivors1 = incoming
       .join(exactBest.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val ndBest = probePairs(survivors1, dir, threshold)
+    val signed1 = signedBatch(survivors1, dir, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ndBest = probePairsSigned(signed1, dir, threshold)
       .withColumn("rnk", expr(
         "row_number() OVER (PARTITION BY a ORDER BY jac DESC, b ASC)"))
       .filter(col("rnk") === 1)
@@ -1745,7 +1774,7 @@ object AdmissionIndex {
       .join(survivors2, col("vec_id") === survivors2("doc_id"), "left_semi")
     val semBest = embProbe(vecs, edir, embThreshold, nProbe)
       .select(col("batch_vec").as("doc_id"), col("base_vec").as("sem_id"))
-    incoming.select(col("doc_id"))
+    val att = incoming.select(col("doc_id"))
       .join(exactBest, Seq("doc_id"), "left")
       .join(ndBest, Seq("doc_id"), "left")
       .join(semBest, Seq("doc_id"), "left")
@@ -1760,6 +1789,73 @@ object AdmissionIndex {
         coalesce(col("exact_id"), col("nd_id"), col("sem_id"), lit(-1L))
           .as("match_id"))
       .orderBy(col("doc_id"))
+    (att, signed1, () => { signed1.unpersist(false); () })
+  }
+
+  // ---- staged round attribution: the replay-safety anchor ----------
+  //
+  // The composed fold commits THREE separate generations. A crash
+  // between them used to poison the replay: the re-probe saw the
+  // round's own already-committed fp generation, the batch's admitted
+  // docs self-rejected as exact dups, and the remaining tiers
+  // committed EMPTY generations under the same genKey — permanently
+  // (caught by this round's review). The fix is to make the round's
+  // attribution itself durable FIRST: it is staged under the text
+  // index dir with the same tmp-dir + marker-last + atomic-publish
+  // protocol, and every fold derives its admitted set from the staged
+  // frame. A replay that finds the stage committed skips the probe
+  // entirely (immune to whatever subset of folds landed) and re-runs
+  // only the idempotent folds; a crash before the stage committed
+  // left no fold behind, so the fresh probe is clean. The staged
+  // frames are batch-sized (id + tier + match id) and keyed like
+  // generations — one per genKey, replay-stable.
+
+  private def stagedDir(dir: String, genKey: String): String =
+    s"$dir/staged/${md5hex(genKey).take(16)}"
+
+  private def stagedCommitted(adir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(adir, okMarker))
+
+  /** Publish `att` as the committed round attribution for `adir`;
+    * no-op if already committed (a concurrent/replayed stager loses
+    * cleanly via the atomic publish). */
+  private def stageAttribution(att: DataFrame, adir: String,
+                               genKey: String): Unit = {
+    if (stagedCommitted(adir)) return
+    val tmp = buildTmpDir(adir)
+    att.write.mode("overwrite").parquet(s"$tmp/att")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, okMarker),
+      s"""{"genKey":${graft.Verify.jsonQuote(genKey)},"staged":true,"version":$FormatVersion}
+         |""".stripMargin.getBytes("UTF-8"))
+    publish(tmp, adir)
+  }
+
+  private def readStaged(spark: SparkSession, adir: String): DataFrame =
+    spark.read.parquet(s"$adir/att")
+
+  /** Fold one round's admitted docs into all three tiers — each append
+    * idempotent per genKey. `signed1` (the probe's own signed frame)
+    * skips the re-sign on the fresh path; a replay passes None and
+    * pays one sign pass over the admitted docs only. */
+  private def foldAdmitted(batch1: DataFrame, admitted: DataFrame,
+                           signed1: Option[DataFrame], spark: SparkSession,
+                           sfDir: String, dir: String, edir: String,
+                           fdir: String, genKey: String,
+                           threshold: Double): Unit = {
+    fpAppendGeneration(
+      batch1.join(admitted, Seq("doc_id"), "left_semi"), fdir, genKey)
+    signed1 match {
+      case Some(s) => appendGenerationSigned(
+        s.join(admitted, Seq("doc_id"), "left_semi"), dir, genKey, threshold)
+      case None => appendGeneration(
+        batch1.join(admitted, Seq("doc_id"), "left_semi"), dir, genKey,
+        threshold)
+    }
+    embAppendGeneration(
+      graft.Tables.embeddings(spark, sfDir)
+        .join(admitted, col("vec_id") === admitted("doc_id"), "left_semi"),
+      edir, genKey)
   }
 
   /** The production STREAMING front door: the incoming document stream
@@ -1841,51 +1937,38 @@ object AdmissionIndex {
       baseMod = m, famTag = "fd")
     val fdir = ensureFpIndex(spark, sfDir, baseMod = m, famTag = "fd")
     val genKey = s"$sfDir|$genTag"
-    // round 1 replays only until all three folds are committed (each
-    // append is idempotent per genKey on its own; skipping the whole
-    // round also skips the wasted re-probe — the q137 contract)
+    // round 1 replays only until all three folds are committed. The
+    // probe-or-staged split is the crash-safety core: the round's
+    // attribution is made durable BEFORE any fold commits, so a replay
+    // after a partial fold never re-probes against the round's own
+    // generations (which would self-reject its admits and commit the
+    // remaining tiers empty — see the staged-attribution module note)
     if (!(generationCommitted(fdir, genKey) &&
           generationCommitted(dir, genKey) &&
           generationCommitted(edir, genKey))) {
       val batch1 = docs.filter(col("doc_id") % m === 1)
-      // tier 1 — exact (fpProbe is eager + batch-bounded)
-      val exact1 = fpProbe(batch1, fdir)
-      val survivors1 = batch1
-        .join(exact1.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // tier 2 — sign ONCE; the probe and the fold share the frame
-        val signed1 = signedBatch(survivors1, dir, threshold)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val adir = stagedDir(dir, genKey)
+      if (!stagedCommitted(adir)) {
+        // fresh round: probe (no fold has landed — the stage commits
+        // first), stage the attribution, fold from the shared signed
+        // frame
+        val (att1, signed1, release) = frontDoorProbe(batch1, spark,
+          sfDir, dir, edir, fdir, threshold, embThreshold, nProbe)
         try {
-          val nd1 = probePairsSigned(signed1, dir, threshold)
-            .select(col("a")).distinct()
-            .localCheckpoint(true) // tiny ids; read by tier 3 AND the fold
-          val survivors2 = survivors1.select(col("doc_id"))
-            .join(nd1, survivors1("doc_id") === nd1("a"), "left_anti")
-          // tier 3 — IVF over the remaining docs' vectors
-          val vecs2 = graft.Tables.embeddings(spark, sfDir)
-            .join(survivors2, col("vec_id") === survivors2("doc_id"),
-              "left_semi")
-          val sem1 = embProbe(vecs2, edir, embThreshold, nProbe)
-            .select(col("batch_vec")).distinct()
-          // admitted ids: bounded by the batch, shared by all 3 folds
-          val admitted = survivors2
-            .join(broadcast(sem1),
-              survivors2("doc_id") === sem1("batch_vec"), "left_anti")
-            .localCheckpoint(true)
-          fpAppendGeneration(
-            batch1.join(admitted, Seq("doc_id"), "left_semi"), fdir, genKey)
-          appendGenerationSigned(
-            signed1.join(admitted, Seq("doc_id"), "left_semi"),
-            dir, genKey, threshold)
-          embAppendGeneration(
-            graft.Tables.embeddings(spark, sfDir)
-              .join(admitted, col("vec_id") === admitted("doc_id"),
-                "left_semi"),
-            edir, genKey)
-        } finally signed1.unpersist(false)
-      } finally survivors1.unpersist(false)
+          stageAttribution(att1, adir, genKey)
+          val admitted = readStaged(spark, adir)
+            .filter(col("tier") === lit("admitted")).select(col("doc_id"))
+          foldAdmitted(batch1, admitted, Some(signed1), spark, sfDir,
+            dir, edir, fdir, genKey, threshold)
+        } finally release()
+      } else {
+        // replay after a partial fold: the staged frame IS the round's
+        // admitted set — no re-probe, only the idempotent folds
+        val admitted = readStaged(spark, adir)
+          .filter(col("tier") === lit("admitted")).select(col("doc_id"))
+        foldAdmitted(batch1, admitted, None, spark, sfDir,
+          dir, edir, fdir, genKey, threshold)
+      }
     }
     if (compact) {
       fpCompactIndex(spark, fdir)
@@ -1964,7 +2047,14 @@ object AdmissionIndex {
     * admitted — the q143 gate property, continuous. `famTag` defaults
     * to its own family ("fds") so the stream never couples to the
     * q143/q144 driver state; `baseMod` picks the base-split convention
-    * the indexes are built over. */
+    * the indexes are built over.
+    *
+    * Replay delivery: the attribution handed to `sink` is read from
+    * the micro-batch's STAGED frame (committed before any fold), so a
+    * replayed batch id delivers byte-identical rows to the original
+    * delivery — without the stage, a replay would re-probe against
+    * the batch's own folded generations and report its admitted docs
+    * as exact self-dups. */
   def startFrontDoorLifecycleStream(streamDocs: DataFrame, sfDir: String,
       threshold: Double = Dedup.DefaultThreshold,
       maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
@@ -1984,33 +2074,32 @@ object AdmissionIndex {
         val fdir = ensureFpIndex(spark, sfDir, baseMod = baseMod,
           famTag = famTag)
         val batch = mb.toDF()
-        // materialize the attribution BEFORE folding: every
-        // index-reading leg inside frontDoorOn is already eager, but
-        // the contract (sink sees the pre-fold verdicts) should not
-        // depend on that internal detail
-        val att = frontDoorOn(batch, spark, sfDir, dir, edir, fdir,
-          threshold, embThreshold, nProbe).localCheckpoint(true)
         val genKey = s"$sfDir|fdStream|$famTag|$id"
-        if (!(generationCommitted(fdir, genKey) &&
-              generationCommitted(dir, genKey) &&
-              generationCommitted(edir, genKey))) {
-          val admitted = att.filter(col("tier") === lit("admitted"))
-            .select(col("doc_id"))
-          fpAppendGeneration(
-            batch.join(admitted, Seq("doc_id"), "left_semi"), fdir, genKey)
-          // one extra sign pass over the ADMITTED docs only (the batch
-          // lifecycle shares the probe's signed frame; the composed
-          // probe is encapsulated here, and admitted ⊆ batch bounds it)
-          appendGeneration(
-            batch.join(admitted, Seq("doc_id"), "left_semi"),
-            dir, genKey, threshold)
-          embAppendGeneration(
-            graft.Tables.embeddings(spark, sfDir)
-              .join(admitted, col("vec_id") === admitted("doc_id"),
-                "left_semi"),
-            edir, genKey)
+        val adir = stagedDir(dir, genKey)
+        if (!stagedCommitted(adir)) {
+          // fresh batch: probe (no fold has landed — the stage commits
+          // first), stage, fold from the shared signed frame
+          val (att, signed1, release) = frontDoorProbe(batch, spark,
+            sfDir, dir, edir, fdir, threshold, embThreshold, nProbe)
+          try {
+            stageAttribution(att, adir, genKey)
+            val admitted = readStaged(spark, adir)
+              .filter(col("tier") === lit("admitted")).select(col("doc_id"))
+            foldAdmitted(batch, admitted, Some(signed1), spark, sfDir,
+              dir, edir, fdir, genKey, threshold)
+          } finally release()
+        } else if (!(generationCommitted(fdir, genKey) &&
+                     generationCommitted(dir, genKey) &&
+                     generationCommitted(edir, genKey))) {
+          // replay after a partial fold: admitted comes from the
+          // staged frame, never from a re-probe
+          val admitted = readStaged(spark, adir)
+            .filter(col("tier") === lit("admitted")).select(col("doc_id"))
+          foldAdmitted(batch, admitted, None, spark, sfDir,
+            dir, edir, fdir, genKey, threshold)
         }
-        sink(att, id)
+        // delivery ALWAYS reads the staged frame: replay-stable rows
+        sink(readStaged(spark, adir), id)
       })
       .start()
 

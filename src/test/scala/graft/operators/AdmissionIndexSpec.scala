@@ -785,6 +785,43 @@ class AdmissionIndexSpec extends SparkSpec {
     assert(run() == got, "warm lifecycle re-run must be identical")
   }
 
+  test("composed lifecycle replay after a PARTIAL fold commit: the " +
+    "staged attribution keeps the admitted set stable (no self-reject " +
+    "poisoning), and the missing folds re-commit with real rows") {
+    val sfDir = plantedFdCorpus()
+    def run() = AdmissionIndex.frontDoorLifecycle(spark, sfDir)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(run() == fdExpected)
+    // simulate the crash window this round's review found: the fp fold
+    // committed, the text/emb folds did not (their markers gone; a
+    // markerless generation IS the crashed-append state). Without the
+    // staged attribution, the replay's re-probe would see batch1's own
+    // fp generation, self-reject docs 13/16/19 as exact dups, and
+    // commit EMPTY text/emb generations under the same genKey forever.
+    val tdir = AdmissionIndex.textIndexDirFor(
+      s"$sfDir/documents.parquet", Dedup.DefaultThreshold,
+      Dedup.DefaultMaxDfFrac, baseMod = 3, famTag = "fd")
+    val edir = AdmissionIndex.embIndexDirFor(
+      s"$sfDir/embeddings.parquet", AdmissionIndex.EmbCentroids, 3, "fd")
+    val killed = Seq(tdir, edir).flatMap { d =>
+      val delta = new java.io.File(s"$d/delta")
+      Option(delta.listFiles()).toSeq.flatten.map { g =>
+        val m = g.toPath.resolve("_GRAFT_INDEX_OK")
+        java.nio.file.Files.delete(m)
+        m
+      }
+    }
+    assert(killed.size == 2, s"expected one generation per index: $killed")
+    assert(run() == fdExpected,
+      "replay after a partial fold must reproduce the attribution")
+    killed.foreach { m =>
+      val txt = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+      assert(!txt.contains("\"rows\":0"),
+        s"re-committed generation must carry real rows: $m -> $txt")
+    }
+  }
+
   test("streaming front-door lifecycle: per-micro-batch probe-and-fold " +
     "≡ the batch lifecycle, and a re-submitted batch is fully rejected") {
     val sfDir = plantedFdCorpus()
