@@ -265,13 +265,31 @@ object AdmissionIndex {
   /** Atomically publish a fully-built directory (its marker was written
     * LAST, inside `tmp`): one rename makes the whole build visible at
     * once. If another process won the race, our build is redundant —
-    * delete it and use theirs. A markerless `dest` (a crashed pre-v3
-    * in-place build) is removed first. */
+    * delete it and use theirs. A markerless `dest` (a crashed build or
+    * a crashed compaction window) is removed first — but its `delta/`
+    * and `staged/` subtrees are MOVED into `tmp` before the delete
+    * when `tmp` has none of its own: those are committed generations
+    * (admitted docs) and staged round attributions, written under the
+    * root but owned by their own markers. Deleting them with the root
+    * would silently lose every admitted doc on the
+    * crashed-compaction → rebuild path — exactly the "no admitted doc
+    * is ever lost" contract [[compactIndex]] documents. */
   private def publish(tmp: String, dest: String): Unit = {
     val t = java.nio.file.Paths.get(tmp)
     val d = java.nio.file.Paths.get(dest)
     if (java.nio.file.Files.exists(d) &&
-        !java.nio.file.Files.exists(d.resolve(okMarker))) deleteRec(d)
+        !java.nio.file.Files.exists(d.resolve(okMarker))) {
+      Seq("delta", "staged").foreach { sub =>
+        val src = d.resolve(sub)
+        val dst = t.resolve(sub)
+        if (java.nio.file.Files.isDirectory(src) &&
+            !java.nio.file.Files.exists(dst)) {
+          java.nio.file.Files.move(src, dst)
+          ()
+        }
+      }
+      deleteRec(d)
+    }
     try {
       java.nio.file.Files.createDirectories(d.getParent)
       java.nio.file.Files.move(t, d,
@@ -868,10 +886,20 @@ object AdmissionIndex {
     * Crash protocol: both merged tables are fully written to a `.tmp`
     * scratch first; then the root marker comes OFF, the two directory
     * swaps and the generation demotions run, and the marker is written
-    * back LAST. A crash anywhere inside the window leaves a markerless
-    * root → [[ensureIndex]] rebuilds the base tables in place (delta
-    * dirs are untouched by a rebuild, so committed-but-not-yet-demoted
-    * generations still probe: no admitted doc is ever lost).
+    * back LAST. A crash inside the window leaves a markerless root →
+    * [[ensureIndex]] rebuilds the base tables ([[publish]] MOVES the
+    * root's delta/staged subtrees into the rebuilt dir before deleting
+    * it, so committed-but-not-yet-demoted generations still probe: no
+    * admitted doc is lost on this path — the preservation is load-
+    * bearing; without it the rebuild's recursive delete took the
+    * generations with it). Residual window, documented: a crash AFTER
+    * the swaps and PART-WAY through the demotion loop loses the rows
+    * of generations already demoted in that loop (they live only in
+    * the swapped merged tables, which the rebuild replaces). The loop
+    * is per-generation marker rewrites — metadata-only milliseconds,
+    * vs the seconds-to-minutes merge that the tmp staging fully
+    * covers; a deployment wanting zero window runs compaction as the
+    * snapshot rebuild (which re-derives everything from the corpus).
     * Generation MARKERS survive demotion (rewritten as `rows:0,
     * compacted:true`), so [[generationCommitted]] and
     * [[appendGeneration]]'s per-genKey idempotence hold across
@@ -1007,7 +1035,14 @@ object AdmissionIndex {
         sweepStale(embPath, keep = dir)
         val base = graft.Tables.embeddings(spark, sfDir)
           .filter(col("vec_id") % baseMod === 0)
-        embBuildIndex(base, dir, centroids)
+        // build-to-tmp + atomic publish, like the text/fp ensures: the
+        // in-place build this replaces was the one remaining site where
+        // two racing processes could interleave writes into a live dir,
+        // and where a rebuild of a markerless root lacked the
+        // delta/staged preservation [[publish]] provides
+        val tmp = buildTmpDir(dir)
+        embBuildIndex(base, tmp, centroids)
+        publish(tmp, dir)
       }
       dir
     }

@@ -822,6 +822,40 @@ class AdmissionIndexSpec extends SparkSpec {
     }
   }
 
+  test("markerless-root rebuild preserves committed delta generations " +
+    "(the crashed-compaction window): a folded doc still gates its dup " +
+    "after ensureIndex rebuilds the base tables") {
+    val sfDir = java.nio.file.Files
+      .createTempDirectory("graft-rebuild-preserve").toString
+    (0 until 40).map(i =>
+        (2L * i, s"unique rebuild corpus document number $i topic t$i"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    val dir = AdmissionIndex.ensureIndex(spark, sfDir)
+    val novel = Seq((1001L,
+        "a freshly admitted document with wholly original token content"))
+      .toDF("doc_id", "text")
+    AdmissionIndex.appendGeneration(novel, dir, "rebuild-g1")
+    val copy = Seq((2001L,
+        "a freshly admitted document with wholly original token content"))
+      .toDF("doc_id", "text")
+    def pairs() = AdmissionIndex.probePairs(copy, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs() == Set((2001L, 1001L)), pairs().toString)
+    // crashed-compaction state: the root marker is off, delta intact.
+    // ensureIndex must rebuild the base tables WITHOUT taking the
+    // committed generation with them (publish moves delta/staged aside
+    // before the recursive delete)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK"))
+    val dir2 = AdmissionIndex.ensureIndex(spark, sfDir)
+    assert(dir2 == dir, s"rebuild must land in the same keyed dir: $dir2")
+    assert(pairs() == Set((2001L, 1001L)),
+      "the rebuilt root must still carry the committed generation")
+  }
+
   test("streaming front-door lifecycle: per-micro-batch probe-and-fold " +
     "≡ the batch lifecycle, and a re-submitted batch is fully rejected") {
     val sfDir = plantedFdCorpus()
