@@ -30,13 +30,18 @@ object SpanHashHelper {
     val tb = new Array[Array[Byte]](nTok)
     var t = 0
     while (t < nTok) {
-      val u = toks.getUTF8String(t)
       // null element → the string "null", matching Scala string
       // interpolation (the UDF this replaces concatenated via
       // StringBuilder, which renders null that way); the engine's own
       // split() never produces nulls, but the function is registered
-      // for general SQL use
-      tb(t) = if (u == null) NullBytes else u.getBytes
+      // for general SQL use. The null probe MUST be isNullAt:
+      // UnsafeArrayData.getUTF8String returns an empty string (not
+      // null) for null elements on the Tungsten path, so a
+      // getUTF8String == null check holds only interpreted and the
+      // codegen'd plan would hash the same input differently
+      tb(t) =
+        if (toks.isNullAt(t)) NullBytes
+        else toks.getUTF8String(t).getBytes
       t += 1
     }
     val md = tl.get()

@@ -274,7 +274,7 @@ object AdmissionIndex {
     * would silently lose every admitted doc on the
     * crashed-compaction → rebuild path — exactly the "no admitted doc
     * is ever lost" contract [[compactIndex]] documents. */
-  private def publish(tmp: String, dest: String): Unit = {
+  private[operators] def publish(tmp: String, dest: String): Unit = {
     val t = java.nio.file.Paths.get(tmp)
     val d = java.nio.file.Paths.get(dest)
     if (java.nio.file.Files.exists(d) &&
@@ -284,8 +284,11 @@ object AdmissionIndex {
         val dst = t.resolve(sub)
         if (java.nio.file.Files.isDirectory(src) &&
             !java.nio.file.Files.exists(dst)) {
-          java.nio.file.Files.move(src, dst)
-          ()
+          // the isDirectory check is TOCTOU under a concurrent
+          // publisher absorbing the same markerless root — a vanished
+          // source means the sibling took it, which is fine
+          try { java.nio.file.Files.move(src, dst); () }
+          catch { case _: java.nio.file.NoSuchFileException => () }
         }
       }
       deleteRec(d)
@@ -296,12 +299,55 @@ object AdmissionIndex {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ()
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.DirectoryNotEmptyException |
-           _: java.nio.file.AccessDeniedException =>
+      // FileSystemException is the common parent of FileAlreadyExists/
+      // DirectoryNotEmpty/AccessDenied — and ALSO what the JDK's unix
+      // provider actually throws for a rename onto a non-empty dir
+      // (ENOTEMPTY surfaces as the generic parent, not
+      // DirectoryNotEmptyException; the narrower list this replaces
+      // let a real lost race propagate)
+      case _: java.nio.file.FileSystemException =>
+        // race loser: another process won the final rename. Before
+        // discarding our redundant build, hand BACK the committed
+        // delta generations / staged attributions tmp absorbed from
+        // the markerless root above — the winner's fresh dir does not
+        // contain them, and deleting them with tmp would permanently
+        // lose every admitted doc (the exact "no admitted doc is ever
+        // lost" contract the absorb step exists to keep)
+        restoreSubtrees(t, d)
         deleteRec(t)
     }
   }
+
+  /** Move tmp's `delta/` and `staged/` children into the winning dest,
+    * per-generation, skipping any the dest already has (the winner may
+    * have absorbed some itself). Every child is an atomically-published
+    * self-contained directory (marker inside), so a per-child move is
+    * safe under concurrency: losers of a per-child race skip. */
+  private def restoreSubtrees(t: java.nio.file.Path,
+                              d: java.nio.file.Path): Unit =
+    Seq("delta", "staged").foreach { sub =>
+      val src = t.resolve(sub)
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s = java.nio.file.Files.list(src)
+        try {
+          val it = s.iterator()
+          while (it.hasNext) {
+            val child = it.next()
+            val dst = d.resolve(sub).resolve(child.getFileName)
+            if (!java.nio.file.Files.exists(dst)) {
+              try {
+                java.nio.file.Files.createDirectories(dst.getParent)
+                java.nio.file.Files.move(child, dst)
+                ()
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.NoSuchFileException => ()
+              }
+            }
+          }
+        } finally s.close()
+      }
+    }
 
   /** Delete superseded index generations (same corpus path, different
     * key — old mtime or params). Keeps the store bounded at one live
@@ -908,41 +954,110 @@ object AdmissionIndex {
     * sequential; a deployment compacts on the snapshot scheduler that
     * owns the index, same as rebuilds). Idempotent: no live
     * generations → no-op. */
-  def compactIndex(spark: SparkSession, dir: String): Unit = synchronized {
-    val gens = indexRoots(dir).drop(1)
-    if (gens.isEmpty) return
-    val roots = dir +: gens
-    val tmp = buildTmpDir(dir)
-    roots.map(rt => spark.read.parquet(s"$rt/hsets"))
-      .reduce(_.unionByName(_))
-      .repartition(col("doc_bucket"))
-      .write.mode("overwrite").partitionBy("doc_bucket")
-      .parquet(s"$tmp/hsets")
-    roots.map(rt => spark.read.parquet(s"$rt/bands"))
-      .reduce(_.unionByName(_))
-      .repartition(col("band_bucket"))
-      .write.mode("overwrite").partitionBy("band_bucket")
-      .parquet(s"$tmp/bands")
-    val rootMarker = java.nio.file.Paths.get(dir, okMarker)
-    val markerBytes = java.nio.file.Files.readAllBytes(rootMarker)
-    java.nio.file.Files.delete(rootMarker) // window opens: crash → rebuild
-    swapDir(s"$tmp/hsets", s"$dir/hsets")
-    swapDir(s"$tmp/bands", s"$dir/bands")
-    deleteRec(java.nio.file.Paths.get(tmp))
-    gens.foreach { g =>
-      val gm = java.nio.file.Paths.get(g, okMarker)
-      val genKeyLine = new String(java.nio.file.Files.readAllBytes(gm), "UTF-8")
-      val genKey = "\"genKey\":(\"(?:[^\"\\\\]|\\\\.)*\")".r
-        .findFirstMatchIn(genKeyLine).map(_.group(1)).getOrElse("\"?\"")
-      deleteRec(java.nio.file.Paths.get(g))
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(g))
-      java.nio.file.Files.write(gm,
-        s"""{"genKey":$genKey,"rows":0,"compacted":true,"version":$FormatVersion}
-           |""".stripMargin.getBytes("UTF-8"))
+  def compactIndex(spark: SparkSession, dir: String): Unit =
+    compactRoots(spark, dir,
+      Seq("hsets" -> "doc_bucket", "bands" -> "band_bucket"))
+
+  /** The shared merge/marker-off/swap/demote/marker-on body behind
+    * [[compactIndex]], [[fpCompactIndex]] and [[embCompactIndex]] (the
+    * r12 ADVICE triplication — the crash protocol now lives in exactly
+    * one place). `subTables` = (name, partition column) per persisted
+    * sub-table; `merge` post-processes each union (identity for the
+    * text/emb tiers; the fp tier re-collapses to min(bid) per fp). */
+  private def compactRoots(spark: SparkSession, dir: String,
+      subTables: Seq[(String, String)],
+      merge: (String, DataFrame) => DataFrame = (_, df) => df): Unit =
+    synchronized {
+      val gens = indexRoots(dir).drop(1)
+      if (gens.isEmpty) return
+      val roots = dir +: gens
+      val tmp = buildTmpDir(dir)
+      subTables.foreach { case (sub, partCol) =>
+        merge(sub, roots.map(rt => spark.read.parquet(s"$rt/$sub"))
+            .reduce(_.unionByName(_)))
+          .repartition(col(partCol))
+          .write.mode("overwrite").partitionBy(partCol)
+          .parquet(s"$tmp/$sub")
+      }
+      val rootMarker = java.nio.file.Paths.get(dir, okMarker)
+      val markerBytes = java.nio.file.Files.readAllBytes(rootMarker)
+      java.nio.file.Files.delete(rootMarker) // window opens: crash → rebuild
+      subTables.foreach { case (sub, _) => swapDir(s"$tmp/$sub", s"$dir/$sub") }
+      deleteRec(java.nio.file.Paths.get(tmp))
+      gens.foreach(demoteGeneration)
+      java.nio.file.Files.write(rootMarker, markerBytes) // window closes
+      ()
     }
-    java.nio.file.Files.write(rootMarker, markerBytes) // window closes
+
+  /** Demote one compacted generation to an empty committed marker —
+    * `rows:0, compacted:true` with the original genKey, so
+    * [[generationCommitted]] and the per-genKey fold idempotence hold
+    * across compaction. */
+  private def demoteGeneration(g: String): Unit = {
+    val gm = java.nio.file.Paths.get(g, okMarker)
+    val genKeyLine = new String(java.nio.file.Files.readAllBytes(gm), "UTF-8")
+    val genKey = "\"genKey\":(\"(?:[^\"\\\\]|\\\\.)*\")".r
+      .findFirstMatchIn(genKeyLine).map(_.group(1)).getOrElse("\"?\"")
+    deleteRec(java.nio.file.Paths.get(g))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(g))
+    java.nio.file.Files.write(gm,
+      s"""{"genKey":$genKey,"rows":0,"compacted":true,"version":$FormatVersion}
+         |""".stripMargin.getBytes("UTF-8"))
     ()
   }
+
+  // ---- compaction cadence: the measured rule, as code ---------------
+  //
+  // Every live delta generation adds one scan branch to every probe
+  // (the ADMISSION_SWEEP_GENS/EMBGENS axis: probe cost is ~linear in
+  // live generations — text 2.10 s at 0 gens → 10.95 s at 31, emb
+  // 3.49 s → 24.87 s), and compaction removes them all at a one-time
+  // IO cost C (text 10.76 s, emb 28.85 s at the sweep fixtures).
+  // Compacting every K ingests costs C/K + slope·(K−1)/2 per probe,
+  // minimized at K* = sqrt(2·C/slope). Both measured curves land at
+  // K* ≈ 9 (text: slope 0.285 s/gen → 8.7; emb: 0.69 s/gen → 9.1) —
+  // [[DefaultCompactAfterGens]] pins that number, and
+  // CompactionPolicySpec re-derives it from the committed sweep
+  // artifacts so a future re-measure that moves the curves flags the
+  // constant instead of silently outdating it.
+
+  /** K* = argmin_K [C/K + slope·(K−1)/2]: the compact-every-K-ingests
+    * cadence given a measured one-time compaction cost and a measured
+    * per-generation probe overhead (both in the same unit). */
+  def compactionCadence(compactCost: Double, perGenProbeCost: Double): Int = {
+    require(compactCost > 0 && perGenProbeCost > 0,
+      s"cadence needs positive measured costs, got " +
+        s"compact=$compactCost perGen=$perGenProbeCost")
+    math.max(1, math.round(
+      math.sqrt(2.0 * compactCost / perGenProbeCost)).toInt)
+  }
+
+  /** The deployed default cadence — K* of both committed sweep curves. */
+  val DefaultCompactAfterGens = 9
+
+  /** Live (non-demoted) delta generations of any index dir. */
+  def liveGenerations(dir: String): Int = indexRoots(dir).size - 1
+
+  /** Compact `dir` iff its live generation count has reached
+    * `maxGens` — the cadence rule as an executable maintenance hook
+    * (the streaming lifecycle calls it per micro-batch). The tier is
+    * read from the index's own marker (fp / emb / text layouts record
+    * distinct keys), so one advisor serves all three index kinds.
+    * Compaction is probe-invisible by contract, so callers never need
+    * to sequence this against reads. Returns true iff it compacted. */
+  def maybeCompact(spark: SparkSession, dir: String,
+                   maxGens: Int = DefaultCompactAfterGens): Boolean =
+    synchronized {
+      if (liveGenerations(dir) < math.max(1, maxGens)) false
+      else {
+        val marker = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, okMarker)), "UTF-8")
+        if (marker.contains("\"fpBuckets\"")) fpCompactIndex(spark, dir)
+        else if (marker.contains("\"kind\":\"emb\"")) embCompactIndex(spark, dir)
+        else compactIndex(spark, dir)
+        true
+      }
+    }
 
   private def swapDir(src: String, dest: String): Unit = {
     deleteRec(java.nio.file.Paths.get(dest))
@@ -1300,35 +1415,7 @@ object AdmissionIndex {
     * bitwise unchanged, re-compaction is a no-op. Same crash protocol:
     * merge to tmp, root marker OFF, swap, demote, marker LAST. */
   def embCompactIndex(spark: SparkSession, dir: String): Unit =
-    synchronized {
-      val gens = indexRoots(dir).drop(1)
-      if (gens.isEmpty) return
-      val roots = dir +: gens
-      val tmp = buildTmpDir(dir)
-      roots.map(rt => spark.read.parquet(s"$rt/cells"))
-        .reduce(_.unionByName(_))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$tmp/cells")
-      val rootMarker = java.nio.file.Paths.get(dir, okMarker)
-      val markerBytes = java.nio.file.Files.readAllBytes(rootMarker)
-      java.nio.file.Files.delete(rootMarker) // window opens: crash → rebuild
-      swapDir(s"$tmp/cells", s"$dir/cells")
-      deleteRec(java.nio.file.Paths.get(tmp))
-      gens.foreach { g =>
-        val gm = java.nio.file.Paths.get(g, okMarker)
-        val genKeyLine = new String(java.nio.file.Files.readAllBytes(gm), "UTF-8")
-        val genKey = "\"genKey\":(\"(?:[^\"\\\\]|\\\\.)*\")".r
-          .findFirstMatchIn(genKeyLine).map(_.group(1)).getOrElse("\"?\"")
-        deleteRec(java.nio.file.Paths.get(g))
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(g))
-        java.nio.file.Files.write(gm,
-          s"""{"genKey":$genKey,"rows":0,"compacted":true,"version":$FormatVersion}
-             |""".stripMargin.getBytes("UTF-8"))
-      }
-      java.nio.file.Files.write(rootMarker, markerBytes) // window closes
-      ()
-    }
+    compactRoots(spark, dir, Seq("cells" -> "cell"))
 
   /** q141 driver form — the embedding tier's FULL ingest lifecycle
     * (q137's IVF twin) on a mod-3 split: build (base = vec_id % 3 == 0)
@@ -1685,37 +1772,10 @@ object AdmissionIndex {
     * committed markers. Same crash protocol: merge to tmp, root marker
     * OFF, swap, demote, marker LAST. */
   def fpCompactIndex(spark: SparkSession, dir: String): Unit =
-    synchronized {
-      val gens = indexRoots(dir).drop(1)
-      if (gens.isEmpty) return
-      val roots = dir +: gens
-      val tmp = buildTmpDir(dir)
-      roots.map(rt => spark.read.parquet(s"$rt/fps"))
-        .reduce(_.unionByName(_))
+    compactRoots(spark, dir, Seq("fps" -> "fp_bucket"),
+      merge = (_, df) => df
         .groupBy(col("fp"), col("fp_bucket")).agg(min(col("bid")).as("bid"))
-        .select(col("fp"), col("bid"), col("fp_bucket"))
-        .repartition(col("fp_bucket"))
-        .write.mode("overwrite").partitionBy("fp_bucket")
-        .parquet(s"$tmp/fps")
-      val rootMarker = java.nio.file.Paths.get(dir, okMarker)
-      val markerBytes = java.nio.file.Files.readAllBytes(rootMarker)
-      java.nio.file.Files.delete(rootMarker) // window opens: crash → rebuild
-      swapDir(s"$tmp/fps", s"$dir/fps")
-      deleteRec(java.nio.file.Paths.get(tmp))
-      gens.foreach { g =>
-        val gm = java.nio.file.Paths.get(g, okMarker)
-        val genKeyLine = new String(java.nio.file.Files.readAllBytes(gm), "UTF-8")
-        val genKey = "\"genKey\":(\"(?:[^\"\\\\]|\\\\.)*\")".r
-          .findFirstMatchIn(genKeyLine).map(_.group(1)).getOrElse("\"?\"")
-        deleteRec(java.nio.file.Paths.get(g))
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(g))
-        java.nio.file.Files.write(gm,
-          s"""{"genKey":$genKey,"rows":0,"compacted":true,"version":$FormatVersion}
-             |""".stripMargin.getBytes("UTF-8"))
-      }
-      java.nio.file.Files.write(rootMarker, markerBytes) // window closes
-      ()
-    }
+        .select(col("fp"), col("bid"), col("fp_bucket")))
 
   /** One incoming batch (odd doc_ids) → per-doc, per-tier reject
     * attribution: `(doc_id, tier ∈ exact|near_dup|semantic|admitted,
@@ -1893,6 +1953,49 @@ object AdmissionIndex {
       edir, genKey)
   }
 
+  /** One complete probe→stage→fold round of the composed front door —
+    * THE shared ingest step of the batch lifecycle
+    * ([[frontDoorLifecycleCore]]) and the streaming form
+    * ([[startFrontDoorLifecycleStream]]), extracted so the crash
+    * protocol lives in one place (r12 ADVICE). Fresh round: probe all
+    * three tiers, stage the attribution durably FIRST, then fold the
+    * admitted docs from the probe's own signed frame. Replay after a
+    * partial fold (stage committed, some fold missing): the staged
+    * frame IS the round's admitted set — no re-probe (which would see
+    * the round's own generations and self-reject its admits), only the
+    * idempotent missing folds. Fully committed round: no-op. Returns
+    * the staged attribution dir — `readStaged` on it is replay-stable
+    * byte-for-byte. */
+  private def probeStageFold(batch: DataFrame, spark: SparkSession,
+      sfDir: String, dir: String, edir: String, fdir: String,
+      genKey: String, threshold: Double, embThreshold: Double,
+      nProbe: Int): String = {
+    val adir = stagedDir(dir, genKey)
+    if (!stagedCommitted(adir)) {
+      // fresh round: probe (no fold has landed — the stage commits
+      // first), stage, fold from the shared signed frame
+      val (att, signed1, release) = frontDoorProbe(batch, spark,
+        sfDir, dir, edir, fdir, threshold, embThreshold, nProbe)
+      try {
+        stageAttribution(att, adir, genKey)
+        val admitted = readStaged(spark, adir)
+          .filter(col("tier") === lit("admitted")).select(col("doc_id"))
+        foldAdmitted(batch, admitted, Some(signed1), spark, sfDir,
+          dir, edir, fdir, genKey, threshold)
+      } finally release()
+    } else if (!(generationCommitted(fdir, genKey) &&
+                 generationCommitted(dir, genKey) &&
+                 generationCommitted(edir, genKey))) {
+      // replay after a partial fold: admitted comes from the staged
+      // frame, never from a re-probe
+      val admitted = readStaged(spark, adir)
+        .filter(col("tier") === lit("admitted")).select(col("doc_id"))
+      foldAdmitted(batch, admitted, None, spark, sfDir,
+        dir, edir, fdir, genKey, threshold)
+    }
+    adir
+  }
+
   /** The production STREAMING front door: the incoming document stream
     * wrapped in `foreachBatch`, each micro-batch run through the full
     * three-tier [[frontDoorBatch]] (persisted fp / minhash / IVF
@@ -1972,38 +2075,18 @@ object AdmissionIndex {
       baseMod = m, famTag = "fd")
     val fdir = ensureFpIndex(spark, sfDir, baseMod = m, famTag = "fd")
     val genKey = s"$sfDir|$genTag"
-    // round 1 replays only until all three folds are committed. The
-    // probe-or-staged split is the crash-safety core: the round's
-    // attribution is made durable BEFORE any fold commits, so a replay
-    // after a partial fold never re-probes against the round's own
-    // generations (which would self-reject its admits and commit the
-    // remaining tiers empty — see the staged-attribution module note)
+    // round 1 replays only until all three folds are committed (the
+    // outer check skips even the batch construction on a fully-warm
+    // run); [[probeStageFold]] carries the probe-or-staged crash
+    // protocol — the round's attribution is durable BEFORE any fold
+    // commits, so a replay after a partial fold never re-probes
+    // against the round's own generations
     if (!(generationCommitted(fdir, genKey) &&
           generationCommitted(dir, genKey) &&
           generationCommitted(edir, genKey))) {
-      val batch1 = docs.filter(col("doc_id") % m === 1)
-      val adir = stagedDir(dir, genKey)
-      if (!stagedCommitted(adir)) {
-        // fresh round: probe (no fold has landed — the stage commits
-        // first), stage the attribution, fold from the shared signed
-        // frame
-        val (att1, signed1, release) = frontDoorProbe(batch1, spark,
-          sfDir, dir, edir, fdir, threshold, embThreshold, nProbe)
-        try {
-          stageAttribution(att1, adir, genKey)
-          val admitted = readStaged(spark, adir)
-            .filter(col("tier") === lit("admitted")).select(col("doc_id"))
-          foldAdmitted(batch1, admitted, Some(signed1), spark, sfDir,
-            dir, edir, fdir, genKey, threshold)
-        } finally release()
-      } else {
-        // replay after a partial fold: the staged frame IS the round's
-        // admitted set — no re-probe, only the idempotent folds
-        val admitted = readStaged(spark, adir)
-          .filter(col("tier") === lit("admitted")).select(col("doc_id"))
-        foldAdmitted(batch1, admitted, None, spark, sfDir,
-          dir, edir, fdir, genKey, threshold)
-      }
+      probeStageFold(docs.filter(col("doc_id") % m === 1), spark,
+        sfDir, dir, edir, fdir, genKey, threshold, embThreshold, nProbe)
+      ()
     }
     if (compact) {
       fpCompactIndex(spark, fdir)
@@ -2096,7 +2179,8 @@ object AdmissionIndex {
       embThreshold: Double = EmbThreshold,
       centroids: Int = EmbCentroids,
       nProbe: Int = EmbNProbe,
-      baseMod: Int = 3, famTag: String = "fds")
+      baseMod: Int = 3, famTag: String = "fds",
+      compactAfterGens: Int = DefaultCompactAfterGens)
       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     streamDocs.writeStream
       .foreachBatch((mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -2108,30 +2192,15 @@ object AdmissionIndex {
           baseMod = baseMod, famTag = famTag)
         val fdir = ensureFpIndex(spark, sfDir, baseMod = baseMod,
           famTag = famTag)
-        val batch = mb.toDF()
         val genKey = s"$sfDir|fdStream|$famTag|$id"
-        val adir = stagedDir(dir, genKey)
-        if (!stagedCommitted(adir)) {
-          // fresh batch: probe (no fold has landed — the stage commits
-          // first), stage, fold from the shared signed frame
-          val (att, signed1, release) = frontDoorProbe(batch, spark,
-            sfDir, dir, edir, fdir, threshold, embThreshold, nProbe)
-          try {
-            stageAttribution(att, adir, genKey)
-            val admitted = readStaged(spark, adir)
-              .filter(col("tier") === lit("admitted")).select(col("doc_id"))
-            foldAdmitted(batch, admitted, Some(signed1), spark, sfDir,
-              dir, edir, fdir, genKey, threshold)
-          } finally release()
-        } else if (!(generationCommitted(fdir, genKey) &&
-                     generationCommitted(dir, genKey) &&
-                     generationCommitted(edir, genKey))) {
-          // replay after a partial fold: admitted comes from the
-          // staged frame, never from a re-probe
-          val admitted = readStaged(spark, adir)
-            .filter(col("tier") === lit("admitted")).select(col("doc_id"))
-          foldAdmitted(batch, admitted, None, spark, sfDir,
-            dir, edir, fdir, genKey, threshold)
+        val adir = probeStageFold(mb.toDF(), spark, sfDir, dir, edir,
+          fdir, genKey, threshold, embThreshold, nProbe)
+        // maintenance slot: each tier compacts on the measured cadence
+        // (per-probe generation overhead vs amortized compaction cost —
+        // [[maybeCompact]]); compaction is probe-invisible, so firing
+        // it here cannot change any later batch's attribution
+        Seq(fdir, dir, edir).foreach { ix =>
+          maybeCompact(spark, ix, compactAfterGens); ()
         }
         // delivery ALWAYS reads the staged frame: replay-stable rows
         sink(readStaged(spark, adir), id)

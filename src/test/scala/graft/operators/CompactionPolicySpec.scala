@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The compaction cadence advisor ([[AdmissionIndex.maybeCompact]] /
+  * [[AdmissionIndex.compactionCadence]]) and the publish() race-loser
+  * recovery: the measured sweep curves must keep deriving the deployed
+  * cadence constant, the advisor must fire exactly at the threshold
+  * with probe answers unchanged, and a lost publish race must hand the
+  * absorbed delta/staged subtrees back to the winner instead of
+  * deleting them. */
+class CompactionPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files
+      .createTempDirectory("graft-compaction-spec").toString + "/idx"
+
+  // ---- cadence constant re-derived from the committed sweep curves --
+
+  /** Crude field extraction from the committed sweep artifacts (flat
+    * JSON, repo-controlled shape). */
+  private def sweepCurve(path: String, probeKey: String)
+      : (Double, Double) = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val rounds =
+      ("\\{\"gens_before_probe\":(\\d+),\"probe_sec\":([0-9.]+)").r
+        .findAllMatchIn(txt)
+        .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
+    assert(rounds.size >= 2, s"$path: expected a sweep curve, got $rounds")
+    val (g0, p0) = rounds.minBy(_._1)
+    val (gMax, pMax) = rounds.maxBy(_._1)
+    val slope = (pMax - p0) / (gMax - g0)
+    val compact = ("\"compact_sec\":([0-9.]+)").r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      .getOrElse(fail(s"$path: no compact_sec"))
+    (compact, slope)
+  }
+
+  test("DefaultCompactAfterGens is K* of BOTH committed sweep curves " +
+    "(a re-measure that moves either curve flags the constant)") {
+    for (artifact <- Seq("ADMISSION_SWEEP_GENS_r11.json",
+                         "ADMISSION_SWEEP_EMBGENS_r12.json")) {
+      val (compact, slope) = sweepCurve(artifact, "probe_sec")
+      val kStar = AdmissionIndex.compactionCadence(compact, slope)
+      assert(kStar >= 1)
+      // the deployed constant must sit inside the flat-bottomed
+      // optimum's factor-2 band (the amortized cost curve is within a
+      // few percent of minimal across [K*/2, 2K*])
+      assert(AdmissionIndex.DefaultCompactAfterGens >= (kStar + 1) / 2 &&
+             AdmissionIndex.DefaultCompactAfterGens <= 2 * kStar,
+        s"$artifact: K*=$kStar vs deployed " +
+          s"${AdmissionIndex.DefaultCompactAfterGens}")
+    }
+  }
+
+  test("compactionCadence math: K* = sqrt(2C/slope), floor 1, loud on " +
+    "non-positive inputs") {
+    assert(AdmissionIndex.compactionCadence(8.0, 1.0) == 4)
+    assert(AdmissionIndex.compactionCadence(0.5, 100.0) == 1)
+    intercept[IllegalArgumentException] {
+      AdmissionIndex.compactionCadence(0.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      AdmissionIndex.compactionCadence(1.0, -2.0)
+    }
+  }
+
+  // ---- maybeCompact: fires at the threshold, invisible to probes ----
+
+  test("maybeCompact on an fp index: below threshold no-op, at " +
+    "threshold compacts (probe unchanged, generations demoted), " +
+    "marker-kind dispatch picks the fp compaction") {
+    val base = (0 until 40).map(i =>
+      (2L * i, s"unique base document number $i about topic t$i"))
+      .toDF("doc_id", "text")
+    val dir = freshDir()
+    AdmissionIndex.buildFpIndex(base, dir)
+    val maxGens = 3
+    (0 until maxGens).foreach { g =>
+      val novel = Seq((1001L + g, s"brand new admitted document number $g"))
+        .toDF("doc_id", "text")
+      AdmissionIndex.fpAppendGeneration(novel, dir, s"cadence-g$g")
+      // below the threshold the advisor must not fire
+      if (g < maxGens - 1)
+        assert(!AdmissionIndex.maybeCompact(spark, dir, maxGens),
+          s"fired early at ${g + 1} gens")
+    }
+    assert(AdmissionIndex.liveGenerations(dir) == maxGens)
+    val copy = Seq((5001L, "Brand  NEW admitted document number 1"))
+      .toDF("doc_id", "text")
+    def probe() = AdmissionIndex.fpProbe(copy, dir)
+      .as[(Long, Long)].collect().toSet
+    val before = probe()
+    assert(before == Set((5001L, 1002L)), before.toString)
+    assert(AdmissionIndex.maybeCompact(spark, dir, maxGens))
+    assert(AdmissionIndex.liveGenerations(dir) == 0,
+      "compaction must demote every generation")
+    assert(probe() == before, "compaction changed the fp probe answer")
+    // idempotent: nothing live → false
+    assert(!AdmissionIndex.maybeCompact(spark, dir, maxGens))
+  }
+
+  test("maybeCompact marker-kind dispatch: a TEXT index compacts via " +
+    "the band/hset merge (probe unchanged)") {
+    val base = (0 until 40).map(i =>
+        (2L * i, s"unique text corpus document number $i mentioning " +
+          s"topic t$i and subject s$i plus filler alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val dir = freshDir()
+    AdmissionIndex.buildIndex(base, dir)
+    val novel = Seq((1001L,
+        "a freshly admitted document with wholly original token content"))
+      .toDF("doc_id", "text")
+    AdmissionIndex.appendGeneration(novel, dir, "cadence-text-g1")
+    val copy = Seq((2001L,
+        "a freshly admitted document with wholly original token content"))
+      .toDF("doc_id", "text")
+    def pairs() = AdmissionIndex.probePairs(copy, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs() == Set((2001L, 1001L)))
+    assert(AdmissionIndex.maybeCompact(spark, dir, maxGens = 1))
+    assert(AdmissionIndex.liveGenerations(dir) == 0)
+    assert(pairs() == Set((2001L, 1001L)),
+      "text compaction changed the probe answer")
+  }
+
+  // ---- publish(): the race-loser hand-back -------------------------
+
+  test("publish race loser returns absorbed delta/staged generations " +
+    "to the winning dest instead of deleting them") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-publish-race").toString
+    val dest = java.nio.file.Paths.get(root, "idx")
+    val tmp = java.nio.file.Paths.get(root, "tmp-build")
+    // the winner's published dir: marker present, one delta of its own
+    java.nio.file.Files.createDirectories(dest.resolve("delta/aaaa"))
+    java.nio.file.Files.write(dest.resolve("_GRAFT_INDEX_OK"),
+      "{\"v\":1}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      dest.resolve("delta/aaaa").resolve("_GRAFT_INDEX_OK"),
+      "{\"genKey\":\"a\",\"rows\":1}\n".getBytes("UTF-8"))
+    // the loser's tmp: its own build output PLUS the delta/staged
+    // subtrees it absorbed from the markerless root it replaced — one
+    // generation the winner also has (skip) and one it does not (move)
+    java.nio.file.Files.createDirectories(tmp.resolve("delta/aaaa"))
+    java.nio.file.Files.createDirectories(tmp.resolve("delta/bbbb"))
+    java.nio.file.Files.createDirectories(tmp.resolve("staged/cccc"))
+    java.nio.file.Files.write(
+      tmp.resolve("delta/bbbb").resolve("_GRAFT_INDEX_OK"),
+      "{\"genKey\":\"b\",\"rows\":7}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      tmp.resolve("staged/cccc").resolve("_GRAFT_INDEX_OK"),
+      "{\"genKey\":\"c\",\"staged\":true}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp.resolve("_GRAFT_INDEX_OK"),
+      "{\"v\":1}\n".getBytes("UTF-8"))
+    // dest exists (the winner won the rename race) → the ATOMIC_MOVE
+    // fails → the loser's catch branch must hand the subtrees back
+    AdmissionIndex.publish(tmp.toString, dest.toString)
+    assert(!java.nio.file.Files.exists(tmp), "loser tmp must be deleted")
+    assert(java.nio.file.Files.exists(
+      dest.resolve("delta/bbbb").resolve("_GRAFT_INDEX_OK")),
+      "absorbed committed generation must reach the winner")
+    assert(java.nio.file.Files.exists(
+      dest.resolve("staged/cccc").resolve("_GRAFT_INDEX_OK")),
+      "absorbed staged attribution must reach the winner")
+    assert(java.nio.file.Files.exists(
+      dest.resolve("delta/aaaa").resolve("_GRAFT_INDEX_OK")),
+      "the winner's own generation must survive untouched")
+  }
+}
