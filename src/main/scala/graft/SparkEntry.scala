@@ -520,6 +520,18 @@ object SparkEntry {
     "q144_front_door_compaction" -> ((s, d) => {
       plans.TopKInstall.install(s)
       AdmissionIndex.frontDoorCompaction(s, d)
+    }),
+    // the composed lifecycle AS THE STREAM it runs in production: the
+    // actual startFrontDoorLifecycleStream driven over THREE
+    // micro-batches (mod-4 residues — three folded generations, so
+    // round 3's rejects prove transitivity across rounds 1 AND 2's
+    // admits) plus a REPLAYED round-1 batch (same batch id ⇒ same
+    // genKey: probe skipped, folds no-op, delivery byte-identical —
+    // the at-least-once → exactly-once bridge, oracle-proven). Output
+    // = every delivered attribution tagged with its round
+    "q145_front_door_stream" -> ((s, d) => {
+      plans.TopKInstall.install(s)
+      AdmissionIndex.frontDoorStreamLifecycle(s, d)
     })
   )
 
@@ -670,6 +682,7 @@ object SparkEntry {
     "q141_emb_lifecycle" -> AdmissionIndex.embAdmissionLifecycleOracle,
     "q142_emb_compaction" -> AdmissionIndex.embAdmissionCompactionOracle,
     "q143_front_door_lifecycle" -> AdmissionIndex.frontDoorLifecycleOracle,
-    "q144_front_door_compaction" -> AdmissionIndex.frontDoorCompactionOracle
+    "q144_front_door_compaction" -> AdmissionIndex.frontDoorCompactionOracle,
+    "q145_front_door_stream" -> AdmissionIndex.frontDoorStreamLifecycleOracle
   )
 }

@@ -2207,6 +2207,187 @@ object AdmissionIndex {
       })
       .start()
 
+  /** q145 driver form — the composed lifecycle AS THE STREAM it runs in
+    * production, driver-gated (r12 verdict item 1: the production
+    * ingest shape was the one surface the oracle never saw). Drives
+    * [[startFrontDoorLifecycleStream]] on a mod-4 split over THREE
+    * micro-batches (residues 1, 2, 3 — ≥3 folded generations, so
+    * transitivity ACROSS generations is oracle-proven: round 3 rejects
+    * dups of what rounds 1 AND 2 admitted), then REPLAYS round 1's
+    * micro-batch as a second stream's batch 0 — same batch id ⇒ same
+    * genKey ⇒ the at-least-once replay path: the probe is skipped, the
+    * folds are committed no-ops, and the delivery must be
+    * byte-identical to the original (rows 4 ≡ rows 1 under the same
+    * oracle). Output = every delivered attribution tagged with its
+    * round (1–3 = the stream, 4 = the replay), the exactly-once bridge
+    * as data.
+    *
+    * The MemoryStream feed is the HARNESS's source (a production
+    * ingest reads Kafka/files — the driver-side collect here is the
+    * test fixture's micro-batch boundary control, bounded by one
+    * micro-batch per round by construction, never a data-path
+    * collect). Everything downstream of the source is the production
+    * `foreachBatch` loop itself, including its [[maybeCompact]]
+    * maintenance slot. */
+  def frontDoorStreamLifecycle(spark: SparkSession, sfDir: String,
+      threshold: Double = Dedup.DefaultThreshold,
+      maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
+      embThreshold: Double = EmbThreshold,
+      centroids: Int = EmbCentroids,
+      nProbe: Int = EmbNProbe): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 4
+    val rounds = (1 to 3).map { r =>
+      graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % m === r)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toSeq
+    }
+    val delivered = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, String, Long)]
+    def drive(batches: Seq[Seq[(Long, String)]], roundOffset: Int): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = startFrontDoorLifecycleStream(
+        mem.toDF().toDF("doc_id", "text"), sfDir, threshold, maxDfFrac,
+        embThreshold, centroids, nProbe, baseMod = m, famTag = "fds") {
+        (df, id) =>
+          df.collect().foreach(r => delivered +=
+            ((roundOffset + id.toInt, r.getLong(0), r.getString(1),
+              r.getLong(2))))
+          ()
+      }
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    drive(rounds, roundOffset = 1)        // batch ids 0,1,2 → rounds 1–3
+    drive(Seq(rounds.head), roundOffset = 4) // replay: batch id 0 again
+    delivered.toSeq.toDF("round", "doc_id", "tier", "match_id")
+      .orderBy(col("round"), col("doc_id"))
+  }
+
+  val frontDoorStreamLifecycleOracle: String =
+    frontDoorStreamLifecycleOracleAt(
+      Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac,
+      EmbThreshold, EmbCentroids, EmbNProbe, 4, 3)
+
+  /** The multi-round composed-stream oracle at split modulo `m` over
+    * `rounds` micro-batches (residue k = round k's batch): round k's
+    * attribution runs every tier against base ∪ everything rounds
+    * 1..k−1 admitted — the per-round admitted sets accumulate exactly
+    * like the engine's delta generations (per-doc tier results are
+    * independent of which other docs probe, so the oracle's
+    * full-rank + CASE-precedence spelling equals the engine's
+    * survivor chaining, same argument as [[frontDoorOracleAt]]).
+    * The final SELECT replays round 1's attribution as round
+    * `rounds`+1 — the engine's replayed micro-batch must deliver it
+    * byte-identically. */
+  def frontDoorStreamLifecycleOracleAt(threshold: Double,
+      maxDfFrac: Double, embThreshold: Double, centroids: Int,
+      nProbe: Int, m: Int, rounds: Int): String = {
+    embOracleGuards(centroids, nProbe)
+    require(rounds >= 1 && rounds < m,
+      s"rounds must be residues 1..m-1, got $rounds at mod $m")
+    val scores = embScoresExpr
+    val perRound = (1 to rounds).map { k =>
+      // membership for round k: base ∪ adm1..adm_{k-1} (ids), and the
+      // same set's cell assignments for the semantic tier
+      val idxPrev = if (k == 1) "idx1" else s"idx$k"
+      val idxCte =
+        if (k == 1)
+          s"""idx1 AS (
+            |  SELECT doc_id FROM documents WHERE doc_id % $m = 0)"""
+            .stripMargin
+        else
+          s"""idx$k AS (
+            |  SELECT doc_id FROM idx${k - 1}
+            |  UNION ALL SELECT doc_id FROM adm${k - 1})""".stripMargin
+      val aidxCte =
+        if (k == 1) "aidx1 AS (SELECT * FROM assigned_base)"
+        else
+          s"""assigned_adm${k - 1} AS (
+            |  SELECT q.vec_id, q.qv, q.n2, list_min($scores) % 256 AS cell
+            |  FROM qn q, carr
+            |  WHERE EXISTS (SELECT 1 FROM adm${k - 1}
+            |                WHERE adm${k - 1}.doc_id = q.vec_id)),
+            |aidx$k AS (
+            |  SELECT * FROM aidx${k - 1}
+            |  UNION ALL SELECT * FROM assigned_adm${k - 1})""".stripMargin
+      s"""$idxCte,
+        |$aidxCte,
+        |exact$k AS (
+        |  SELECT d.doc_id, MIN(e.doc_id) AS exact_id
+        |  FROM fpd d JOIN fpd e ON d.fp = e.fp
+        |  JOIN $idxPrev i ON i.doc_id = e.doc_id
+        |  WHERE d.doc_id % $m = $k GROUP BY d.doc_id),
+        |nd${k}r AS (
+        |  SELECT CASE WHEN a % $m = $k THEN a ELSE b END AS doc_id,
+        |         CASE WHEN a % $m = $k THEN b ELSE a END AS nd_id, jac
+        |  FROM mp WHERE ((a % $m = $k) <> (b % $m = $k))
+        |    AND EXISTS (SELECT 1 FROM $idxPrev i
+        |                WHERE i.doc_id = CASE WHEN a % $m = $k THEN b ELSE a END)),
+        |nd$k AS (
+        |  SELECT doc_id, nd_id FROM (
+        |    SELECT doc_id, nd_id,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY jac DESC, nd_id ASC) AS rnk
+        |    FROM nd${k}r) WHERE rnk = 1),
+        |probes$k AS (
+        |  SELECT q.vec_id, q.qv, q.n2, t.pcell
+        |  FROM qn q, carr,
+        |       unnest(list_transform(list_sort($scores)[1:$nProbe], x -> x % 256)) AS t(pcell)
+        |  WHERE q.vec_id % $m = $k),
+        |sem$k AS (
+        |  SELECT doc_id, sem_id FROM (
+        |    SELECT doc_id, sem_id,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY cos DESC, sem_id ASC) AS rnk
+        |    FROM (SELECT x.vec_id AS doc_id, y.vec_id AS sem_id,
+        |                 ${Similarity.oracleCosExpr} AS cos
+        |          FROM probes$k x JOIN aidx$k y ON x.pcell = y.cell)
+        |    WHERE cos >= $embThreshold) WHERE rnk = 1),
+        |att$k AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |         CASE WHEN x.exact_id IS NOT NULL THEN 'exact'
+        |              WHEN n.nd_id IS NOT NULL THEN 'near_dup'
+        |              WHEN s.sem_id IS NOT NULL THEN 'semantic'
+        |              ELSE 'admitted' END AS tier,
+        |         coalesce(x.exact_id, n.nd_id, s.sem_id, -1) AS match_id
+        |  FROM documents d
+        |  LEFT JOIN exact$k x ON x.doc_id = d.doc_id
+        |  LEFT JOIN nd$k n ON n.doc_id = d.doc_id
+        |  LEFT JOIN sem$k s ON s.doc_id = d.doc_id
+        |  WHERE d.doc_id % $m = $k),
+        |adm$k AS (SELECT doc_id FROM att$k WHERE tier = 'admitted')"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds)
+      .map(k => s"SELECT $k AS round, * FROM att$k")
+      .mkString("\n  UNION ALL ") +
+      s"\n  UNION ALL SELECT ${rounds + 1} AS round, * FROM att1"
+    s"""WITH ${Dedup.oracleMinhashPairsCtes(threshold, maxDfFrac, s"doc_id % $m = 0")},
+      |${Similarity.oracleQuantized},
+      |ranked_cents AS (
+      |  SELECT qv, n2,
+      |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+      |         vec_id
+      |  FROM qn WHERE vec_id % $m = 0 ORDER BY h, vec_id LIMIT $centroids),
+      |carr AS (
+      |  SELECT list(struct_pack(qv := qv, n2 := n2) ORDER BY h, vec_id) AS cents
+      |  FROM ranked_cents),
+      |assigned_base AS (
+      |  SELECT q.vec_id, q.qv, q.n2, list_min($scores) % 256 AS cell
+      |  FROM qn q, carr WHERE q.vec_id % $m = 0),
+      |fpd AS MATERIALIZED (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |$perRound
+      |SELECT round, doc_id, tier, match_id FROM (
+      |  $unions)
+      |ORDER BY round, doc_id""".stripMargin
+  }
+
   val frontDoorLifecycleOracle: String = frontDoorLifecycleOracleAt(
     Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac,
     EmbThreshold, EmbCentroids, EmbNProbe, 3)

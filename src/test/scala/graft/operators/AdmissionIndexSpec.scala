@@ -931,4 +931,73 @@ class AdmissionIndexSpec extends SparkSpec {
     AdmissionIndex.fpAppendGeneration(novel, dir, "fp-spec-g1")
     assert(probeCopy() == Set((2001L, 1001L)))
   }
+
+  /** A planted mod-4 sfDir for the q145 multi-round stream: base ≡0,
+    * rounds 1–3 ≡1/2/3, with a transitivity case per (round, tier) —
+    * round 3 must reject dups of what rounds 1 AND 2 admitted. */
+  private def plantedFdsCorpus(): String = {
+    val sfDir = java.nio.file.Files
+      .createTempDirectory("graft-fds-stream").toString
+    Seq(
+      // base
+      (4L, "one two three four five six seven eight nine ten eleven twelve"),
+      (8L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (12L, "mountain river forest desert ocean valley hill lake stream meadow cliff cave"),
+      // round 1: 5 exact-dups base 4; 9 and 13 novel → admitted
+      (5L, "one two three four five six seven eight nine ten eleven twelve"),
+      (9L, "zebra yak xylophone walrus vulture unicorn tiger snake rabbit quail porcupine otter"),
+      (13L, "council of ancient mariners charted seven unknown seas beyond the horizon line"),
+      // round 2: 6 exact-dups ADMITTED-round-1 9 (case/ws variant);
+      // 10 and 14 novel → admitted (10 carries the vector 19 copies)
+      (6L, "  ZEBRA yak\txylophone walrus vulture unicorn tiger snake rabbit quail porcupine otter "),
+      (10L, "completely different topic discussing culinary techniques and pastry recipes in detail"),
+      (14L, "unmatched second round document about astronomy telescopes and distant galaxy clusters"),
+      // round 3 — transitivity across BOTH earlier generations:
+      // 7 exact-dups round-1 admit 9; 11 exact-dups round-2 admit 14;
+      // 15 near-dups round-1 admit 13; 19's VECTOR copies round-2
+      // admit 10's; 23 fully novel
+      (7L, "zebra yak xylophone walrus vulture unicorn tiger snake rabbit quail porcupine otter"),
+      (11L, "UNMATCHED second round document about astronomy telescopes and distant galaxy clusters"),
+      (15L, "council of ancient mariners charted seven unknown seas beyond the horizon lines"),
+      (19L, "entirely fresh prose describing gardening methods for tomatoes peppers and basil plants"),
+      (23L, "final standalone item concerning medieval architecture cathedrals and stone masonry")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    def oneHot(k: Int) = Array.tabulate(8)(i => if (i == k) 1f else 0f)
+    Seq(
+      (4L, oneHot(2), 0), (8L, oneHot(3), 0), (12L, oneHot(4), 0),
+      (10L, oneHot(0), 0), (19L, oneHot(0), 0), (23L, oneHot(1), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    sfDir
+  }
+
+  test("q145 stream lifecycle: three folded generations gate " +
+    "transitively (round 3 rejects dups of rounds 1 AND 2's admits on " +
+    "every tier) and the replayed micro-batch delivers round 1 " +
+    "byte-identically") {
+    val sfDir = plantedFdsCorpus()
+    def run() = AdmissionIndex.frontDoorStreamLifecycle(spark, sfDir)
+      .as[(Int, Long, String, Long)].collect().toSeq
+    val got = run()
+    val expected = Seq(
+      (1, 5L, "exact", 4L), (1, 9L, "admitted", -1L),
+      (1, 13L, "admitted", -1L),
+      (2, 6L, "exact", 9L),       // fp fold of round 1
+      (2, 10L, "admitted", -1L), (2, 14L, "admitted", -1L),
+      (3, 7L, "exact", 9L),       // transitivity to round 1 (fp)
+      (3, 11L, "exact", 14L),     // transitivity to round 2 (fp)
+      (3, 15L, "near_dup", 13L),  // transitivity to round 1 (minhash)
+      (3, 19L, "semantic", 10L),  // transitivity to round 2 (IVF)
+      (3, 23L, "admitted", -1L),
+      // round 4 = the REPLAY of round 1's micro-batch: same batch id ⇒
+      // same genKey ⇒ staged delivery, byte-identical to round 1
+      (4, 5L, "exact", 4L), (4, 9L, "admitted", -1L),
+      (4, 13L, "admitted", -1L))
+    assert(got == expected, got.toString)
+    // warm re-run: every batch delivers its staged frame — identical
+    assert(run() == expected, "warm stream lifecycle re-run must match")
+  }
 }
