@@ -532,7 +532,15 @@ object SparkEntry {
     "q145_front_door_stream" -> ((s, d) => {
       plans.TopKInstall.install(s)
       AdmissionIndex.frontDoorStreamLifecycle(s, d)
-    })
+    }),
+    // q123's SCALE path: deterministic Doulion edge-sampled triangle
+    // estimate — the md5 keep-test sparsifies wedges ~p² and triangles
+    // ~p³, and the unbiased T̂ = T_sampled·mod³ is exact integer
+    // arithmetic the oracle recomputes (threshold 0.3 = the denser
+    // regime sampling exists for; sampleMod is the density knob the
+    // sampled-graph wedge tripwire names when it fires)
+    "q146_triangle_sample" -> ((s, d) =>
+      Similarity.triangleSample(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -683,6 +691,7 @@ object SparkEntry {
     "q142_emb_compaction" -> AdmissionIndex.embAdmissionCompactionOracle,
     "q143_front_door_lifecycle" -> AdmissionIndex.frontDoorLifecycleOracle,
     "q144_front_door_compaction" -> AdmissionIndex.frontDoorCompactionOracle,
-    "q145_front_door_stream" -> AdmissionIndex.frontDoorStreamLifecycleOracle
+    "q145_front_door_stream" -> AdmissionIndex.frontDoorStreamLifecycleOracle,
+    "q146_triangle_sample" -> Similarity.triangleSampleOracle
   )
 }

@@ -1349,6 +1349,85 @@ object Similarity {
       .orderBy(col("triangles"))
   }
 
+  /** q146 — the triangle census's SCALE path: a deterministic
+    * Doulion-style (Tsourakakis et al., KDD'09) edge-sampled estimate.
+    * q123 is cubic-by-contract: a percolated region of n
+    * mutually-similar vectors intrinsically holds ~n³/6 triangles and
+    * the exact census cannot undercut its own output (the single 30×
+    * flag, 49.3× time on 687.7× io). Sampling each EDGE with
+    * probability p = 1/sampleMod shrinks the wedge volume by ~p² and
+    * the enumerated triangles by ~p³ — the estimator T̂ = T_sampled ·
+    * sampleMod³ is unbiased, and because the sample is a DETERMINISTIC
+    * md5 keep-test on the edge key (not an RNG), the ESTIMATE itself
+    * is exact integer arithmetic the oracle recomputes bit-for-bit.
+    * A deployment tunes sampleMod to the graph's density (the wedge
+    * tripwire — same contract as q123, on the SAMPLED graph — names
+    * the knob when it fires); the threshold default (0.3, vs q123's
+    * 0.4) exercises the denser regime sampling exists for.
+    *
+    * Output (one row, all BIGINT): n_edges (verified near-dup pairs),
+    * kept_edges (md5-sampled), tri_sampled (triangles enumerated on
+    * the sampled graph), tri_est = tri_sampled · sampleMod³. */
+  def triangleSample(embeddings: DataFrame, threshold: Double = 0.3,
+                     sampleMod: Int = 2,
+                     maxWedges: Long = 100000000000L): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val pairs = nearDupPairs(embeddings, threshold)
+    val keep =
+      expr(s"CAST(conv(substr(md5(concat(CAST(a AS STRING), '_', " +
+        s"CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % $sampleMod = 0")
+    val kept = pairs.filter(keep)
+    val lowerDeg = kept.groupBy(col("b")).agg(count(lit(1)).as("nlo"))
+    val higherDeg = kept.groupBy(col("a").as("b"))
+      .agg(count(lit(1)).as("nhi"))
+    val wedgeVol = broadcast(lowerDeg.join(higherDeg, "b")
+      .agg(coalesce(sum(col("nlo") * col("nhi")), lit(0L)).as("wedge_vol")))
+    val gated = kept.crossJoin(wedgeVol)
+      .select(col("a"),
+        expr(s"""CASE WHEN wedge_vol > ${maxWedges}L
+          |  THEN CAST(raise_error(concat('triangleSample: ', wedge_vol,
+          |    ' wedges > maxWedges $maxWedges on the SAMPLED graph —',
+          |    ' raise sampleMod (estimate stays exact) or the bound'))
+          |    AS BIGINT)
+          |  ELSE b END""".stripMargin).as("b"))
+    val tris = gated
+      .join(kept.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(kept.select(col("a").as("ta"), col("b").as("tc")),
+        col("a") === col("ta") && col("c") === col("tc"))
+      .agg(count(lit(1)).as("tri_sampled"))
+    pairs
+      .agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(when(keep, 1L).otherwise(0L)), lit(0L))
+          .as("kept_edges"))
+      .crossJoin(tris)
+      .select(col("n_edges"), col("kept_edges"), col("tri_sampled"),
+        (col("tri_sampled") *
+          lit(sampleMod.toLong * sampleMod * sampleMod)).as("tri_est"))
+  }
+
+  val triangleSampleOracle: String = triangleSampleOracleAt(0.3, 2)
+
+  /** Oracle on the SAME (threshold, sampleMod): the identical md5
+    * keep-test, wedge-close enumeration and exact-integer estimator. */
+  def triangleSampleOracleAt(threshold: Double, sampleMod: Int): String =
+    s"""WITH $oracleQuantized,
+      |mp AS MATERIALIZED (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM qn x JOIN qn y ON x.vec_id < y.vec_id
+      |  WHERE $oracleCosExpr >= $threshold),
+      |kept AS MATERIALIZED (
+      |  SELECT a, b FROM mp
+      |  WHERE CAST(concat('0x', substr(md5(CAST(a AS VARCHAR) || '_' ||
+      |          CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % $sampleMod = 0),
+      |tri AS (
+      |  SELECT x.a, x.b, y.b AS c
+      |  FROM kept x JOIN kept y ON y.a = x.b
+      |  JOIN kept z ON z.a = x.a AND z.b = y.b)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM mp) AS n_edges,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS kept_edges,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS tri_sampled,
+      |       (SELECT CAST(count(*) * ${sampleMod.toLong * sampleMod * sampleMod} AS BIGINT) FROM tri) AS tri_est""".stripMargin
+
   val triangleCensusOracle: String = triangleCensusOracleAt(0.4)
 
   /** Oracle builder on the SAME cosine threshold as the engine function. */

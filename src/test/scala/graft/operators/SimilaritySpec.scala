@@ -283,6 +283,29 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("maxWedges"), e.getMessage)
   }
 
+  test("triangleSample: sampleMod=1 IS the exact census (clique of 12 → " +
+    "C(12,3) triangles); sampleMod=2 keeps a deterministic md5 edge " +
+    "subset with tri_est = 8·tri_sampled; tripwire names sampleMod") {
+    // 12 colinear vectors = a 12-clique at any positive threshold
+    val d = emb((1L to 12L).map(i =>
+      (i, Seq(i.toFloat, 0f, 0f), 0)): _*)
+    val exact = Similarity.triangleSample(d, threshold = 0.3, sampleMod = 1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(exact == ((66L, 66L, 220L, 220L)), exact.toString)
+    val sampled = Similarity.triangleSample(d, threshold = 0.3, sampleMod = 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(sampled._1 == 66L)
+    assert(sampled._2 < 66L && sampled._2 > 0L, sampled.toString)
+    assert(sampled._4 == 8L * sampled._3, sampled.toString)
+    assertDeterministic(
+      Similarity.triangleSample(d, threshold = 0.3, sampleMod = 2))
+    val e = intercept[Exception] {
+      Similarity.triangleSample(d, threshold = 0.3, sampleMod = 2,
+        maxWedges = 0L).collect()
+    }
+    assert(e.getMessage.contains("sampleMod"), e.getMessage)
+  }
+
   test("vectorAudit: null / wrong-dims / NaN / out-of-range / zero-norm " +
     "vectors each land in exactly one bucket, in precedence order; norms " +
     "only from ok; finite-but-huge components classify instead of throwing") {
