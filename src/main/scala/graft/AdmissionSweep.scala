@@ -65,6 +65,12 @@ object AdmissionSweep {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SWEEP_MODE").contains("chunk")) {
+      chunkSweep(spark, out,
+        if (args.nonEmpty) args.head else "/root/repo/scaledata/sf10skew")
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SWEEP_MODE").contains("fdlife")) {
       fdLifeSweep(spark, out, bases.head)
       spark.stop()
@@ -285,6 +291,74 @@ object AdmissionSweep {
     * 1000 ORIGINAL odd docs kept under their real ids so their vectors
     * exist and tier 3 does real scoring work. Build (all three indexes
     * from scratch) is timed alongside as the amortized contrast. */
+  /** Chunked-micro-batch sweep for the q134 stateless near-dup probe at
+    * the 100× fixture (r12 verdict item 3): the committed 508.6 s /
+    * 2.6 GB-shuffle number fed the ENTIRE 250k-doc odd half as ONE
+    * micro-batch — the worst-case bound, not the operating point. A
+    * real stream chunks its input, so this measures the SAME total
+    * probe (identical total pair output, asserted) split into k
+    * contiguous-id-range chunks (arrival-order shape) for
+    * k ∈ {1, 4, 16, 64}, each chunk through the production
+    * per-micro-batch form [[graft.operators.AdmissionIndex
+    * .pairsVsIndexPruned]] — exactly one [[graft.operators
+    * .AdmissionIndex.startNearDupStream]] foreachBatch body. The k = 1
+    * point re-measures the single-batch bound in-session so the curve
+    * is self-contained. Per-chunk seconds are recorded so tail
+    * behavior (the last chunk's partial width) is visible.
+    *
+    * Usage: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
+    *   SPARK_GRAFT_SWEEP_MODE=chunk sbt "runMain graft.AdmissionSweep" */
+  private def chunkSweep(spark: SparkSession, out: String,
+                         sfDir: String): Unit = {
+    val AI = graft.operators.AdmissionIndex
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm-up: JIT/codegen once, outside the timings
+    locally {
+      val wdir = AI.ensureIndex(spark, "/root/testdata/sf0.01")
+      val wb = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+        .filter(col("doc_id") % 2 === 1)
+      AI.pairsVsIndexPruned(wb, wdir).count()
+      ()
+    }
+    val (dir, buildSec) = timed(AI.ensureIndex(spark, sfDir))
+    val batch = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBatch = batch.count()
+    val maxId = batch.agg(max(col("doc_id"))).head().getLong(0)
+    val rows = Seq(1, 4, 16, 64).map { k =>
+      System.gc()
+      val width = maxId / k + 1
+      var pairsTotal = 0L
+      val times = (0 until k).map { i =>
+        val lo = i.toLong * width
+        val chunk = batch
+          .filter(col("doc_id") >= lo && col("doc_id") < lo + width)
+        val (p, sec) = timed(AI.pairsVsIndexPruned(chunk, dir).count())
+        pairsTotal += p
+        sec
+      }
+      val perChunk = times.map(t => f"$t%.2f").mkString("[", ",", "]")
+      val line = f"""{"k":$k,"total_probe_sec":${times.sum}%.2f,"max_chunk_sec":${times.max}%.2f,"pairs":$pairsTotal,"per_chunk_sec":$perChunk}"""
+      println(line)
+      (line, pairsTotal)
+    }
+    // chunking must not change the answer: the probe is stateless and
+    // per-doc independent, so every k yields the identical pair total
+    require(rows.map(_._2).distinct.size == 1,
+      s"chunked probes disagree on pair totals: ${rows.map(_._2)}")
+    batch.unpersist(false)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (s"""{"base":"$sfDir","batch_docs":$nBatch,""" +
+        f""""build_sec":$buildSec%.2f,""" +
+        s""""rounds":[${rows.map(_._1).mkString(",\n")}]}""" +
+        "\n").getBytes("UTF-8"))
+    ()
+  }
+
   private def fdSweep(spark: SparkSession, out: String,
                       bases: Seq[String]): Unit = {
     val AI = graft.operators.AdmissionIndex
