@@ -296,15 +296,18 @@ object AdmissionSweep {
     * 2.6 GB-shuffle number fed the ENTIRE 250k-doc odd half as ONE
     * micro-batch — the worst-case bound, not the operating point. A
     * real stream chunks its input, so this measures the SAME total
-    * probe (identical total pair output, asserted) split into k
-    * contiguous-id-range chunks (arrival-order shape) for
-    * k ∈ {1, 4, 16, 64}, each chunk through the production
-    * per-micro-batch form [[graft.operators.AdmissionIndex
-    * .pairsVsIndexPruned]] — exactly one [[graft.operators
-    * .AdmissionIndex.startNearDupStream]] foreachBatch body. The k = 1
-    * point re-measures the single-batch bound in-session so the curve
-    * is self-contained. Per-chunk seconds are recorded so tail
-    * behavior (the last chunk's partial width) is visible.
+    * probe (identical pair SET, checksum-asserted) split into k
+    * xxhash64(doc_id) chunks for k ∈ {1, 4, 16, 64} — the r14
+    * DEPLOYED chunk assignment ([[graft.operators.AdmissionIndex
+    * .hashChunks]]; the r13 sweep used contiguous id ranges, whose
+    * k = 16 tail read 25–48 s vs an 8 s median because the skewed
+    * fixture's heavy docs cluster in id ranges) — each chunk through
+    * the production per-micro-batch form [[graft.operators
+    * .AdmissionIndex.pairsVsIndexPruned]], exactly one
+    * [[graft.operators.AdmissionIndex.startNearDupStream]]
+    * foreachBatch body. The k = 1 point re-measures the single-batch
+    * bound in-session so the curve is self-contained. Per-chunk
+    * seconds are recorded so tail behavior is visible.
     *
     * Usage: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
     *   SPARK_GRAFT_SWEEP_MODE=chunk sbt "runMain graft.AdmissionSweep" */
@@ -328,28 +331,41 @@ object AdmissionSweep {
       .filter(col("doc_id") % 2 === 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBatch = batch.count()
-    val maxId = batch.agg(max(col("doc_id"))).head().getLong(0)
     val rows = Seq(1, 4, 16, 64).map { k =>
       System.gc()
-      val width = maxId / k + 1
       var pairsTotal = 0L
+      var pairsCksum = 0L
       val times = (0 until k).map { i =>
-        val lo = i.toLong * width
+        // the deployed assignment (AdmissionIndex.hashChunks): hash,
+        // not range, so heavy docs spread evenly across chunks
         val chunk = batch
-          .filter(col("doc_id") >= lo && col("doc_id") < lo + width)
-        val (p, sec) = timed(AI.pairsVsIndexPruned(chunk, dir).count())
+          .filter(pmod(xxhash64(col("doc_id")), lit(k.toLong)) === i)
+        // order-independent SET identity per chunk: (count, sum of
+        // per-pair hashes) — pairsVsIndexPruned materializes via
+        // localCheckpoint, so the extra agg reads the checkpointed
+        // rows, adding nothing to the probe being timed
+        val ((p, ck), sec) = timed {
+          val r = AI.pairsVsIndexPruned(chunk, dir)
+            .agg(count(lit(1)), sum(xxhash64(col("batch_doc"), col("base_doc"))))
+            .head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
         pairsTotal += p
+        pairsCksum += ck
         sec
       }
       val perChunk = times.map(t => f"$t%.2f").mkString("[", ",", "]")
-      val line = f"""{"k":$k,"total_probe_sec":${times.sum}%.2f,"max_chunk_sec":${times.max}%.2f,"pairs":$pairsTotal,"per_chunk_sec":$perChunk}"""
+      val line = f"""{"k":$k,"total_probe_sec":${times.sum}%.2f,"max_chunk_sec":${times.max}%.2f,"pairs":$pairsTotal,"pairs_cksum":$pairsCksum,"per_chunk_sec":$perChunk}"""
       println(line)
-      (line, pairsTotal)
+      (line, (pairsTotal, pairsCksum))
     }
     // chunking must not change the answer: the probe is stateless and
-    // per-doc independent, so every k yields the identical pair total
+    // per-doc independent, so every k yields the identical pair SET —
+    // asserted as (count, order-independent xxhash64 sum), so
+    // compensating errors (a pair lost in one chunk, a duplicate
+    // gained in another) cannot pass the way a bare count could
     require(rows.map(_._2).distinct.size == 1,
-      s"chunked probes disagree on pair totals: ${rows.map(_._2)}")
+      s"chunked probes disagree on pair sets (count, cksum): ${rows.map(_._2)}")
     batch.unpersist(false)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (s"""{"base":"$sfDir","batch_docs":$nBatch,""" +

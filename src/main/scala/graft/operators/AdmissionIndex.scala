@@ -305,14 +305,23 @@ object AdmissionIndex {
       // (ENOTEMPTY surfaces as the generic parent, not
       // DirectoryNotEmptyException; the narrower list this replaces
       // let a real lost race propagate)
-      case _: java.nio.file.FileSystemException =>
-        // race loser: another process won the final rename. Before
-        // discarding our redundant build, hand BACK the committed
-        // delta generations / staged attributions tmp absorbed from
-        // the markerless root above — the winner's fresh dir does not
-        // contain them, and deleting them with tmp would permanently
-        // lose every admitted doc (the exact "no admitted doc is ever
-        // lost" contract the absorb step exists to keep)
+      case e: java.nio.file.FileSystemException =>
+        // Possible race loser: another process won the final rename.
+        // But FileSystemException also covers persistent non-race
+        // failures (AtomicMoveNotSupportedException/EXDEV when
+        // indexRoot spans mounts, I/O errors) — taking the loser path
+        // there would silently delete the fresh build and loop
+        // forever. Only treat it as a lost race when the winner's
+        // marker is actually visible at dest; rethrow otherwise so the
+        // real failure surfaces to the caller.
+        if (!java.nio.file.Files.exists(d.resolve(okMarker))) throw e
+        // Confirmed loser: before discarding our redundant build, hand
+        // BACK the committed delta generations / staged attributions
+        // tmp absorbed from the markerless root above — the winner's
+        // fresh dir does not contain them, and deleting them with tmp
+        // would permanently lose every admitted doc (the exact "no
+        // admitted doc is ever lost" contract the absorb step exists
+        // to keep)
         restoreSubtrees(t, d)
         deleteRec(t)
     }
@@ -809,19 +818,76 @@ object AdmissionIndex {
     (plan, () => { matched.unpersist(false); bandsB.unpersist(false); () })
   }
 
+  /** The measured micro-batch operating point: ~15k docs per probe
+    * round. ADMISSION_SWEEP_CHUNK_r13 (100× fixture, 250k-doc batch):
+    * feeding the whole batch as ONE probe read 374 s while k = 16
+    * chunks of ≈15.6k docs read 232 s total — the per-chunk candidate
+    * join stays inside executor memory instead of spilling, at
+    * identical pair output (the probe is per-doc independent).
+    * Entry points that accept arbitrary micro-batches
+    * ([[startNearDupStream]], [[startFrontDoorLifecycleStream]],
+    * [[pairsVsIndexChunked]]) re-chunk anything larger through the
+    * same probe, so the single-batch worst case cannot occur by
+    * default; pass `maxDocsPerBatch = Long.MaxValue` to opt out. */
+  val DefaultMaxDocsPerBatch: Long = 15000L
+
+  /** Split an oversized batch into ceil(n/maxDocs) probe chunks by
+    * doc_id HASH, not contiguous id ranges: skewed corpora cluster
+    * their heavy documents in id ranges (the r13 chunk sweep's k = 16
+    * tail read 25–48 s vs an 8 s median on range chunks), and hashing
+    * levels per-chunk latency at the same total. xxhash64 is
+    * codegen'd and deterministic, so a foreachBatch replay reproduces
+    * the same chunks. Callers persist `batch` first — this counts it
+    * and each chunk re-filters it. Returns the batch unsplit when it
+    * is already within the operating point. */
+  private[operators] def hashChunks(batch: DataFrame,
+                                    maxDocs: Long): Seq[DataFrame] = {
+    require(maxDocs > 0, s"maxDocsPerBatch must be positive, got $maxDocs")
+    val n = batch.count()
+    if (n <= maxDocs) Seq(batch)
+    else {
+      val k = math.min(((n + maxDocs - 1) / maxDocs).toInt, 4096)
+      (0 until k).map(i =>
+        batch.filter(pmod(xxhash64(col("doc_id")), lit(k.toLong)) === i))
+    }
+  }
+
+  /** [[pairsVsIndexPruned]] at the measured operating point: an
+    * oversized batch is hash-chunked and each chunk probed
+    * sequentially (each probe materializes via localCheckpoint before
+    * the next starts, so peak shuffle/memory is per-chunk, not
+    * per-batch). The probe is stateless and per-doc independent, so
+    * the unioned output is the single-batch output exactly —
+    * AdmissionIndexSpec pins the set equality. */
+  def pairsVsIndexChunked(batchDocs: DataFrame, dir: String,
+      threshold: Double = Dedup.DefaultThreshold,
+      maxDocsPerBatch: Long = DefaultMaxDocsPerBatch): DataFrame = {
+    val cached = batchDocs.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val chunks = hashChunks(cached, maxDocsPerBatch)
+      chunks.map(c => pairsVsIndexPruned(c, dir, threshold))
+        .reduce(_.unionByName(_))
+    } finally { cached.unpersist(false); () }
+  }
+
   /** The production streaming near-dup gate: the stream wrapped in
-    * `foreachBatch`, each micro-batch probed via [[pairsVsIndexPruned]]
-    * and handed (materialized) to `sink` with its batch id. Zero
-    * streaming state — the probe is stateless per micro-batch and
-    * emission is exactly-once per pair within a batch (min-band);
-    * sinks needing cross-restart idempotence key on (batchId, pair),
-    * the standard foreachBatch contract. */
+    * `foreachBatch`, each micro-batch probed via [[pairsVsIndexChunked]]
+    * (an oversized batch re-chunks to the measured
+    * [[DefaultMaxDocsPerBatch]] operating point — output identical by
+    * per-doc independence) and handed (materialized) to `sink` with
+    * its batch id. Zero streaming state — the probe is stateless per
+    * micro-batch and emission is exactly-once per pair within a batch
+    * (min-band); sinks needing cross-restart idempotence key on
+    * (batchId, pair), the standard foreachBatch contract. */
   def startNearDupStream(streamDocs: DataFrame, dir: String,
-      threshold: Double = Dedup.DefaultThreshold)
+      threshold: Double = Dedup.DefaultThreshold,
+      maxDocsPerBatch: Long = DefaultMaxDocsPerBatch)
       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     streamDocs.writeStream
       .foreachBatch((mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                     id: Long) => sink(pairsVsIndexPruned(mb.toDF(), dir, threshold), id))
+                     id: Long) => sink(
+        pairsVsIndexChunked(mb.toDF(), dir, threshold, maxDocsPerBatch), id))
       .start()
 
   /** q134 driver form: the stateless probe's BATCH twin over the
@@ -837,7 +903,11 @@ object AdmissionIndex {
     val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
     val batch = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 2 === 1)
-    pairsVsIndexPruned(batch, dir, threshold)
+    // the chunked form IS the streaming default now — at sf0.01 the
+    // batch is under the operating point (one chunk ≡ the old plan);
+    // at 100× this is the measured k≈17 hash-chunked path, not the
+    // 374 s single-batch worst case
+    pairsVsIndexChunked(batch, dir, threshold)
       .orderBy(col("batch_doc"), col("base_doc"))
   }
 
@@ -1050,12 +1120,27 @@ object AdmissionIndex {
     synchronized {
       if (liveGenerations(dir) < math.max(1, maxGens)) false
       else {
-        val marker = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(dir, okMarker)), "UTF-8")
-        if (marker.contains("\"fpBuckets\"")) fpCompactIndex(spark, dir)
-        else if (marker.contains("\"kind\":\"emb\"")) embCompactIndex(spark, dir)
-        else compactIndex(spark, dir)
-        true
+        val markerPath = java.nio.file.Paths.get(dir, okMarker)
+        // A missing root marker means another process holds the
+        // compaction window (or the root is mid-publish) — skip this
+        // maintenance slot rather than failing the micro-batch; the
+        // next slot retries once the window closes.
+        if (!java.nio.file.Files.exists(markerPath)) false
+        else {
+          val marker =
+            try new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8")
+            catch { case _: java.nio.file.NoSuchFileException => return false }
+          // Dispatch on the marker's own fields (anchored key matches,
+          // not raw substrings): emb roots record `"kind":"emb"`, fp
+          // roots a numeric `"fpBuckets"` field, text roots neither.
+          val kind = "\"kind\"\\s*:\\s*\"([^\"]+)\"".r
+            .findFirstMatchIn(marker).map(_.group(1))
+          if (kind.contains("emb")) embCompactIndex(spark, dir)
+          else if ("\"fpBuckets\"\\s*:\\s*\\d+".r
+                     .findFirstIn(marker).isDefined) fpCompactIndex(spark, dir)
+          else compactIndex(spark, dir)
+          true
+        }
       }
     }
 
@@ -1965,24 +2050,41 @@ object AdmissionIndex {
     * the round's own generations and self-reject its admits), only the
     * idempotent missing folds. Fully committed round: no-op. Returns
     * the staged attribution dir — `readStaged` on it is replay-stable
-    * byte-for-byte. */
-  private def probeStageFold(batch: DataFrame, spark: SparkSession,
+    * byte-for-byte. Oversized batches re-chunk their probe to the
+    * measured [[DefaultMaxDocsPerBatch]] operating point (see the
+    * fresh-path comment); output is single-batch-identical. */
+  private[operators] def probeStageFold(batch: DataFrame, spark: SparkSession,
       sfDir: String, dir: String, edir: String, fdir: String,
       genKey: String, threshold: Double, embThreshold: Double,
-      nProbe: Int): String = {
+      nProbe: Int,
+      maxDocsPerBatch: Long = DefaultMaxDocsPerBatch): String = {
     val adir = stagedDir(dir, genKey)
     if (!stagedCommitted(adir)) {
       // fresh round: probe (no fold has landed — the stage commits
-      // first), stage, fold from the shared signed frame
-      val (att, signed1, release) = frontDoorProbe(batch, spark,
-        sfDir, dir, edir, fdir, threshold, embThreshold, nProbe)
+      // first), stage, fold from the shared signed frame. An oversized
+      // batch re-chunks its PROBE to the measured operating point
+      // ([[DefaultMaxDocsPerBatch]]): each hash chunk probes the same
+      // static index state (nothing folds until every chunk has
+      // probed), the attributions union into ONE staged frame, and the
+      // fold commits once per genKey from the unioned signed frame —
+      // per-doc probe independence makes the union the single-batch
+      // output exactly (spec-pinned), while peak candidate-join width
+      // is per-chunk
+      val cached = batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probes = hashChunks(cached, maxDocsPerBatch).map(c =>
+        frontDoorProbe(c, spark, sfDir, dir, edir, fdir,
+          threshold, embThreshold, nProbe))
       try {
+        val att = probes.map(_._1).reduce(_.unionByName(_))
+          .orderBy(col("doc_id"))
         stageAttribution(att, adir, genKey)
         val admitted = readStaged(spark, adir)
           .filter(col("tier") === lit("admitted")).select(col("doc_id"))
-        foldAdmitted(batch, admitted, Some(signed1), spark, sfDir,
+        val signed1 = probes.map(_._2).reduce(_.unionByName(_))
+        foldAdmitted(cached, admitted, Some(signed1), spark, sfDir,
           dir, edir, fdir, genKey, threshold)
-      } finally release()
+      } finally { probes.foreach(_._3()); cached.unpersist(false); () }
     } else if (!(generationCommitted(fdir, genKey) &&
                  generationCommitted(dir, genKey) &&
                  generationCommitted(edir, genKey))) {
@@ -2162,7 +2264,12 @@ object AdmissionIndex {
     * already admitted, but the fold is skipped outright because the
     * generation is committed) and cannot double-fold. Later
     * micro-batches reject against base ∪ everything earlier batches
-    * admitted — the q143 gate property, continuous. `famTag` defaults
+    * admitted — the q143 gate property, continuous. A micro-batch
+    * larger than `maxDocsPerBatch` (default: the measured
+    * [[DefaultMaxDocsPerBatch]] operating point) re-chunks its probe
+    * inside [[probeStageFold]] — identical output, bounded per-probe
+    * width, so an unthrottled source cannot induce the single-batch
+    * worst case. `famTag` defaults
     * to its own family ("fds") so the stream never couples to the
     * q143/q144 driver state; `baseMod` picks the base-split convention
     * the indexes are built over.
@@ -2180,7 +2287,8 @@ object AdmissionIndex {
       centroids: Int = EmbCentroids,
       nProbe: Int = EmbNProbe,
       baseMod: Int = 3, famTag: String = "fds",
-      compactAfterGens: Int = DefaultCompactAfterGens)
+      compactAfterGens: Int = DefaultCompactAfterGens,
+      maxDocsPerBatch: Long = DefaultMaxDocsPerBatch)
       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     streamDocs.writeStream
       .foreachBatch((mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -2194,7 +2302,7 @@ object AdmissionIndex {
           famTag = famTag)
         val genKey = s"$sfDir|fdStream|$famTag|$id"
         val adir = probeStageFold(mb.toDF(), spark, sfDir, dir, edir,
-          fdir, genKey, threshold, embThreshold, nProbe)
+          fdir, genKey, threshold, embThreshold, nProbe, maxDocsPerBatch)
         // maintenance slot: each tier compacts on the measured cadence
         // (per-probe generation overhead vs amortized compaction cost —
         // [[maybeCompact]]); compaction is probe-invisible, so firing

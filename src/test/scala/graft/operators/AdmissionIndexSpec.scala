@@ -1000,4 +1000,82 @@ class AdmissionIndexSpec extends SparkSpec {
     // warm re-run: every batch delivers its staged frame — identical
     assert(run() == expected, "warm stream lifecycle re-run must match")
   }
+
+  test("pairsVsIndexChunked: forced re-chunking (maxDocs = 1, hash " +
+    "chunks) ≡ the single-batch pruned probe, pair-set identity") {
+    val docs = corpus
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val dir = freshDir()
+    AdmissionIndex.buildIndex(base, dir, threshold = 0.5, maxDfFrac = 0.3)
+    def collectPairs(df: DataFrame) = df
+      .select("batch_doc", "base_doc", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val whole = collectPairs(
+      AdmissionIndex.pairsVsIndexPruned(batch, dir, 0.5))
+    assert(whole.nonEmpty, "fixture must produce pairs")
+    // maxDocs = 1 over 4 batch docs → ≥2 non-empty hash chunks (and
+    // possibly empty ones — both shapes must be handled)
+    val chunked = collectPairs(
+      AdmissionIndex.pairsVsIndexChunked(batch, dir, 0.5,
+        maxDocsPerBatch = 1L))
+    assert(chunked == whole,
+      s"extra=${chunked -- whole} missing=${whole -- chunked}")
+    // hashChunks partitions the batch: disjoint chunks, full cover
+    val chunks = AdmissionIndex.hashChunks(batch, 1L)
+    assert(chunks.size > 1, "an oversized batch must split")
+    val ids = chunks.flatMap(_.select("doc_id").as[Long].collect())
+    assert(ids.sorted == batch.select("doc_id").as[Long].collect()
+      .toSeq.sorted, "chunks must partition the batch exactly")
+    // within the operating point: no split, the original frame
+    assert(AdmissionIndex.hashChunks(batch, 100L).size == 1)
+  }
+
+  test("oversized lifecycle micro-batch re-chunks through " +
+    "probeStageFold: staged attribution, delivered rows, and the next " +
+    "batch's composed gate are single-batch-identical; the chunked " +
+    "round replays idempotently") {
+    def run(maxDocs: Long) = {
+      val sfDir = plantedFdCorpus()
+      val m = 3
+      val docs = graft.Tables.documents(spark, sfDir)
+      val dir = AdmissionIndex.ensureIndex(spark, sfDir,
+        baseMod = m, famTag = "fd")
+      val edir = AdmissionIndex.ensureEmbIndex(spark, sfDir,
+        baseMod = m, famTag = "fd")
+      val fdir = AdmissionIndex.ensureFpIndex(spark, sfDir,
+        baseMod = m, famTag = "fd")
+      def round() = AdmissionIndex.probeStageFold(
+        docs.filter(col("doc_id") % m === 1), spark, sfDir,
+        dir, edir, fdir, s"$sfDir|chunkSpec",
+        graft.operators.Dedup.DefaultThreshold,
+        AdmissionIndex.EmbThreshold, AdmissionIndex.EmbNProbe, maxDocs)
+      val adir = round()
+      val staged = spark.read.parquet(s"$adir/att")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      // replay with the same genKey: committed stage + folds → no-op,
+      // delivery byte-identical (the at-least-once bridge, chunked)
+      val adir2 = round()
+      val staged2 = spark.read.parquet(s"$adir2/att")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      assert(adir2 == adir && staged2 == staged,
+        "chunked round must replay idempotently")
+      val batch2 = AdmissionIndex.frontDoorOn(
+        docs.filter(col("doc_id") % m === 2), spark, sfDir,
+        dir, edir, fdir, graft.operators.Dedup.DefaultThreshold,
+        AdmissionIndex.EmbThreshold, AdmissionIndex.EmbNProbe)
+        .as[(Long, String, Long)].collect().toSet
+      (staged, batch2)
+    }
+    // batch1 = 5 docs; maxDocs = 2 → 3 hash chunks through the probe
+    val (stagedChunked, gateChunked) = run(maxDocs = 2L)
+    val (stagedSingle, gateSingle) = run(maxDocs = Long.MaxValue)
+    assert(stagedChunked == stagedSingle,
+      s"chunked=$stagedChunked single=$stagedSingle")
+    assert(gateChunked == gateSingle,
+      s"chunked=$gateChunked single=$gateSingle")
+    // and both equal the pinned per-tier expectation
+    assert(gateChunked.map(r => r._1 -> ((r._2, r._3))).toMap == fdExpected,
+      gateChunked.toString)
+  }
 }

@@ -20,15 +20,21 @@ class CompactionPolicySpec extends SparkSpec {
   // ---- cadence constant re-derived from the committed sweep curves --
 
   /** Crude field extraction from the committed sweep artifacts (flat
-    * JSON, repo-controlled shape). */
-  private def sweepCurve(path: String, probeKey: String)
-      : (Double, Double) = {
+    * JSON, repo-controlled shape). Fields are matched independently
+    * inside each round object, so a re-generated artifact with a
+    * different field order still parses. */
+  private def sweepCurve(path: String): (Double, Double) = {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")
-    val rounds =
-      ("\\{\"gens_before_probe\":(\\d+),\"probe_sec\":([0-9.]+)").r
-        .findAllMatchIn(txt)
-        .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
+    def field(obj: String, key: String): Option[String] =
+      ("\"" + key + "\"\\s*:\\s*([0-9.]+)").r
+        .findFirstMatchIn(obj).map(_.group(1))
+    val rounds = "\\{[^{}]*\\}".r.findAllIn(txt).toSeq.flatMap { obj =>
+      for {
+        g <- field(obj, "gens_before_probe")
+        p <- field(obj, "probe_sec")
+      } yield (g.toInt, p.toDouble)
+    }
     assert(rounds.size >= 2, s"$path: expected a sweep curve, got $rounds")
     val (g0, p0) = rounds.minBy(_._1)
     val (gMax, pMax) = rounds.maxBy(_._1)
@@ -43,7 +49,7 @@ class CompactionPolicySpec extends SparkSpec {
     "(a re-measure that moves either curve flags the constant)") {
     for (artifact <- Seq("ADMISSION_SWEEP_GENS_r11.json",
                          "ADMISSION_SWEEP_EMBGENS_r12.json")) {
-      val (compact, slope) = sweepCurve(artifact, "probe_sec")
+      val (compact, slope) = sweepCurve(artifact)
       val kStar = AdmissionIndex.compactionCadence(compact, slope)
       assert(kStar >= 1)
       // the deployed constant must sit inside the flat-bottomed
@@ -169,5 +175,49 @@ class CompactionPolicySpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
       dest.resolve("delta/aaaa").resolve("_GRAFT_INDEX_OK")),
       "the winner's own generation must survive untouched")
+  }
+
+  test("publish rethrows a non-race FileSystemException (no winner " +
+    "marker at dest) and keeps the fresh build instead of deleting it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-publish-norace").toString
+    val tmp = java.nio.file.Paths.get(root, "tmp-build")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("_GRAFT_INDEX_OK"),
+      "{\"v\":1}\n".getBytes("UTF-8"))
+    // dest's PARENT is a regular file: createDirectories throws a
+    // FileSystemException, and no winner marker can possibly exist —
+    // the persistent-failure shape the loser path must NOT swallow
+    val parentFile = java.nio.file.Paths.get(root, "parentfile")
+    java.nio.file.Files.write(parentFile, "x".getBytes("UTF-8"))
+    val dest = parentFile.resolve("idx")
+    intercept[java.nio.file.FileSystemException] {
+      AdmissionIndex.publish(tmp.toString, dest.toString)
+    }
+    assert(java.nio.file.Files.exists(tmp.resolve("_GRAFT_INDEX_OK")),
+      "a non-race failure must leave the fresh build intact")
+  }
+
+  test("maybeCompact skips the maintenance slot (returns false) when " +
+    "the root marker is held by a concurrent compaction window") {
+    val base = (0 until 40).map(i =>
+      (2L * i, s"unique base document number $i about topic t$i"))
+      .toDF("doc_id", "text")
+    val dir = freshDir()
+    AdmissionIndex.buildFpIndex(base, dir)
+    val novel = Seq((1001L, "brand new admitted document"))
+      .toDF("doc_id", "text")
+    AdmissionIndex.fpAppendGeneration(novel, dir, "marker-held-g0")
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")
+    val bytes = java.nio.file.Files.readAllBytes(marker)
+    java.nio.file.Files.delete(marker)
+    assert(!AdmissionIndex.maybeCompact(spark, dir, maxGens = 1),
+      "a missing root marker must skip, not fail, the slot")
+    assert(AdmissionIndex.liveGenerations(dir) == 1,
+      "the skipped slot must leave generations untouched")
+    java.nio.file.Files.write(marker, bytes)
+    assert(AdmissionIndex.maybeCompact(spark, dir, maxGens = 1),
+      "the next slot (window closed) must compact")
+    assert(AdmissionIndex.liveGenerations(dir) == 0)
   }
 }
