@@ -170,12 +170,53 @@ def check_q88(sf, out):
                    "q88_cluster_reps")
 
 
+def calibrate_vs_duckdb(sf, out, which):
+    """The STANDING calibration gate (r13 verdict item 6): wherever the
+    DuckDB oracle CAN run (the small fixtures), assert numpy == DuckDB
+    directly — a third-party tiebreak so a drift in either oracle is
+    loud. The numpy checks above asserted spark == numpy; duckdb ==
+    spark closes the triangle. Oracle SQL comes from the Verify dump's
+    oracle_sql.json — the exact text the driver gates with."""
+    import json
+    import duckdb
+    names = {"q78": "q78_semantic_clusters", "q81": "q81_semantic_lsh",
+             "q88": "q88_cluster_reps"}
+    with open(f"{out}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    ok = True
+    for q in which:
+        name = names[q]
+        if name not in oracle:
+            continue
+        duck = con.execute(oracle[name]).df()
+        duck = duck[sorted(duck.columns)]
+        duck = duck.sort_values(list(duck.columns)).reset_index(drop=True)
+        spark = spark_dump(out, name)
+        spark = spark[sorted(spark.columns)]
+        spark = spark.sort_values(list(spark.columns)).reset_index(drop=True)
+        same = (len(duck) == len(spark) and
+                all(int(a) == int(b)
+                    for ca, cb in zip(duck.columns, spark.columns)
+                    for a, b in zip(duck[ca], spark[cb])))
+        print(("CAL-PASS" if same else "CAL-FAIL") +
+              f" {name}: duckdb {'==' if same else '!='} spark(==numpy)")
+        ok = ok and same
+    return ok
+
+
 def main():
-    sf, out = sys.argv[1], sys.argv[2]
-    which = sys.argv[3:] or ["q78", "q81", "q88"]
+    argv = [a for a in sys.argv[1:] if a != "--calibrate"]
+    calibrate = "--calibrate" in sys.argv
+    sf, out = argv[0], argv[1]
+    which = argv[2:] or ["q78", "q81", "q88"]
     ok = True
     for q in which:
         ok &= {"q78": check_q78, "q81": check_q81, "q88": check_q88}[q](sf, out)
+    if calibrate:
+        ok &= calibrate_vs_duckdb(sf, out, which)
     sys.exit(0 if ok else 1)
 
 

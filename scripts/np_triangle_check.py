@@ -98,6 +98,61 @@ def check_q146(ids, cos, out_dir, th=0.3, mod=2):
     return True
 
 
+def advise_mod(wedge_vol, budget):
+    """Mirror of Similarity.sampleModFor: smallest m with
+    m^2 * budget >= wedge_vol (float-sqrt candidate + one integer
+    adjustment step, so exact squares land exactly)."""
+    if wedge_vol <= budget:
+        return 1
+    cand = max(1, int(np.ceil(np.sqrt(wedge_vol / float(budget)))))
+    if cand > 1 and (cand - 1) * (cand - 1) * budget >= wedge_vol:
+        return cand - 1
+    if cand * cand * budget < wedge_vol:
+        return cand + 1
+    return cand
+
+
+def check_q147(ids, cos, out_dir, th=0.3, budget=1000000):
+    """q147_triangle_advisor: the q146 estimator with the sampleMod
+    ADVISOR in the loop — wedge volume from the degree profile, the
+    smallest mod whose expected sampled wedge volume fits the budget,
+    then the identical md5 keep-test / wedge-close / exact-integer
+    estimator at that mod."""
+    n = len(ids)
+    iu = np.triu_indices(n, k=1)
+    hit = cos[iu] >= th
+    ai, bi = iu[0][hit], iu[1][hit]
+    n_edges = int(hit.sum())
+
+    # wedge volume on the ORDERED pair list: sum_b lower(b) * higher(b)
+    nlo = np.bincount(bi, minlength=n).astype(np.int64)
+    nhi = np.bincount(ai, minlength=n).astype(np.int64)
+    wedge_vol = int((nlo * nhi).sum())
+    mod = advise_mod(wedge_vol, budget)
+
+    kept = np.fromiter(
+        (int(hashlib.md5(f"{ids[a]}_{ids[b]}".encode()).hexdigest()[:8], 16)
+         % mod == 0 for a, b in zip(ai, bi)),
+        dtype=bool, count=n_edges)
+    ka, kb = ai[kept], bi[kept]
+    kept_edges = int(kept.sum())
+    u = np.zeros((n, n), dtype=np.float32)
+    u[ka, kb] = 1.0
+    tri_sampled = int(round(float(((u @ u) * u).sum(dtype=np.float64))))
+    exp = (wedge_vol, mod, n_edges, kept_edges, tri_sampled,
+           tri_sampled * (mod ** 3))
+
+    got_df = spark_df(out_dir, "q147_triangle_advisor")
+    got = tuple(int(got_df.iloc[0][c]) for c in
+                ("wedge_vol", "sample_mod", "n_edges", "kept_edges",
+                 "tri_sampled", "tri_est"))
+    if got != exp:
+        print(f"FAIL q147_triangle_advisor: engine {got} vs numpy {exp}")
+        return False
+    print(f"PASS q147_triangle_advisor {got} (numpy oracle)")
+    return True
+
+
 def check_q123(ids, cos, out_dir, th=0.4):
     n = len(ids)
     a = (cos >= th).astype(np.float32)
@@ -121,16 +176,61 @@ def check_q123(ids, cos, out_dir, th=0.4):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = [a for a in sys.argv[1:] if a != "--calibrate"]
+    calibrate = "--calibrate" in sys.argv
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     ids, cos = cos_matrix(sf_dir)
     ok = True
     if not only or "q146_triangle_sample" in only:
         ok = check_q146(ids, cos, out_dir) and ok
+    if not only or "q147_triangle_advisor" in only:
+        ok = check_q147(ids, cos, out_dir) and ok
     if not only or "q123_triangles" in only:
         ok = check_q123(ids, cos, out_dir) and ok
+    if calibrate:
+        ok = calibrate_vs_duckdb(sf_dir, out_dir, only) and ok
     if not ok:
         sys.exit(1)
+
+
+def calibrate_vs_duckdb(sf_dir, out_dir, only):
+    """The STANDING calibration gate (r13 verdict item 6): wherever the
+    DuckDB oracle CAN run (the small fixtures), assert numpy == DuckDB
+    directly — a third-party tiebreak, so a drift in either oracle is
+    loud instead of silently re-baselining the scale gates. Reads the
+    oracle SQL from the Verify dump's oracle_sql.json (the exact text
+    the driver gates with) and compares full result frames after the
+    same column-sort/row-sort normalization as scripts/check.py."""
+    import json
+    import duckdb
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    for t in ("embeddings",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ok = True
+    for q in ("q146_triangle_sample", "q147_triangle_advisor",
+              "q123_triangles"):
+        if (only and q not in only) or q not in oracle:
+            continue
+        duck = con.execute(oracle[q]).df()
+        duck = duck[sorted(duck.columns)]
+        duck = duck.sort_values(list(duck.columns)).reset_index(drop=True)
+        spark = spark_df(out_dir, q)
+        spark = spark[sorted(spark.columns)]
+        spark = spark.sort_values(list(spark.columns)).reset_index(drop=True)
+        same = (len(duck) == len(spark) and
+                all(int(a) == int(b)
+                    for ca, cb in zip(duck.columns, spark.columns)
+                    for a, b in zip(duck[ca], spark[cb])))
+        # numpy already asserted spark == numpy above, so duck == spark
+        # closes the triangle: numpy == duckdb
+        print(("CAL-PASS" if same else "CAL-FAIL") +
+              f" {q}: duckdb {'==' if same else '!='} spark(==numpy)")
+        ok = ok and same
+    return ok
 
 
 if __name__ == "__main__":

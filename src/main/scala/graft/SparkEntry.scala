@@ -540,7 +540,16 @@ object SparkEntry {
     // regime sampling exists for; sampleMod is the density knob the
     // sampled-graph wedge tripwire names when it fires)
     "q146_triangle_sample" -> ((s, d) =>
-      Similarity.triangleSample(embeddings(s, d)))
+      Similarity.triangleSample(embeddings(s, d))),
+    // q146 with the sampleMod ADVISOR in the loop: forecast the wedge
+    // volume from the degree profile (q109's rollup, off the memoized
+    // pair list — never the cubic join), pick the smallest mod whose
+    // expected sampled wedge volume fits the ~10⁶-row budget, estimate
+    // at that mod. The oracle re-derives the SAME mod in SQL (identical
+    // sqrt-candidate + integer-adjustment arithmetic), so the gate
+    // proves the advisory decision cross-engine, not a pinned constant
+    "q147_triangle_advisor" -> ((s, d) =>
+      Similarity.triangleSampleAuto(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -692,6 +701,7 @@ object SparkEntry {
     "q143_front_door_lifecycle" -> AdmissionIndex.frontDoorLifecycleOracle,
     "q144_front_door_compaction" -> AdmissionIndex.frontDoorCompactionOracle,
     "q145_front_door_stream" -> AdmissionIndex.frontDoorStreamLifecycleOracle,
-    "q146_triangle_sample" -> Similarity.triangleSampleOracle
+    "q146_triangle_sample" -> Similarity.triangleSampleOracle,
+    "q147_triangle_advisor" -> Similarity.triangleAdvisorOracle
   )
 }
