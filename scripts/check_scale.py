@@ -5,17 +5,29 @@ artifact (CORRECTNESS_SF3-style). Per-query process isolation keeps one
 pathological DuckDB oracle (quadratic CTEs at 30x) from sinking the
 whole pass — a timeout is recorded as such, not silently skipped.
 
-Usage: python3 scripts/check_scale.py <sfDir> <verifyOutDir> <outJson> [timeoutSec]
+Usage: python3 scripts/check_scale.py <sfDir> <verifyOutDir> <outJson> \
+           [timeoutSec] [--only name1,name2,...]
+--only restricts the pass to the named queries (a targeted-family scale
+run dumps only its family; without the filter every other oracle entry
+would be recorded as no_spark_output noise).
 """
 import json, os, subprocess, sys
 
 def main():
-    sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
-    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+    argv = list(sys.argv[1:])
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sf_dir, out_dir, out_json = argv[0], argv[1], argv[2]
+    timeout = int(argv[3]) if len(argv) > 3 else 600
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         if not os.path.isdir(os.path.join(out_dir, name)):
             results[name] = {"status": "no_spark_output"}
             print(f"MISSING {name}", flush=True)
