@@ -340,18 +340,22 @@ object AdmissionSweep {
         // not range, so heavy docs spread evenly across chunks
         val chunk = batch
           .filter(pmod(xxhash64(col("doc_id")), lit(k.toLong)) === i)
-        // order-independent SET identity per chunk: (count, sum of
-        // per-pair hashes) — pairsVsIndexPruned materializes via
-        // localCheckpoint, so the extra agg reads the checkpointed
-        // rows, adding nothing to the probe being timed
+        // order-independent SET identity per chunk: (count, XOR of
+        // per-pair hashes — a SUM of full-range xxhash64 values
+        // overflows Long under ANSI; XOR is wrap-free and the chunks
+        // are disjoint, so XOR-of-XORs ≡ the whole set's XOR) —
+        // pairsVsIndexPruned materializes via localCheckpoint, so the
+        // extra agg reads the checkpointed rows, adding nothing to
+        // the probe being timed
         val ((p, ck), sec) = timed {
           val r = AI.pairsVsIndexPruned(chunk, dir)
-            .agg(count(lit(1)), sum(xxhash64(col("batch_doc"), col("base_doc"))))
+            .agg(count(lit(1)),
+              expr("bit_xor(xxhash64(batch_doc, base_doc))"))
             .head()
           (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
         pairsTotal += p
-        pairsCksum += ck
+        pairsCksum ^= ck
         sec
       }
       val perChunk = times.map(t => f"$t%.2f").mkString("[", ",", "]")
