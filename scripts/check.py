@@ -23,6 +23,15 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    # Optional resource caps for PARALLEL gate lanes at the big
+    # fixtures: an uncapped DuckDB defaults to ~80% of RAM per
+    # PROCESS, so four concurrent 100x oracles OOM the box instead of
+    # spilling. Capped, each lane spills to temp and completes.
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+        con.execute(f"SET temp_directory='/tmp/duckspill_{os.getpid()}'")
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
