@@ -370,11 +370,35 @@ object AdmissionSweep {
     // gained in another) cannot pass the way a bare count could
     require(rows.map(_._2).distinct.size == 1,
       s"chunked probes disagree on pair sets (count, cksum): ${rows.map(_._2)}")
+    // r15: the DEPLOYED form — [[AdmissionIndex.pairsVsIndexChunked]]
+    // with the shared touched-bucket band manifest and overlapped
+    // chunk verify rounds — at driver-pool widths 1/2/3/4 over the
+    // default ~15k operating point. par = 1 isolates the manifest
+    // restructure; 2–4 add the overlap (r14 verdict items 1 + 2). The
+    // pair set must STILL equal every serial k-sweep round's.
+    val depRows = Seq(1, 2, 3, 4).map { par =>
+      System.gc()
+      val ((p, ck), sec) = timed {
+        val r = AI.pairsVsIndexChunked(batch, dir, probeParallelism = par)
+          .agg(count(lit(1)),
+            expr("bit_xor(xxhash64(batch_doc, base_doc))"))
+          .head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val line =
+        f"""{"par":$par,"deployed_sec":$sec%.2f,"pairs":$p,"pairs_cksum":$ck}"""
+      println(line)
+      (line, (p, ck))
+    }
+    require((rows.map(_._2) ++ depRows.map(_._2)).distinct.size == 1,
+      "deployed chunked probe disagrees with the serial sweep on the " +
+        s"pair set: sweep=${rows.head._2} deployed=${depRows.map(_._2)}")
     batch.unpersist(false)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (s"""{"base":"$sfDir","batch_docs":$nBatch,""" +
         f""""build_sec":$buildSec%.2f,""" +
-        s""""rounds":[${rows.map(_._1).mkString(",\n")}]}""" +
+        s""""rounds":[${rows.map(_._1).mkString(",\n")}],""" +
+        s""""deployed":[${depRows.map(_._1).mkString(",\n")}]}""" +
         "\n").getBytes("UTF-8"))
     ()
   }

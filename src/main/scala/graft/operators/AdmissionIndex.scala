@@ -852,23 +852,149 @@ object AdmissionIndex {
     }
   }
 
+  /** How many chunk verify rounds [[pairsVsIndexChunked]] overlaps
+    * from its bounded driver pool (r14 verdict item 1). The per-chunk
+    * wall past the operating point is dominated by fixed per-round
+    * overhead (ADMISSION_SWEEP_CHUNK_r14: k = 64 read 202 s total at
+    * 3.2 s/chunk), which overlapping hides; 3 keeps peak concurrent
+    * verify-join width at 3 chunks — inside the executor-memory margin
+    * the ~15k operating point was sized for. */
+  val DefaultProbeParallelism: Int = 3
+
   /** [[pairsVsIndexPruned]] at the measured operating point: an
-    * oversized batch is hash-chunked and each chunk probed
-    * sequentially (each probe materializes via localCheckpoint before
-    * the next starts, so peak shuffle/memory is per-chunk, not
-    * per-batch). The probe is stateless and per-doc independent, so
-    * the unioned output is the single-batch output exactly —
-    * AdmissionIndexSpec pins the set equality. */
+    * oversized batch is hash-chunked and probed chunk-by-chunk so the
+    * expensive candidate verify join stays per-chunk-bounded — but
+    * since r15 the BAND side is shared, not per-chunk (r14 verdict
+    * item 2): the batch is shingled+signed once, its band keys joined
+    * against ONE partition-pruned scan of the index band tables (the
+    * touched-bucket manifest = the union of every chunk's buckets),
+    * and only the verify stage — re-attaching both signature arrays
+    * and walking the sorted intersect — runs per chunk. The shared
+    * band join shuffles three scalar columns per band row (the old
+    * per-chunk form shuffled b copies of both signature arrays AND
+    * re-read every band bucket two chunks touched — the measured 2×
+    * io trade at 100×). Chunk rounds run [[DefaultProbeParallelism]]-
+    * wide from a bounded driver pool (the MLOps.fitPairModels idiom);
+    * each round still materializes via localCheckpoint, so peak
+    * memory is per-chunk × parallelism, never per-batch. The probe is
+    * stateless and per-doc independent, so the unioned output is the
+    * single-batch output exactly — AdmissionIndexSpec pins the set
+    * equality. */
   def pairsVsIndexChunked(batchDocs: DataFrame, dir: String,
       threshold: Double = Dedup.DefaultThreshold,
-      maxDocsPerBatch: Long = DefaultMaxDocsPerBatch): DataFrame = {
+      maxDocsPerBatch: Long = DefaultMaxDocsPerBatch,
+      probeParallelism: Int = DefaultProbeParallelism): DataFrame = {
+    require(maxDocsPerBatch > 0,
+      s"maxDocsPerBatch must be positive, got $maxDocsPerBatch")
     val cached = batchDocs.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val chunks = hashChunks(cached, maxDocsPerBatch)
-      chunks.map(c => pairsVsIndexPruned(c, dir, threshold))
-        .reduce(_.unionByName(_))
+      val n = cached.count()
+      if (n <= maxDocsPerBatch) pairsVsIndexPruned(cached, dir, threshold)
+      else {
+        val k = math.min(
+          ((n + maxDocsPerBatch - 1) / maxDocsPerBatch).toInt, 4096)
+        chunkedProbeShared(cached, dir, threshold, k, probeParallelism)
+      }
     } finally { cached.unpersist(false); () }
+  }
+
+  /** The oversized-batch body of [[pairsVsIndexChunked]]: shared
+    * signed frame + shared narrow band join, per-chunk overlapped
+    * verify. Chunk assignment is [[hashChunks]]' exactly
+    * (pmod(xxhash64(doc_id), k)) — deterministic under foreachBatch
+    * replay, skew-leveling on id-clustered corpora. */
+  private def chunkedProbeShared(batch: DataFrame, dir: String,
+      threshold: Double, k: Int, parallelism: Int): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (b, r) = Dedup.lshBanding(threshold)
+    val (bandBuckets, docBuckets) = readBucketCounts(dir)
+    val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
+    // sign the whole batch ONCE (shingle + permMins is the dominant
+    // batch-side term); chunk ids ride along so every later stage
+    // derives its chunk slice by a cached-column filter
+    val sigB = Dedup.applyHotFilter(Dedup.hashShingled(batch), hot)
+      .select(col("doc_id").as("a"), col("hset").as("ha"),
+        Dedup.permMinsUdf(b * r)(col("hset")).as("siga"),
+        pmod(xxhash64(col("doc_id")), lit(k.toLong)).cast("int").as("chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // NARROW band rows — no signature arrays; the arrays re-attach
+      // per chunk from sigB, so this one shared join shuffles three
+      // scalar columns instead of b copies of each array per doc
+      val bandsB = sigB
+        .select(col("a"), col("chunk"), col("siga"),
+          explode(expr(s"sequence(0, ${b - 1})")).as("band"))
+        .select(col("a"), col("chunk"), col("band"),
+          expr(bandKeyExpr("siga", r)).as("band_key"))
+        .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val matched =
+        try {
+          // the touched-bucket manifest: union of every chunk's band
+          // buckets, collected once (bounded by the bucket constant)
+          val touched = bandsB.select(col("band_bucket")).distinct()
+            .collect().map(_.getInt(0))
+          val roots = indexRoots(dir)
+          val baseBands = prunedUnion(spark, roots, "bands", "band_bucket",
+              touched)
+            .select(col("doc_id").as("bb"), col("band_key"))
+          // ONE shared band join: every touched bucket file is scanned
+          // once for the whole batch (the r14 per-chunk form re-read
+          // every bucket two chunks touched)
+          val m = bandsB.join(baseBands, Seq("band_key"))
+            .select(col("a"), col("chunk"), col("band"), col("bb"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          m.count() // materialize before releasing the band rows
+          m
+        } finally { bandsB.unpersist(false); () }
+      try {
+        val roots = indexRoots(dir)
+        val rMatch = (0 until r)
+          .map(o => s"siga[j*$r+$o] = sigb[j*$r+$o]").mkString(" AND ")
+        val d = threshold / (1.0 + threshold)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, parallelism))
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          val rounds = (0 until k).map { i =>
+            Future {
+              val mi = matched.filter(col("chunk") === i)
+              val candBuckets = mi
+                .select(pmod(hash(col("bb")), lit(docBuckets)).as("db"))
+                .distinct().collect().map(_.getInt(0))
+              val baseH = prunedUnion(spark, roots, "hsets", "doc_bucket",
+                  candBuckets)
+                .select(col("doc_id").as("bdoc"), col("hset").as("hb"),
+                  col("sig").as("sigb"))
+              // re-attach the batch-side arrays for THIS chunk only,
+              // then the row-local min-band dedup + verify — identical
+              // semantics to pairsVsIndexPruned, per-chunk width
+              mi.join(sigB.filter(col("chunk") === i)
+                  .select(col("a"), col("ha"), col("siga")), Seq("a"))
+                .join(baseH, col("bb") === col("bdoc"))
+                .filter(expr(
+                  s"NOT exists(filter(sequence(0, ${b - 1}), j -> j < band), j -> $rMatch)"))
+                .withColumn("inter", expr("graft_sorted_intersect_size(ha, hb)"))
+                .withColumn("stot", size(col("ha")) + size(col("hb")))
+                .filter(col("inter") >= lit(d) * col("stot"))
+                .withColumn("jac",
+                  col("inter") / (col("stot") - col("inter")).cast("double"))
+                .filter(col("jac") >= threshold)
+                .select(col("a").as("batch_doc"), col("bb").as("base_doc"),
+                  round(col("jac"), 4).as("jaccard"))
+                .localCheckpoint(true)
+            }
+          }
+          Await.result(Future.sequence(rounds), Duration.Inf)
+            .reduce(_.unionByName(_))
+        } finally { pool.shutdownNow(); () }
+      } finally { matched.unpersist(false); () }
+    } finally { sigB.unpersist(false); () }
   }
 
   /** The production streaming near-dup gate: the stream wrapped in
@@ -889,6 +1015,75 @@ object AdmissionIndex {
                      id: Long) => sink(
         pairsVsIndexChunked(mb.toDF(), dir, threshold, maxDocsPerBatch), id))
       .start()
+
+  /** The cross-restart exactly-once sink the stream docs promise
+    * (r14 verdict item 6): [[startNearDupStream]] /
+    * [[startFrontDoorLifecycleStream]] deliver at-least-once per
+    * foreachBatch contract — a sink that must not double-count keys
+    * its writes on the batch id, marker-committed exactly like the
+    * generation folds. Each batch lands at `outDir/batch=<id>` via a
+    * same-filesystem tmp dir and one atomic rename, with the marker
+    * written LAST inside the tmp: a crash mid-write leaves an
+    * invisible markerless dir the replay deletes and rewrites; a
+    * committed id is skipped outright, so a replayed batch cannot
+    * duplicate rows (the staged-frame delivery upstream makes the
+    * replayed rows byte-identical anyway — this closes the sink half).
+    * Rows gain a `batch_id` provenance column. Read back the committed
+    * batches with [[readSunk]] — it lists only marker-committed dirs,
+    * so a reader can never observe a half-written batch. Reference
+    * analog: the A12 silent-loss adjudication (worker.py:124–129) this
+    * engine inverts — fail loud or deliver exactly once, never drop. */
+  def exactlyOnceParquetSink(outDir: String): (DataFrame, Long) => Unit =
+    (df, id) => {
+      val dest = java.nio.file.Paths.get(outDir, s"batch=$id")
+      if (!java.nio.file.Files.exists(dest.resolve(okMarker))) {
+        // a markerless dest is a crashed prior attempt — remove it so
+        // the atomic rename below can land
+        if (java.nio.file.Files.exists(dest)) deleteRec(dest)
+        val tmp = java.nio.file.Paths.get(outDir, ".tmp",
+          s"batch-$id-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        df.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$tmp/rows")
+        java.nio.file.Files.write(tmp.resolve(okMarker),
+          s"""{"batchId":$id,"sink":true,"version":$FormatVersion}
+             |""".stripMargin.getBytes("UTF-8"))
+        try {
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.move(tmp, dest,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
+        } catch {
+          // a concurrent attempt for the same id won the rename — ours
+          // is redundant; their dir is complete (marker inside)
+          case _: java.nio.file.FileAlreadyExistsException =>
+            deleteRec(tmp)
+        }
+      }
+    }
+
+  /** Every batch [[exactlyOnceParquetSink]] has COMMITTED under
+    * `outDir` — markerless (crashed) dirs are invisible. Empty frame
+    * with no schema is impossible to synthesize here, so at least one
+    * committed batch is required. */
+  def readSunk(spark: SparkSession, outDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(outDir)
+    val committed = {
+      val s = java.nio.file.Files.list(root)
+      try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("batch=") &&
+              java.nio.file.Files.exists(p.resolve(okMarker)))
+            b += s"$p/rows"
+        }
+        b.sorted.toSeq
+      } finally s.close()
+    }
+    require(committed.nonEmpty, s"no committed batches under $outDir")
+    spark.read.parquet(committed: _*)
+  }
 
   /** q134 driver form: the stateless probe's BATCH twin over the
     * modulo-split convention, sorted for the oracle compare — since
@@ -973,6 +1168,12 @@ object AdmissionIndex {
         appendGenerationSigned(admitted1, dir, genKey, threshold)
       } finally signed1.unpersist(false)
     }
+    // maintenance slot (r14 verdict item 3): the batch loop gets the
+    // measured K*=9 cadence by default, exactly as the streaming body
+    // does — below the cadence this is a no-op, so the driver-gated
+    // single-ingest outputs are unchanged; compaction is
+    // probe-invisible by contract either way
+    maybeCompact(spark, dir)
     if (compact) compactIndex(spark, dir)
     val batch2 = docs.filter(col("doc_id") % m === 2)
     probePairs(batch2, dir, threshold)
@@ -1545,6 +1746,9 @@ object AdmissionIndex {
         batch1("vec_id") === rejected1("batch_vec"), "left_anti")
       embAppendGeneration(admitted1, dir, genKey)
     }
+    // default K*=9 maintenance cadence, as in the streaming body —
+    // no-op below the cadence, probe-invisible above it
+    maybeCompact(spark, dir)
     if (compact) embCompactIndex(spark, dir)
     embProbe(vecs.filter(col("vec_id") % m === 2), dir, threshold, nProbe)
   }
@@ -2190,6 +2394,9 @@ object AdmissionIndex {
         sfDir, dir, edir, fdir, genKey, threshold, embThreshold, nProbe)
       ()
     }
+    // default K*=9 maintenance cadence on ALL THREE tiers, as in the
+    // streaming body — no-op below the cadence, probe-invisible above
+    Seq(fdir, dir, edir).foreach { ix => maybeCompact(spark, ix); () }
     if (compact) {
       fpCompactIndex(spark, fdir)
       compactIndex(spark, dir)
