@@ -220,4 +220,51 @@ class CompactionPolicySpec extends SparkSpec {
       "the next slot (window closed) must compact")
     assert(AdmissionIndex.liveGenerations(dir) == 0)
   }
+
+  test("batch lifecycle entry points run the K* maintenance cadence by " +
+    "default (r14 verdict item 3): a generation-heavy index compacts " +
+    "INSIDE admissionLifecycle with the answer unchanged — " +
+    "compaction-invisibility extended to the batch ingest loop") {
+    val sfDir = java.nio.file.Files
+      .createTempDirectory("graft-batch-cadence").toString
+    Seq(
+      // base (≡ 0 mod 3)
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (6L, "one two three four five six seven eight nine ten eleven twelve"),
+      // batch1 (≡ 1): 4 near-dups base 3 → rejected; 7 novel → folded
+      (4L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo limb"),
+      (7L, "council of ancient mariners charted seven unknown seas beyond the horizon line"),
+      // batch2 (≡ 2): 5 near-dups base 6; 8 near-dups ADMITTED 7; 11 novel
+      (5L, "one two three four five six seven eight nine ten eleven twelves"),
+      (8L, "council of ancient mariners charted seven unknown seas beyond the horizon lines"),
+      (11L, "completely different topic discussing culinary techniques and pastry recipes today")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    def run() = AdmissionIndex.admissionLifecycle(spark, sfDir)
+      .select("batch_doc", "base_doc").as[(Long, Long)].collect().toSeq
+    val first = run()
+    assert(first == Seq((5L, 6L), (8L, 7L)), first.toString)
+    val dir = AdmissionIndex.ensureIndex(spark, sfDir, baseMod = 3)
+    assert(AdmissionIndex.liveGenerations(dir) == 1,
+      "the lifecycle fold must have committed one generation")
+    // a long-running batch ingest loop: more committed generations of
+    // NOVEL docs (nothing batch2 could match) bring the index exactly
+    // to the deployed cadence
+    (0 until AdmissionIndex.DefaultCompactAfterGens - 1).foreach { g =>
+      AdmissionIndex.appendGeneration(
+        Seq((9000L + g, s"novel ingest generation $g with tokens " +
+          s"g${g}a g${g}b g${g}c g${g}d g${g}e g${g}f"))
+          .toDF("doc_id", "text"), dir, s"cadence-batch-g$g")
+    }
+    assert(AdmissionIndex.liveGenerations(dir) ==
+      AdmissionIndex.DefaultCompactAfterGens)
+    // the next lifecycle call compacts inside the entry point — no
+    // caller-side maintenance — and the probe answer is unchanged
+    assert(run() == first,
+      "compaction inside the batch lifecycle changed the answer")
+    assert(AdmissionIndex.liveGenerations(dir) == 0,
+      "the batch entry point must fire the default cadence itself")
+  }
 }
