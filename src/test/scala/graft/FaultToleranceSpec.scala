@@ -110,4 +110,40 @@ class FaultToleranceSpec extends SparkSpec {
         s"each id exactly once across the restart, got $ids")
     } finally q2.stop()
   }
+
+  test("exactlyOnceParquetSink: a replayed batch id cannot duplicate " +
+    "or overwrite committed rows, and a crashed (markerless) batch dir " +
+    "is invisible to readers and rewritten cleanly on replay") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-xonce-sink").toString
+    val sink = operators.AdmissionIndex.exactlyOnceParquetSink(out)
+    val b0 = Seq((1L, 2L, 0.9), (3L, 4L, 0.8))
+      .toDF("batch_doc", "base_doc", "jaccard")
+    sink(b0, 0L)
+    def read() = operators.AdmissionIndex.readSunk(spark, out)
+      .select("batch_id", "batch_doc", "base_doc")
+      .as[(Long, Long, Long)].collect().toSet
+    val first = read()
+    assert(first == Set((0L, 1L, 2L), (0L, 3L, 4L)), first.toString)
+    // foreachBatch is at-least-once: the same id replays. A committed
+    // id must be skipped outright — even a (hypothetically) different
+    // frame cannot displace the committed rows
+    sink(b0.withColumn("batch_doc", col("batch_doc") + 100), 0L)
+    assert(read() == first, "a replayed committed batch id must be a no-op")
+    // crash window: a batch dir without its marker is a died-mid-write
+    // attempt — readers must not see it, and the replay must rewrite it
+    val crashed = java.nio.file.Paths.get(out, "batch=1")
+    java.nio.file.Files.createDirectories(crashed)
+    java.nio.file.Files.write(crashed.resolve("garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(read() == first, "a markerless batch dir must be invisible")
+    val b1 = Seq((5L, 6L, 0.7)).toDF("batch_doc", "base_doc", "jaccard")
+    sink(b1, 1L)
+    assert(read() == first + ((1L, 5L, 6L)),
+      "the replay over a crashed dir must land exactly once")
+    // and replaying THAT id again still cannot duplicate
+    sink(b1, 1L)
+    assert(read() == first + ((1L, 5L, 6L)))
+  }
 }
