@@ -9,7 +9,7 @@ sfDir parquet files registered as views, then compare after sorting columns
 by name and rows by all values (mirrors 'sorts columns by name before
 hashing values').
 """
-import json, sys, glob, os
+import atexit, json, re, shutil, sys, glob, os, tempfile
 import duckdb
 import pandas as pd
 
@@ -28,8 +28,15 @@ def main():
     # PROCESS, so four concurrent 100x oracles OOM the box instead of
     # spilling. Capped, each lane spills to temp and completes.
     if os.environ.get("GRAFT_DUCKDB_MEM"):
-        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
-        con.execute(f"SET temp_directory='/tmp/duckspill_{os.getpid()}'")
+        mem = os.environ["GRAFT_DUCKDB_MEM"].strip()
+        # validate before interpolating into SET (r14 ADVICE): a value
+        # with a quote would break the statement opaquely
+        if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B", mem):
+            sys.exit(f"GRAFT_DUCKDB_MEM must look like '24GB', got: {mem!r}")
+        con.execute(f"SET memory_limit='{mem}'")
+        spill = tempfile.mkdtemp(prefix="duckspill_")
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
+        con.execute(f"SET temp_directory='{spill}'")
     if os.environ.get("GRAFT_DUCKDB_THREADS"):
         con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in ["region","nation","customer","supplier","part","orders",
@@ -57,8 +64,9 @@ def main():
         for c in got.columns:
             a, b = got[c], exp[c]
             try:
-                eq = (a.astype(object).where(a.notna(), None) ==
-                      b.astype(object).where(b.notna(), None))
+                eq = ((a.astype(object).where(a.notna(), None) ==
+                       b.astype(object).where(b.notna(), None)) |
+                      (a.isna() & b.isna()))  # NULL == NULL for this compare
             except Exception:
                 eq = a.astype(str) == b.astype(str)
             if not eq.all():

@@ -89,6 +89,14 @@ object SqlFuzz {
 
   private def tbl(name: String): Tbl = tbls.find(_.name == name).get
 
+  // unique key per table — window ORDER BY needs a TOTAL order for the
+  // result to be deterministic cross-engine
+  private val pks: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+
   // ---------------------------------------------------------------- //
   // predicate generation: (sql, Column) from the same draws            //
   // ---------------------------------------------------------------- //
@@ -329,10 +337,124 @@ object SqlFuzz {
       (s, d) => t.load(s, d).filter(p.c).agg(count(lit(1)).as("cnt")))
   }
 
+  // ---- r15 grammar extension: the SqlGate surface the r14 verdict ----
+  // ---- named — window functions, grouping sets (ROLLUP/CUBE), the ----
+  // ---- lexically-scoped nested-CTE path, and an allow-listed TVF  ----
+
+  /** ROW_NUMBER/RANK/running-SUM over a deterministic window: partition
+    * by a non-key column, order by the table's unique key (total order,
+    * so RANGE ≡ ROWS and ranks are cross-engine stable). Everything
+    * CAST BIGINT — Spark types rank functions INT, DuckDB BIGINT. */
+  private def shapeWindow(r: Random): (String, (SparkSession, String) => DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tbls(r.nextInt(tbls.size))
+    val pk = pks(t.name)
+    val pool = (t.ints ++ t.strs).filterNot(pk.contains)
+    val pcol = pool(r.nextInt(pool.size))
+    val where = if (r.nextBoolean()) Some(predicate(r, t)) else None
+    val (fnSql, fnCol): (String, Column) = r.nextInt(3) match {
+      case 0 => ("ROW_NUMBER()", row_number())
+      case 1 => ("RANK()", rank())
+      case _ =>
+        val ic = t.ints(r.nextInt(t.ints.size))
+        (s"SUM($ic)", sum(col(ic)))
+    }
+    val over = s"OVER (PARTITION BY $pcol ORDER BY ${pk.mkString(", ")})"
+    val proj = pk :+ pcol
+    val sql = s"SELECT ${proj.mkString(", ")}, " +
+      s"CAST($fnSql $over AS BIGINT) AS wv FROM ${t.name}" +
+      where.map(w => s" WHERE ${w.sql}").getOrElse("")
+    (sql, (s, d) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w.c))
+      val w = Window.partitionBy(col(pcol)).orderBy(pk.map(col): _*)
+      df.select(proj.map(col) :+
+        fnCol.over(w).cast("long").as("wv"): _*)
+    })
+  }
+
+  /** GROUP BY ROLLUP/CUBE — parses into Aggregate-with-grouping-sets,
+    * the gate path plain GROUP BY never reaches. Group columns are
+    * NULL-free in the fixtures, so grouping nulls are unambiguous —
+    * and each is COALESCEd to a typed sentinel on BOTH sides (the repo
+    * convention for driver-gated outputs: no NULLs in result frames,
+    * the same reason frontDoorOracle coalesces its match ids). */
+  private def shapeRollup(r: Random): (String, (SparkSession, String) => DataFrame) = {
+    val t = tbls(r.nextInt(tbls.size))
+    val g = groupCols(r, t)
+    val a = aggs(r, t)
+    val cube = r.nextBoolean()
+    val kw = if (cube) "CUBE" else "ROLLUP"
+    def sentSql(c: String) = if (t.ints.contains(c)) "-1" else "'<all>'"
+    val gSel = g.map(c => s"COALESCE($c, ${sentSql(c)}) AS $c")
+    val sql = s"SELECT ${(gSel ++ a.sqls).mkString(", ")} FROM ${t.name} " +
+      s"GROUP BY $kw (${g.mkString(", ")})"
+    (sql, (s, d) => {
+      val df = t.load(s, d)
+      val gb = if (cube) df.cube(g.map(col): _*) else df.rollup(g.map(col): _*)
+      val ag = gb.agg(a.cols.head, a.cols.tail: _*)
+      ag.select(ag.columns.toIndexedSeq.map { c =>
+        if (g.contains(c))
+          coalesce(col(c),
+            if (t.ints.contains(c)) lit(-1) else lit("<all>")).as(c)
+        else col(c)
+      }: _*)
+    })
+  }
+
+  /** Chained CTEs: w2 reads w1 — the visible-set threading of the
+    * gate's lexical-scope check. */
+  private def shapeCteChain(r: Random): (String, (SparkSession, String) => DataFrame) = {
+    val t = tbls(r.nextInt(tbls.size))
+    val p = predicate(r, t)
+    val g = groupCols(r, t)
+    val a = aggs(r, t)
+    val k = 1 + r.nextInt(4)
+    val sql = s"WITH w1 AS (SELECT * FROM ${t.name} WHERE ${p.sql}), " +
+      s"w2 AS (SELECT ${(g ++ a.sqls).mkString(", ")} FROM w1 " +
+      s"GROUP BY ${g.mkString(", ")}) SELECT * FROM w2 WHERE cnt > $k"
+    (sql, (s, d) => t.load(s, d).filter(p.c)
+      .groupBy(g.map(col): _*).agg(a.cols.head, a.cols.tail: _*)
+      .filter(col("cnt") > k))
+  }
+
+  /** A WITH nested INSIDE a CTE body — the inner name is visible only
+    * lexically inside the outer body, exactly the scoping path the
+    * gate's firstBadRelation walks. */
+  private def shapeCteNested(r: Random): (String, (SparkSession, String) => DataFrame) = {
+    val t = tbls(r.nextInt(tbls.size))
+    val proj = r.shuffle(t.ints ++ t.strs).take(1 + r.nextInt(2))
+    val (p1, p2) = (predicate(r, t), predicate(r, t))
+    val sql = s"WITH outer_w AS (WITH inner_w AS " +
+      s"(SELECT * FROM ${t.name} WHERE ${p1.sql}) " +
+      s"SELECT ${proj.mkString(", ")} FROM inner_w WHERE ${p2.sql}) " +
+      s"SELECT * FROM outer_w"
+    (sql, (s, d) => t.load(s, d).filter(p1.c).filter(p2.c)
+      .select(proj.map(col): _*))
+  }
+
+  /** The allow-listed range() TVF with a column-alias list — the
+    * UnresolvedTableValuedFunction + UnresolvedTVFAliases node pair,
+    * by generated name instead of the one pinned unit case. Both
+    * dialects take range(start, stop) as [start, stop). */
+  private def shapeTvf(r: Random): (String, (SparkSession, String) => DataFrame) = {
+    val lo = r.nextInt(50)
+    val hi = lo + 1 + r.nextInt(300)
+    val m = 2 + r.nextInt(7)
+    val v = r.nextInt(m)
+    val sql = s"SELECT CAST(COUNT(*) AS BIGINT) AS cnt, " +
+      s"CAST(SUM(x) AS BIGINT) AS sm " +
+      s"FROM range($lo, $hi) t(x) WHERE x % $m = $v"
+    (sql, (s, _) => s.range(lo, hi).toDF("x")
+      .filter(col("x") % m === v)
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).cast("long").as("sm")))
+  }
+
   private val shapes: Seq[Random => (String, (SparkSession, String) => DataFrame)] =
     Seq(shapeFilterProject, shapeAgg, shapeJoinAgg, shapeStarAgg,
       shapeDistinct, shapeInSubquery, shapeUnionAll, shapeCte,
-      shapeGlobalCount)
+      shapeGlobalCount,
+      shapeWindow, shapeRollup, shapeCteChain, shapeCteNested, shapeTvf)
 
   /** The pinned corpus: `n` cases from one sequentially-consumed RNG —
     * cases(n) is always a prefix of cases(m > n). */
