@@ -549,7 +549,14 @@ object SparkEntry {
     // sqrt-candidate + integer-adjustment arithmetic), so the gate
     // proves the advisory decision cross-engine, not a pinned constant
     "q147_triangle_advisor" -> ((s, d) =>
-      Similarity.triangleSampleAuto(embeddings(s, d)))
+      Similarity.triangleSampleAuto(embeddings(s, d))),
+    // the exactly-once SINK's round trip (r15 verdict item 2): two
+    // micro-batches of the odd half through the stateless near-dup
+    // probe into exactlyOnceParquetSink, batch 0 REPLAYED as a second
+    // stream (committed id ⇒ no-op), the store read back via readSunk.
+    // Single-copy semantics IS the oracle pin — a duplicated or
+    // dropped batch fails the row-count and hash
+    "q148_stream_sunk" -> ((s, d) => AdmissionIndex.streamNearDupSunk(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -702,6 +709,7 @@ object SparkEntry {
     "q144_front_door_compaction" -> AdmissionIndex.frontDoorCompactionOracle,
     "q145_front_door_stream" -> AdmissionIndex.frontDoorStreamLifecycleOracle,
     "q146_triangle_sample" -> Similarity.triangleSampleOracle,
-    "q147_triangle_advisor" -> Similarity.triangleAdvisorOracle
+    "q147_triangle_advisor" -> Similarity.triangleAdvisorOracle,
+    "q148_stream_sunk" -> AdmissionIndex.streamNearDupSunkOracle
   )
 }

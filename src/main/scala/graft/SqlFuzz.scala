@@ -450,11 +450,82 @@ object SqlFuzz {
       .agg(count(lit(1)).as("cnt"), sum(col("x")).cast("long").as("sm")))
   }
 
+  // ---- r16 grammar extension: the two Analyzer paths the r15 corpus
+  // ---- never drove — a window computed OVER A JOIN RESULT, and a
+  // ---- HAVING whose aggregate is NOT in the SELECT list (the
+  // ---- UnresolvedHaving resolution path; shapeAgg's HAVING reuses a
+  // ---- projected alias, which resolves differently)
+
+  /** Window over a join result: every `joins` pair is fact → dim (the
+    * dim key is its primary key), so the fact table's unique key stays
+    * unique in the join result — ordering by it keeps the window's
+    * total order and cross-engine-stable ranks. Partition column drawn
+    * from the DIM side so the window genuinely spans the join. */
+  private def shapeJoinWindow(r: Random): (String, (SparkSession, String) => DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val (ln, rn, lk, rk) = joins(r.nextInt(joins.size))
+    val (lt, rt) = (tbl(ln), tbl(rn))
+    val pk = pks(ln)
+    val pool = (rt.ints ++ rt.strs).filterNot(_ == rk)
+    val pcol = pool(r.nextInt(pool.size))
+    val where = if (r.nextBoolean())
+      Some(predicate(r, if (r.nextBoolean()) lt else rt)) else None
+    val (fnSql, fnCol): (String, Column) = r.nextInt(3) match {
+      case 0 => ("ROW_NUMBER()", row_number())
+      case 1 => ("RANK()", rank())
+      case _ =>
+        val ic = lt.ints(r.nextInt(lt.ints.size))
+        (s"SUM($ic)", sum(col(ic)))
+    }
+    val over = s"OVER (PARTITION BY $pcol ORDER BY ${pk.mkString(", ")})"
+    val proj = pk :+ pcol
+    val sql = s"SELECT ${proj.mkString(", ")}, " +
+      s"CAST($fnSql $over AS BIGINT) AS wv FROM $ln JOIN $rn ON $lk = $rk" +
+      where.map(w => s" WHERE ${w.sql}").getOrElse("")
+    (sql, (s, d) => {
+      var df = lt.load(s, d).join(rt.load(s, d), col(lk) === col(rk))
+      where.foreach(w => df = df.filter(w.c))
+      val w = Window.partitionBy(col(pcol)).orderBy(pk.map(col): _*)
+      df.select(proj.map(col) :+ fnCol.over(w).cast("long").as("wv"): _*)
+    })
+  }
+
+  /** HAVING over a join aggregate where the HAVING aggregate is NOT
+    * projected — Spark parses this as UnresolvedHaving and resolves the
+    * extra aggregate into the Aggregate below it, a path a projected
+    * alias (shapeAgg's `HAVING COUNT(*)`) never reaches. The twin
+    * computes the hidden aggregate explicitly and drops it. */
+  private def shapeJoinHaving(r: Random): (String, (SparkSession, String) => DataFrame) = {
+    val (ln, rn, lk, rk) = joins(r.nextInt(joins.size))
+    val (lt, rt) = (tbl(ln), tbl(rn))
+    val g = groupCols(r, if (r.nextBoolean()) lt else rt)
+    val a = aggs(r, lt, rt)
+    val hv = lt.ints(r.nextInt(lt.ints.size))
+    val v = r.nextInt(100000)
+    val where = if (r.nextBoolean())
+      Some(predicate(r, if (r.nextBoolean()) lt else rt)) else None
+    val sql = s"SELECT ${(g ++ a.sqls).mkString(", ")} " +
+      s"FROM $ln JOIN $rn ON $lk = $rk" +
+      where.map(w => s" WHERE ${w.sql}").getOrElse("") +
+      s" GROUP BY ${g.mkString(", ")}" +
+      s" HAVING CAST(SUM($hv) AS BIGINT) > $v"
+    (sql, (s, d) => {
+      var df = lt.load(s, d).join(rt.load(s, d), col(lk) === col(rk))
+      where.foreach(w => df = df.filter(w.c))
+      df.groupBy(g.map(col): _*)
+        .agg(a.cols.head,
+          a.cols.tail :+ sum(col(hv)).cast("long").as("_hv"): _*)
+        .filter(col("_hv") > v)
+        .drop("_hv")
+    })
+  }
+
   private val shapes: Seq[Random => (String, (SparkSession, String) => DataFrame)] =
     Seq(shapeFilterProject, shapeAgg, shapeJoinAgg, shapeStarAgg,
       shapeDistinct, shapeInSubquery, shapeUnionAll, shapeCte,
       shapeGlobalCount,
-      shapeWindow, shapeRollup, shapeCteChain, shapeCteNested, shapeTvf)
+      shapeWindow, shapeRollup, shapeCteChain, shapeCteNested, shapeTvf,
+      shapeJoinWindow, shapeJoinHaving)
 
   /** The pinned corpus: `n` cases from one sequentially-consumed RNG —
     * cases(n) is always a prefix of cases(m > n). */

@@ -846,11 +846,38 @@ object AdmissionIndex {
     val n = batch.count()
     if (n <= maxDocs) Seq(batch)
     else {
-      val k = math.min(((n + maxDocs - 1) / maxDocs).toInt, 4096)
-      (0 until k).map(i =>
-        batch.filter(pmod(xxhash64(col("doc_id")), lit(k.toLong)) === i))
+      val k = chunkCount(n, maxDocs)
+      (0 until k).map(i => batch.filter(chunkExpr(k) === i))
     }
   }
+
+  /** ceil(n/maxDocs) capped at 4096 — THE chunk-count formula, one
+    * definition shared by [[hashChunks]], [[pairsVsIndexChunked]] and
+    * the front door's chunked tier-2 probe (r15 ADVICE: two drifting
+    * copies would silently break the foreachBatch-replay
+    * chunk-determinism claim and the sweep's serial-vs-deployed
+    * comparison). */
+  private[operators] def chunkCount(n: Long, maxDocs: Long): Int =
+    math.min(((n + maxDocs - 1) / maxDocs).toInt, 4096)
+
+  /** The deterministic chunk assignment every chunked path shares:
+    * pmod(xxhash64(doc_id), k) — codegen'd, replay-stable under
+    * foreachBatch, skew-leveling on id-clustered corpora. */
+  private def chunkExpr(k: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("doc_id")), lit(k.toLong)).cast("int")
+
+  /** Per-chunk verify-round await bound — the A12 fail-loud contract
+    * applied to the chunked probe's own driver pool (r15 verdict item
+    * 5: `Await.result(_, Duration.Inf)` would hang forever on a wedged
+    * Spark job). The measured 100× per-chunk envelope is ≤48 s
+    * (ADMISSION_SWEEP_CHUNK_r13's worst hash-chunk tail), so 30 minutes
+    * is ~35× headroom: no healthy chunk can trip it, a genuinely wedged
+    * round surfaces LOUD with its chunk id. Awaits run in chunk order
+    * while the rounds overlap in the pool, so a later chunk's await
+    * clock starts only after earlier chunks returned — the bound
+    * detects wedged rounds; it is not a wall-clock SLA. */
+  val DefaultChunkVerifyTimeout: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.FiniteDuration(30, java.util.concurrent.TimeUnit.MINUTES)
 
   /** How many chunk verify rounds [[pairsVsIndexChunked]] overlaps
     * from its bounded driver pool (r14 verdict item 1). The per-chunk
@@ -883,7 +910,9 @@ object AdmissionIndex {
   def pairsVsIndexChunked(batchDocs: DataFrame, dir: String,
       threshold: Double = Dedup.DefaultThreshold,
       maxDocsPerBatch: Long = DefaultMaxDocsPerBatch,
-      probeParallelism: Int = DefaultProbeParallelism): DataFrame = {
+      probeParallelism: Int = DefaultProbeParallelism,
+      chunkVerifyTimeout: scala.concurrent.duration.FiniteDuration =
+        DefaultChunkVerifyTimeout): DataFrame = {
     require(maxDocsPerBatch > 0,
       s"maxDocsPerBatch must be positive, got $maxDocsPerBatch")
     val cached = batchDocs.persist(
@@ -891,27 +920,22 @@ object AdmissionIndex {
     try {
       val n = cached.count()
       if (n <= maxDocsPerBatch) pairsVsIndexPruned(cached, dir, threshold)
-      else {
-        val k = math.min(
-          ((n + maxDocsPerBatch - 1) / maxDocsPerBatch).toInt, 4096)
-        chunkedProbeShared(cached, dir, threshold, k, probeParallelism)
-      }
+      else chunkedProbeShared(cached, dir, threshold,
+        chunkCount(n, maxDocsPerBatch), probeParallelism, chunkVerifyTimeout)
     } finally { cached.unpersist(false); () }
   }
 
-  /** The oversized-batch body of [[pairsVsIndexChunked]]: shared
-    * signed frame + shared narrow band join, per-chunk overlapped
-    * verify. Chunk assignment is [[hashChunks]]' exactly
-    * (pmod(xxhash64(doc_id), k)) — deterministic under foreachBatch
+  /** The oversized-batch body of [[pairsVsIndexChunked]]: sign the
+    * whole batch ONCE, then the shared-manifest chunked verify
+    * ([[chunkedPairsCore]]). Chunk assignment is [[hashChunks]]'
+    * exactly ([[chunkExpr]]) — deterministic under foreachBatch
     * replay, skew-leveling on id-clustered corpora. */
-  private def chunkedProbeShared(batch: DataFrame, dir: String,
-      threshold: Double, k: Int, parallelism: Int): DataFrame = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+  private[operators] def chunkedProbeShared(batch: DataFrame, dir: String,
+      threshold: Double, k: Int, parallelism: Int,
+      verifyTimeout: scala.concurrent.duration.FiniteDuration =
+        DefaultChunkVerifyTimeout): DataFrame = {
     val spark = batch.sparkSession
-    graft.functions.GraftFunctions.register(spark)
     val (b, r) = Dedup.lshBanding(threshold)
-    val (bandBuckets, docBuckets) = readBucketCounts(dir)
     val hot = spark.read.parquet(s"$dir/hot").collect().map(_.getLong(0))
     // sign the whole batch ONCE (shingle + permMins is the dominant
     // batch-side term); chunk ids ride along so every later stage
@@ -919,50 +943,93 @@ object AdmissionIndex {
     val sigB = Dedup.applyHotFilter(Dedup.hashShingled(batch), hot)
       .select(col("doc_id").as("a"), col("hset").as("ha"),
         Dedup.permMinsUdf(b * r)(col("hset")).as("siga"),
-        pmod(xxhash64(col("doc_id")), lit(k.toLong)).cast("int").as("chunk"))
+        chunkExpr(k).as("chunk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // NARROW band rows — no signature arrays; the arrays re-attach
-      // per chunk from sigB, so this one shared join shuffles three
-      // scalar columns instead of b copies of each array per doc
-      val bandsB = sigB
-        .select(col("a"), col("chunk"), col("siga"),
-          explode(expr(s"sequence(0, ${b - 1})")).as("band"))
-        .select(col("a"), col("chunk"), col("band"),
-          expr(bandKeyExpr("siga", r)).as("band_key"))
-        .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val matched =
-        try {
-          // the touched-bucket manifest: union of every chunk's band
-          // buckets, collected once (bounded by the bucket constant)
-          val touched = bandsB.select(col("band_bucket")).distinct()
-            .collect().map(_.getInt(0))
-          val roots = indexRoots(dir)
-          val baseBands = prunedUnion(spark, roots, "bands", "band_bucket",
-              touched)
-            .select(col("doc_id").as("bb"), col("band_key"))
-          // ONE shared band join: every touched bucket file is scanned
-          // once for the whole batch (the r14 per-chunk form re-read
-          // every bucket two chunks touched)
-          val m = bandsB.join(baseBands, Seq("band_key"))
-            .select(col("a"), col("chunk"), col("band"), col("bb"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          m.count() // materialize before releasing the band rows
-          m
-        } finally { bandsB.unpersist(false); () }
+    // rounding outside the per-chunk checkpoints is row-local — same
+    // q134 output, and the core's full-precision jac stays available
+    // to the front door's best-match rank
+    try chunkedPairsCore(sigB, dir, threshold, k, parallelism, verifyTimeout)
+      .select(col("batch_doc"), col("base_doc"),
+        round(col("jac"), 4).as("jaccard"))
+    finally { sigB.unpersist(false); () }
+  }
+
+  /** The shared-manifest chunked pair probe from an already-signed,
+    * already-chunk-tagged frame `sigB` (cols a, ha, siga, chunk;
+    * PERSISTED by the caller) — the shared core of
+    * [[pairsVsIndexChunked]] (q134, which signs inline) and the
+    * composed front door's tier-2 probe (r15 verdict item 1, which
+    * reuses the lifecycle's [[signedBatch]] frame). The batch's band
+    * keys ride as NARROW rows (three scalar columns, no signature
+    * arrays) into ONE partition-pruned scan of the union of every
+    * chunk's touched band buckets (the touched-bucket manifest); only
+    * the verify stage — re-attaching both signature arrays and walking
+    * the sorted intersect — runs per chunk, `parallelism`-wide from a
+    * bounded driver pool (the MLOps.fitPairModels idiom). Returns
+    * (batch_doc, base_doc, jac) with jac at FULL precision: q134
+    * rounds it for its contract; the front door ranks best-match on
+    * the unrounded value, exactly what [[probePairsSigned]] feeds the
+    * rank in the unchunked path (rounding before ranking could flip a
+    * rank-1 tie).
+    *
+    * Memory shape (r15 ADVICE wording): the verify-JOIN width is
+    * per-chunk × parallelism (each round materializes via
+    * localCheckpoint); the shared signed frame and the narrow matched
+    * frame remain batch-sized, disk-spillable caches for the duration
+    * of the rounds. Every verify round is awaited with a bounded
+    * `verifyTimeout` and fails LOUD with its chunk id — on a thrown
+    * round (wrapped with the id) and on a wedged round (timeout) alike
+    * — the A12 contract applied to the probe's own pool. */
+  private def chunkedPairsCore(sigB: DataFrame, dir: String,
+      threshold: Double, k: Int, parallelism: Int,
+      verifyTimeout: scala.concurrent.duration.FiniteDuration): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val spark = sigB.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (b, r) = Dedup.lshBanding(threshold)
+    val (bandBuckets, docBuckets) = readBucketCounts(dir)
+    // NARROW band rows — no signature arrays; the arrays re-attach
+    // per chunk from sigB, so this one shared join shuffles three
+    // scalar columns instead of b copies of each array per doc
+    val bandsB = sigB
+      .select(col("a"), col("chunk"), col("siga"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("band"))
+      .select(col("a"), col("chunk"), col("band"),
+        expr(bandKeyExpr("siga", r)).as("band_key"))
+      .withColumn("band_bucket", pmod(hash(col("band_key")), lit(bandBuckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched =
       try {
+        // the touched-bucket manifest: union of every chunk's band
+        // buckets, collected once (bounded by the bucket constant)
+        val touched = bandsB.select(col("band_bucket")).distinct()
+          .collect().map(_.getInt(0))
         val roots = indexRoots(dir)
-        val rMatch = (0 until r)
-          .map(o => s"siga[j*$r+$o] = sigb[j*$r+$o]").mkString(" AND ")
-        val d = threshold / (1.0 + threshold)
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.max(1, parallelism))
-        try {
-          implicit val ec: ExecutionContext =
-            ExecutionContext.fromExecutor(pool)
-          val rounds = (0 until k).map { i =>
-            Future {
+        val baseBands = prunedUnion(spark, roots, "bands", "band_bucket",
+            touched)
+          .select(col("doc_id").as("bb"), col("band_key"))
+        // ONE shared band join: every touched bucket file is scanned
+        // once for the whole batch (the r14 per-chunk form re-read
+        // every bucket two chunks touched)
+        val m = bandsB.join(baseBands, Seq("band_key"))
+          .select(col("a"), col("chunk"), col("band"), col("bb"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count() // materialize before releasing the band rows
+        m
+      } finally { bandsB.unpersist(false); () }
+    try {
+      val roots = indexRoots(dir)
+      val rMatch = (0 until r)
+        .map(o => s"siga[j*$r+$o] = sigb[j*$r+$o]").mkString(" AND ")
+      val d = threshold / (1.0 + threshold)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, parallelism))
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        val rounds = (0 until k).map { i =>
+          Future {
+            try {
               val mi = matched.filter(col("chunk") === i)
               val candBuckets = mi
                 .select(pmod(hash(col("bb")), lit(docBuckets)).as("db"))
@@ -986,15 +1053,28 @@ object AdmissionIndex {
                   col("inter") / (col("stot") - col("inter")).cast("double"))
                 .filter(col("jac") >= threshold)
                 .select(col("a").as("batch_doc"), col("bb").as("base_doc"),
-                  round(col("jac"), 4).as("jaccard"))
+                  col("jac"))
                 .localCheckpoint(true)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new IllegalStateException(
+                  s"chunked probe verify round for chunk $i/$k failed: " +
+                    s"${e.getMessage}", e)
             }
           }
-          Await.result(Future.sequence(rounds), Duration.Inf)
-            .reduce(_.unionByName(_))
-        } finally { pool.shutdownNow(); () }
-      } finally { matched.unpersist(false); () }
-    } finally { sigB.unpersist(false); () }
+        }
+        rounds.zipWithIndex.map { case (f, i) =>
+          try Await.result(f, verifyTimeout)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              throw new IllegalStateException(
+                s"chunked probe verify round for chunk $i/$k exceeded " +
+                  s"$verifyTimeout — failing loud (A12) instead of " +
+                  "hanging the pool on a wedged job")
+          }
+        }.reduce(_.unionByName(_))
+      } finally { pool.shutdownNow(); () }
+    } finally { matched.unpersist(false); () }
   }
 
   /** The production streaming near-dup gate: the stream wrapped in
@@ -1032,14 +1112,23 @@ object AdmissionIndex {
     * batches with [[readSunk]] — it lists only marker-committed dirs,
     * so a reader can never observe a half-written batch. Reference
     * analog: the A12 silent-loss adjudication (worker.py:124–129) this
-    * engine inverts — fail loud or deliver exactly once, never drop. */
+    * engine inverts — fail loud or deliver exactly once, never drop.
+    *
+    * Concurrency contract: one foreachBatch writer per outDir is the
+    * intended deployment (Structured Streaming guarantees it within a
+    * query via the checkpoint lock). Same-id races from a SECOND
+    * process (a misconfigured twin pipeline) still resolve safely:
+    * the marker is re-checked immediately before the only destructive
+    * step (so a batch another writer committed between the outer check
+    * and the crashed-dir sweep is never deleted — the r15 TOCTOU
+    * advice), and a lost final rename is absorbed whenever the
+    * winner's marker is visible — caught as FileSystemException, the
+    * actual parent the JDK unix provider throws for ENOTEMPTY (a bare
+    * FileAlreadyExistsException catch missed it, r15 ADVICE). */
   def exactlyOnceParquetSink(outDir: String): (DataFrame, Long) => Unit =
     (df, id) => {
       val dest = java.nio.file.Paths.get(outDir, s"batch=$id")
       if (!java.nio.file.Files.exists(dest.resolve(okMarker))) {
-        // a markerless dest is a crashed prior attempt — remove it so
-        // the atomic rename below can land
-        if (java.nio.file.Files.exists(dest)) deleteRec(dest)
         val tmp = java.nio.file.Paths.get(outDir, ".tmp",
           s"batch-$id-${ProcessHandle.current().pid()}-${System.nanoTime()}")
         df.withColumn("batch_id", lit(id))
@@ -1049,14 +1138,30 @@ object AdmissionIndex {
              |""".stripMargin.getBytes("UTF-8"))
         try {
           java.nio.file.Files.createDirectories(dest.getParent)
-          java.nio.file.Files.move(tmp, dest,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          ()
+          // re-verify RIGHT before the destructive sweep: a concurrent
+          // writer may have committed this id since the outer check,
+          // and deleting a committed dir would transiently blind
+          // readSunk to a published batch
+          if (java.nio.file.Files.exists(dest.resolve(okMarker))) {
+            deleteRec(tmp) // won by the other writer — ours is redundant
+          } else {
+            // a markerless dest is a crashed prior attempt — remove it
+            // so the atomic rename below can land
+            if (java.nio.file.Files.exists(dest)) deleteRec(dest)
+            java.nio.file.Files.move(tmp, dest,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            ()
+          }
         } catch {
-          // a concurrent attempt for the same id won the rename — ours
-          // is redundant; their dir is complete (marker inside)
-          case _: java.nio.file.FileAlreadyExistsException =>
-            deleteRec(tmp)
+          // lost the final rename (surfaces as FileAlreadyExists OR —
+          // on Linux ENOTEMPTY — the generic FileSystemException /
+          // DirectoryNotEmptyException): absorb ONLY when the winner's
+          // marker is actually visible; a persistent non-race failure
+          // (EXDEV, I/O error) must surface, not loop silently
+          case e: java.nio.file.FileSystemException =>
+            if (java.nio.file.Files.exists(dest.resolve(okMarker)))
+              deleteRec(tmp)
+            else throw e
         }
       }
     }
@@ -1104,6 +1209,51 @@ object AdmissionIndex {
     // 374 s single-batch worst case
     pairsVsIndexChunked(batch, dir, threshold)
       .orderBy(col("batch_doc"), col("base_doc"))
+  }
+
+  /** q148 driver form — the exactly-once sink + [[readSunk]] ROUND TRIP
+    * under the oracle (r15 verdict item 2: the sink was the one durable
+    * artifact pinned only by spec). Drives [[startNearDupStream]] over
+    * TWO micro-batches of the odd half (residues 1 then 3 mod 4 —
+    * batch ids 0 and 1) into [[exactlyOnceParquetSink]], then REPLAYS
+    * batch 0 as a second stream — the committed id must be a no-op —
+    * and reads the sunk store back. Exactly-once IS the oracle pin: a
+    * duplicated batch doubles rows, a dropped one halves them, either
+    * fails the hash against the batch-twin oracle, which models each
+    * cross pair ONCE with batch_id derived from its residue. The sink
+    * dir lives under the staleness-keyed index dir and is wiped at
+    * entry so every run is a fresh round trip — the replay INSIDE the
+    * run is what exercises the committed-id path. The MemoryStream
+    * feed is the harness's micro-batch boundary control (the q145
+    * pattern), not a data-path collect. */
+  def streamNearDupSunk(spark: SparkSession, sfDir: String,
+      threshold: Double = Dedup.DefaultThreshold,
+      maxDfFrac: Double = Dedup.DefaultMaxDfFrac): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
+    val out = s"$dir/sunk148"
+    deleteRec(java.nio.file.Paths.get(out))
+    val batches = Seq(1L, 3L).map { res =>
+      graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 4 === res)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toSeq
+    }
+    def drive(bs: Seq[Seq[(Long, String)]]): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = startNearDupStream(mem.toDF().toDF("doc_id", "text"), dir,
+        threshold)(exactlyOnceParquetSink(out))
+      try bs.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    drive(batches)            // batch ids 0 (res 1) and 1 (res 3)
+    drive(Seq(batches.head))  // replay: id 0 again — committed no-op
+    readSunk(spark, out)
+      .select(col("batch_id"), col("batch_doc"), col("base_doc"),
+        col("jaccard"))
+      .orderBy(col("batch_id"), col("batch_doc"), col("base_doc"))
   }
 
   /** q137 driver form — the FULL ingest lifecycle over one index:
@@ -2103,25 +2253,32 @@ object AdmissionIndex {
                      maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
                      embThreshold: Double = EmbThreshold,
                      centroids: Int = EmbCentroids,
-                     nProbe: Int = EmbNProbe): DataFrame = {
+                     nProbe: Int = EmbNProbe,
+                     maxDocsPerBatch: Long = DefaultMaxDocsPerBatch): DataFrame = {
     val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
     val edir = ensureEmbIndex(spark, sfDir, centroids)
     val fdir = ensureFpIndex(spark, sfDir)
     frontDoorOn(incoming, spark, sfDir, dir, edir, fdir,
-      threshold, embThreshold, nProbe)
+      threshold, embThreshold, nProbe, maxDocsPerBatch)
   }
 
   /** The three-tier chain against EXPLICIT index dirs — the shared core
     * of [[frontDoorBatch]] (mod-2 indexes), the composed lifecycle's
     * probes (mod-3/mod-4 indexes whose delta generations carry what
     * earlier batches admitted), and the fdlife sweep harness. Vectors
-    * are looked up by vec_id = doc_id from `sfDir`'s embeddings table. */
+    * are looked up by vec_id = doc_id from `sfDir`'s embeddings table.
+    * An incoming frame past `maxDocsPerBatch` re-chunks its tier-2
+    * verify to the measured operating point (see [[frontDoorProbe]]) —
+    * output identical by per-doc independence. */
   private[graft] def frontDoorOn(incoming: DataFrame, spark: SparkSession,
                                  sfDir: String, dir: String, edir: String,
                                  fdir: String, threshold: Double,
-                                 embThreshold: Double, nProbe: Int): DataFrame = {
+                                 embThreshold: Double, nProbe: Int,
+                                 maxDocsPerBatch: Long = DefaultMaxDocsPerBatch,
+                                 probeParallelism: Int = DefaultProbeParallelism): DataFrame = {
     val (att, _, release) = frontDoorProbe(incoming, spark, sfDir,
-      dir, edir, fdir, threshold, embThreshold, nProbe)
+      dir, edir, fdir, threshold, embThreshold, nProbe,
+      maxDocsPerBatch, probeParallelism)
     try att finally release()
   }
 
@@ -2130,11 +2287,26 @@ object AdmissionIndex {
     * so the admitted docs are never re-shingled/re-signed. The returned
     * attribution's index-reading legs are all eager (fpProbe /
     * localCheckpoint / embScored checkpoint), so it stays correct if the
-    * caller folds into the indexes before collecting it. */
+    * caller folds into the indexes before collecting it.
+    *
+    * Oversized batches (r15 verdict item 1): only tier 2's candidate
+    * verify join has super-linear width — tiers 1 and 3 are narrow
+    * partition-pruned joins (fingerprints; IVF cells) that run
+    * whole-batch regardless. So the composed probe signs the tier-1
+    * survivors ONCE and re-chunks ONLY the minhash verify through
+    * [[chunkedPairsCore]]: one shared touched-bucket band manifest for
+    * the whole batch, verify rounds overlapped `probeParallelism`-wide
+    * — exactly the [[pairsVsIndexChunked]] restructure (the r14 form
+    * pushed every tier chunk-by-chunk through this method serially,
+    * re-reading every band bucket two chunks touched). Per-doc probe
+    * independence keeps the attribution single-batch-identical
+    * (AdmissionIndexSpec pins chunked ≡ single). */
   private def frontDoorProbe(incoming: DataFrame, spark: SparkSession,
                              sfDir: String, dir: String, edir: String,
                              fdir: String, threshold: Double,
-                             embThreshold: Double, nProbe: Int)
+                             embThreshold: Double, nProbe: Int,
+                             maxDocsPerBatch: Long = Long.MaxValue,
+                             probeParallelism: Int = DefaultProbeParallelism)
       : (DataFrame, DataFrame, () => Unit) = {
     // tier 1 — exact: the persisted fingerprint index ([[fpProbe]] is
     // already eager + tiny; read twice: attribution + tier-2 input)
@@ -2145,7 +2317,24 @@ object AdmissionIndex {
       .join(exactBest.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val signed1 = signedBatch(survivors1, dir, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ndBest = probePairsSigned(signed1, dir, threshold)
+    val k = chunkCount(signed1.count(), maxDocsPerBatch)
+    val pairs =
+      if (k <= 1) probePairsSigned(signed1, dir, threshold)
+      else {
+        // the chunk-tagged view re-reads signed1's cache per stage; its
+        // own persist holds the projected arrays for the verify rounds
+        // (batch-sized, disk-spillable — released with the rounds)
+        val sigB = signed1.select(col("doc_id").as("a"),
+            col("hset").as("ha"), col("sig").as("siga"),
+            chunkExpr(k).as("chunk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try chunkedPairsCore(sigB, dir, threshold, k, probeParallelism,
+            DefaultChunkVerifyTimeout)
+          .select(col("batch_doc").as("a"), col("base_doc").as("b"),
+            col("jac"))
+        finally { sigB.unpersist(false); () }
+      }
+    val ndBest = pairs
       .withColumn("rnk", expr(
         "row_number() OVER (PARTITION BY a ORDER BY jac DESC, b ASC)"))
       .filter(col("rnk") === 1)
@@ -2266,29 +2455,26 @@ object AdmissionIndex {
     if (!stagedCommitted(adir)) {
       // fresh round: probe (no fold has landed — the stage commits
       // first), stage, fold from the shared signed frame. An oversized
-      // batch re-chunks its PROBE to the measured operating point
-      // ([[DefaultMaxDocsPerBatch]]): each hash chunk probes the same
-      // static index state (nothing folds until every chunk has
-      // probed), the attributions union into ONE staged frame, and the
-      // fold commits once per genKey from the unioned signed frame —
-      // per-doc probe independence makes the union the single-batch
-      // output exactly (spec-pinned), while peak candidate-join width
-      // is per-chunk
+      // batch re-chunks its tier-2 verify INSIDE [[frontDoorProbe]]
+      // (r15 verdict item 1): tiers 1/3 run whole-batch (narrow pruned
+      // joins), the minhash verify goes through the shared
+      // touched-bucket manifest with overlapped chunk rounds — the r14
+      // form here pushed ALL tiers chunk-by-chunk through
+      // frontDoorProbe serially. Nothing folds until the whole probe
+      // finished, so every chunk sees the same static index state;
+      // per-doc probe independence keeps the staged attribution
+      // single-batch-identical (spec-pinned)
       val cached = batch.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val probes = hashChunks(cached, maxDocsPerBatch).map(c =>
-        frontDoorProbe(c, spark, sfDir, dir, edir, fdir,
-          threshold, embThreshold, nProbe))
+      val (att, signed1, release) = frontDoorProbe(cached, spark, sfDir,
+        dir, edir, fdir, threshold, embThreshold, nProbe, maxDocsPerBatch)
       try {
-        val att = probes.map(_._1).reduce(_.unionByName(_))
-          .orderBy(col("doc_id"))
         stageAttribution(att, adir, genKey)
         val admitted = readStaged(spark, adir)
           .filter(col("tier") === lit("admitted")).select(col("doc_id"))
-        val signed1 = probes.map(_._2).reduce(_.unionByName(_))
         foldAdmitted(cached, admitted, Some(signed1), spark, sfDir,
           dir, edir, fdir, genKey, threshold)
-      } finally { probes.foreach(_._3()); cached.unpersist(false); () }
+      } finally { release(); cached.unpersist(false); () }
     } else if (!(generationCommitted(fdir, genKey) &&
                  generationCommitted(dir, genKey) &&
                  generationCommitted(edir, genKey))) {
@@ -2861,4 +3047,22 @@ object AdmissionIndex {
       |  FROM mp WHERE (a % 2) <> (b % 2))
       |SELECT batch_doc, base_doc, ROUND(jac, 4) AS jaccard
       |FROM crossp ORDER BY batch_doc, base_doc""".stripMargin
+
+  /** The q148 oracle: the same batch-twin pair set, each pair ONCE
+    * (single-copy semantics — the exactly-once pin), with batch_id
+    * derived from the batch doc's residue exactly as the two driven
+    * micro-batches split it (1 mod 4 → id 0, 3 mod 4 → id 1). */
+  val streamNearDupSunkOracle: String =
+    streamNearDupSunkOracleAt(Dedup.DefaultThreshold)
+
+  def streamNearDupSunkOracleAt(threshold: Double,
+      maxDfFrac: Double = Dedup.DefaultMaxDfFrac): String =
+    s"""WITH ${Dedup.oracleMinhashPairsCtes(threshold, maxDfFrac, baseScope)},
+      |crossp AS (
+      |  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS batch_doc,
+      |         CASE WHEN a % 2 = 1 THEN b ELSE a END AS base_doc, jac
+      |  FROM mp WHERE (a % 2) <> (b % 2))
+      |SELECT CAST(CASE WHEN batch_doc % 4 = 1 THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+      |       batch_doc, base_doc, ROUND(jac, 4) AS jaccard
+      |FROM crossp ORDER BY batch_id, batch_doc, base_doc""".stripMargin
 }

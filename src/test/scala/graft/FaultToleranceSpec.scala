@@ -146,4 +146,34 @@ class FaultToleranceSpec extends SparkSpec {
     sink(b1, 1L)
     assert(read() == first + ((1L, 5L, 6L)))
   }
+
+  test("chunked probe fails LOUD with its chunk id when a verify round " +
+    "dies — the A12 fail-loud contract on the probe's own driver pool " +
+    "(r15 verdict item 5: the old Await(_, Inf) hung on a wedged round)") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val AI = operators.AdmissionIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-chunkfail").toString + "/idx"
+    val docs = spark.range(16).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha beta gamma delta epsilon"),
+        col("id").cast("string")).as("text"))
+    AI.buildIndex(docs.filter(col("doc_id") % 2 === 0), dir,
+      threshold = 0.5, maxDfFrac = 1.0)
+    // induce a verify-round failure: the hsets table vanishes AFTER the
+    // shared band manifest is built, so each chunk's future dies inside
+    // the pool (the wedged-round twin of the bounded-timeout path —
+    // both surface through the same loud per-chunk await)
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/hsets"))
+    val ex = intercept[IllegalStateException] {
+      AI.pairsVsIndexChunked(docs.filter(col("doc_id") % 2 === 1), dir,
+        threshold = 0.5, maxDocsPerBatch = 2L, probeParallelism = 1)
+    }
+    // awaits run in chunk order, so the FIRST chunk's id surfaces —
+    // an operator can name the wedged/poisoned round from the message
+    assert(ex.getMessage.contains("chunk 0/"),
+      s"expected the failing chunk id in: ${ex.getMessage}")
+  }
 }
