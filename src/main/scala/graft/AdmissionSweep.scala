@@ -65,6 +65,12 @@ object AdmissionSweep {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_SWEEP_MODE").contains("fdchunk")) {
+      fdChunkSweep(spark, out,
+        if (args.nonEmpty) args.head else "/root/repo/scaledata/sf10skew")
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_SWEEP_MODE").contains("chunk")) {
       chunkSweep(spark, out,
         if (args.nonEmpty) args.head else "/root/repo/scaledata/sf10skew")
@@ -400,6 +406,83 @@ object AdmissionSweep {
         s""""rounds":[${rows.map(_._1).mkString(",\n")}],""" +
         s""""deployed":[${depRows.map(_._1).mkString(",\n")}]}""" +
         "\n").getBytes("UTF-8"))
+    ()
+  }
+
+  /** Deployed COMPOSED front-door probe at the 100× fixture — the r15
+    * verdict item-1 restructure measured in place: the full odd half
+    * (≈250k docs) through [[graft.operators.AdmissionIndex.frontDoorOn]]
+    * — tiers 1/3 whole-batch (narrow pruned joins), tier 2 through the
+    * shared touched-bucket manifest with verify rounds overlapped from
+    * the bounded driver pool — at pool widths 1–4, plus the SINGLE-BATCH
+    * bound (maxDocsPerBatch = ∞, the unchunked worst case) for the same
+    * contrast the q134 chunk sweep carries. Attribution identity is
+    * asserted at every point as (rows, order-independent XOR of per-row
+    * hashes): the restructure must not move a single (doc, tier,
+    * match_id) row. Indexes are the default mod-2 family, ensured once
+    * (warm build is fine — probe cost is the subject; the build number
+    * lives in ADMISSION_SWEEP_FD).
+    *
+    * Usage: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
+    *   SPARK_GRAFT_SWEEP_MODE=fdchunk sbt "runMain graft.AdmissionSweep" */
+  private def fdChunkSweep(spark: SparkSession, out: String,
+                           sfDir: String): Unit = {
+    val AI = graft.operators.AdmissionIndex
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm-up: JIT/codegen once against the small driver fixture
+    locally {
+      val wdocs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      AI.frontDoorBatch(wdocs.filter(col("doc_id") % 2 === 1).limit(300),
+        spark, "/root/testdata/sf0.01")
+        .queryExecution.toRdd.count()
+      ()
+    }
+    val (dirs, ensureSec) = timed((
+      AI.ensureIndex(spark, sfDir),
+      AI.ensureEmbIndex(spark, sfDir),
+      AI.ensureFpIndex(spark, sfDir)))
+    val (dir, edir, fdir) = dirs
+    val batch = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBatch = batch.count()
+    def measure(maxDocs: Long, par: Int): ((Long, Long), Double) = {
+      System.gc()
+      timed {
+        val att = AI.frontDoorOn(batch, spark, sfDir, dir, edir, fdir,
+          graft.operators.Dedup.DefaultThreshold, AI.EmbThreshold,
+          AI.EmbNProbe, maxDocsPerBatch = maxDocs, probeParallelism = par)
+        val r = att
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, tier, match_id))"))
+          .head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+    }
+    val depRows = Seq(1, 2, 3, 4).map { par =>
+      val ((rows, ck), sec) = measure(AI.DefaultMaxDocsPerBatch, par)
+      val line =
+        f"""{"par":$par,"deployed_sec":$sec%.2f,"att_rows":$rows,"att_cksum":$ck}"""
+      println(line)
+      (line, (rows, ck))
+    }
+    // the single-batch bound: tier-2 verify unchunked over the whole
+    // odd half — the regime the operating point exists to avoid
+    val ((rowsS, ckS), secS) = measure(Long.MaxValue, 1)
+    val single =
+      f"""{"single_batch_sec":$secS%.2f,"att_rows":$rowsS,"att_cksum":$ckS}"""
+    println(single)
+    require((depRows.map(_._2) :+ ((rowsS, ckS))).distinct.size == 1,
+      "front-door chunked probe moved attribution rows: " +
+        s"deployed=${depRows.map(_._2)} single=${(rowsS, ckS)}")
+    batch.unpersist(false)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (s"""{"base":"$sfDir","batch_docs":$nBatch,""" +
+        f""""ensure_sec":$ensureSec%.2f,""" +
+        s""""deployed":[${depRows.map(_._1).mkString(",\n")}],""" +
+        s""""single":$single}""" + "\n").getBytes("UTF-8"))
     ()
   }
 
