@@ -469,20 +469,46 @@ object AdmissionSweep {
       (line, (rows, ck))
     }
     // the single-batch bound: tier-2 verify unchunked over the whole
-    // odd half — the regime the operating point exists to avoid
+    // odd half — the memory-UNBOUNDED regime (verify/cand width grows
+    // with the whole batch's candidate volume; fits on this box,
+    // cannot be promised at an arbitrary micro-batch)
     val ((rowsS, ckS), secS) = measure(Long.MaxValue, 1)
     val single =
       f"""{"single_batch_sec":$secS%.2f,"att_rows":$rowsS,"att_cksum":$ckS}"""
     println(single)
-    require((depRows.map(_._2) :+ ((rowsS, ckS))).distinct.size == 1,
+    // the r14 ARCHITECTURE for contrast: every tier probed
+    // chunk-by-chunk (hashChunks × the whole three-tier probe),
+    // strictly serial — exactly what probeStageFold ran before the
+    // restructure (17 fp probes + 17 signs + 17 band-bucket scans +
+    // 17 IVF probes instead of 1 + 1 + 1-manifest + 1)
+    val ((rowsR, ckR), secR): ((Long, Long), Double) = {
+      System.gc()
+      timed {
+        val atts = AI.hashChunks(batch, AI.DefaultMaxDocsPerBatch)
+          .map(c => AI.frontDoorOn(c, spark, sfDir, dir, edir, fdir,
+            graft.operators.Dedup.DefaultThreshold, AI.EmbThreshold,
+            AI.EmbNProbe, maxDocsPerBatch = Long.MaxValue))
+        val r = atts.reduce(_.unionByName(_))
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, tier, match_id))"))
+          .head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+    }
+    val serial =
+      f"""{"r14_serial_per_chunk_sec":$secR%.2f,"att_rows":$rowsR,"att_cksum":$ckR}"""
+    println(serial)
+    require((depRows.map(_._2) ++ Seq((rowsS, ckS), (rowsR, ckR)))
+        .distinct.size == 1,
       "front-door chunked probe moved attribution rows: " +
-        s"deployed=${depRows.map(_._2)} single=${(rowsS, ckS)}")
+        s"deployed=${depRows.map(_._2)} single=${(rowsS, ckS)} " +
+        s"serial=${(rowsR, ckR)}")
     batch.unpersist(false)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (s"""{"base":"$sfDir","batch_docs":$nBatch,""" +
         f""""ensure_sec":$ensureSec%.2f,""" +
         s""""deployed":[${depRows.map(_._1).mkString(",\n")}],""" +
-        s""""single":$single}""" + "\n").getBytes("UTF-8"))
+        s""""single":$single,""" +
+        s""""r14_serial":$serial}""" + "\n").getBytes("UTF-8"))
     ()
   }
 

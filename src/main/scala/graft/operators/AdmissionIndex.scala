@@ -840,8 +840,8 @@ object AdmissionIndex {
     * the same chunks. Callers persist `batch` first — this counts it
     * and each chunk re-filters it. Returns the batch unsplit when it
     * is already within the operating point. */
-  private[operators] def hashChunks(batch: DataFrame,
-                                    maxDocs: Long): Seq[DataFrame] = {
+  private[graft] def hashChunks(batch: DataFrame,
+                                maxDocs: Long): Seq[DataFrame] = {
     require(maxDocs > 0, s"maxDocsPerBatch must be positive, got $maxDocs")
     val n = batch.count()
     if (n <= maxDocs) Seq(batch)
