@@ -230,12 +230,17 @@ object Pipeline {
       |  FROM toks WHERE len(ts) >= 3),
       |bench AS (
       |  SELECT DISTINCT t.h FROM sh, unnest(hset) AS t(h) WHERE doc_id % __BENCH_MOD__ = 0),
-      |barr AS (SELECT list(h) AS bset FROM bench),
+      |ex AS (
+      |  SELECT doc_id, t.h FROM sh, unnest(hset) AS t(h) WHERE doc_id % __BENCH_MOD__ <> 0),
+      |ov AS (
+      |  SELECT ex.doc_id, count(*) AS c FROM ex JOIN bench ON ex.h = bench.h
+      |  GROUP BY ex.doc_id),
       |scored AS (
-      |  SELECT doc_id,
-      |         CAST(len(hset) AS BIGINT) AS n_shingles,
-      |         CAST(len(list_intersect(hset, barr.bset)) AS BIGINT) AS n_overlap
-      |  FROM sh, barr WHERE doc_id % __BENCH_MOD__ <> 0)
+      |  SELECT sh.doc_id,
+      |         CAST(len(sh.hset) AS BIGINT) AS n_shingles,
+      |         CAST(coalesce(ov.c, 0) AS BIGINT) AS n_overlap
+      |  FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
+      |  WHERE sh.doc_id % __BENCH_MOD__ <> 0)
       |SELECT doc_id, n_shingles, n_overlap,
       |       CAST(n_overlap * 1000000 // n_shingles AS BIGINT) AS overlap_ppm,
       |       n_overlap * 1000000 // n_shingles >= __FLAG_PPM__ AS contaminated
