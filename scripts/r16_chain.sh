@@ -113,3 +113,29 @@ rm -rf /tmp/fuzz_r16
 sbt -batch "runMain graft.FuzzVerify /root/testdata/sf0.01 /tmp/fuzz_r16 1000"
 python3 scripts/check.py /root/testdata/sf0.01 /tmp/fuzz_r16 | tail -3
 echo "=== CHAIN DONE ($(date))"
+
+# ---- continuation session (same round, post-crash recovery) ----------
+# Steps 6-9 above were executed in this continuation; additionally:
+
+echo "=== STEP 10: full-inventory Verify + gate at 10x ($(date))"
+rm -rf /tmp/v_sf1_full_r16
+sbt -batch "runMain graft.Verify /root/repo/scaledata/sf1skew /tmp/v_sf1_full_r16"
+# 4 round-robin mem-capped lanes (GRAFT_DUCKDB_MEM=16GB THREADS=8,
+# timeout 2700) -> merge_scale.py -> CORRECTNESS_SF1_r16.json (148/148,
+# zero retries).
+
+echo "=== STEP 11: 100x complement Verify + gate ($(date))"
+# complement = full inventory minus the 40-query heavy family already
+# gated in CORRECTNESS_SF10_r16 (108 queries)
+rm -rf /tmp/v_sf10_comp_r16
+SPARK_DRIVER_MEM=64g sbt -batch "runMain graft.Verify /root/repo/scaledata/sf10skew /tmp/v_sf10_comp_r16 $(cat /tmp/sf10_comp_r16.txt)"
+# 4 round-robin mem-capped lanes (16GB/8thr, timeout 3600): 107/108
+# within budget; q53_contamination's oracle (per-row list_intersect
+# against the unioned bench list) timed out -> rewritten to the
+# exactly-equivalent unnest+hash-join form (Pipeline.scala), values
+# re-verified at sf0.01 (148/148) + sf0.1, then re-gated at 7200s
+# (~5 min actual). Union of heavy-40 + complement + q53 ->
+# CORRECTNESS_SF10_FULL_r16.json: 148/148 — full inventory at 100x.
+
+echo "=== STEP 12: independent sbt test at r16 HEAD ($(date))"
+sbt -batch test   # 485/485
