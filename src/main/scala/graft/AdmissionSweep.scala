@@ -461,12 +461,33 @@ object AdmissionSweep {
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
     }
-    val depRows = Seq(1, 2, 3, 4).map { par =>
+    // SPARK_GRAFT_SWEEP_DEPLOYED_ONLY=1: stretch-scale form — measure
+    // the deployed path at pool widths {1, default} only and skip the
+    // single-batch / serial baselines (at 300× the serial form alone
+    // costs tens of minutes and the unbounded single plan enters the
+    // spill regime the deployed default exists to avoid; the 100×
+    // artifact carries the three-way contrast)
+    val deployedOnly =
+      sys.env.get("SPARK_GRAFT_SWEEP_DEPLOYED_ONLY").contains("1")
+    val pars = if (deployedOnly) Seq(1, 3) else Seq(1, 2, 3, 4)
+    val depRows = pars.map { par =>
       val ((rows, ck), sec) = measure(AI.DefaultMaxDocsPerBatch, par)
       val line =
         f"""{"par":$par,"deployed_sec":$sec%.2f,"att_rows":$rows,"att_cksum":$ck}"""
       println(line)
       (line, (rows, ck))
+    }
+    if (deployedOnly) {
+      require(depRows.map(_._2).distinct.size == 1,
+        "front-door chunked probe moved attribution rows across pool " +
+          s"widths: ${depRows.map(_._2)}")
+      batch.unpersist(false)
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (s"""{"base":"$sfDir","batch_docs":$nBatch,""" +
+          f""""ensure_sec":$ensureSec%.2f,""" +
+          s""""deployed":[${depRows.map(_._1).mkString(",\n")}]}""" +
+          "\n").getBytes("UTF-8"))
+      return
     }
     // the single-batch bound: tier-2 verify unchunked over the whole
     // odd half — the memory-UNBOUNDED regime (verify/cand width grows
