@@ -469,14 +469,29 @@ object AdmissionSweep {
     // artifact carries the three-way contrast)
     val deployedOnly =
       sys.env.get("SPARK_GRAFT_SWEEP_DEPLOYED_ONLY").contains("1")
-    val pars = if (deployedOnly) Seq(1, 3) else Seq(1, 2, 3, 4)
-    val depRows = pars.map { par =>
-      val ((rows, ck), sec) = measure(AI.DefaultMaxDocsPerBatch, par)
+    // optional operating-point axis (deployed-only form): comma list of
+    // maxDocsPerBatch values, each measured at the default pool width —
+    // "is the measured ~15k point still the right chunk size when the
+    // corpus is 3x the fixture it was measured on?"
+    val maxDocsAxis = sys.env.get("SPARK_GRAFT_SWEEP_MAXDOCS")
+      .map(_.split(",").toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(AI.DefaultMaxDocsPerBatch))
+    // a multi-point maxDocs axis measures chunk SIZING, not pool width:
+    // run it at the default width only
+    val pars =
+      if (maxDocsAxis.size > 1) Seq(3)
+      else if (deployedOnly) Seq(1, 3)
+      else Seq(1, 2, 3, 4)
+    val depRows = (for {
+      maxDocs <- maxDocsAxis
+      par <- pars
+    } yield {
+      val ((rows, ck), sec) = measure(maxDocs, par)
       val line =
-        f"""{"par":$par,"deployed_sec":$sec%.2f,"att_rows":$rows,"att_cksum":$ck}"""
+        f"""{"par":$par,"max_docs":$maxDocs,"deployed_sec":$sec%.2f,"att_rows":$rows,"att_cksum":$ck}"""
       println(line)
       (line, (rows, ck))
-    }
+    }).toList
     if (deployedOnly) {
       require(depRows.map(_._2).distinct.size == 1,
         "front-door chunked probe moved attribution rows across pool " +
