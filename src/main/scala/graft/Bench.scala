@@ -31,7 +31,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // default WARN; SPARK_GRAFT_LOG=INFO turns on DAGScheduler job lines
+    // ("Job N finished: <callsite>, took X ms") for per-job attribution
+    // of a query's wall time in isolated profiling runs (guide §1) —
+    // output format and timing methodology unchanged
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     // install the TopK rewrite session-wide (idempotent): q09/q63 install
     // it lazily, which would otherwise make every LATER row_number<=k
     // query's plan depend on execution order — installed-up-front, all

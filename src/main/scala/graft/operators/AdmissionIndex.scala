@@ -1088,13 +1088,28 @@ object AdmissionIndex {
     * (batchId, pair), the standard foreachBatch contract. */
   def startNearDupStream(streamDocs: DataFrame, dir: String,
       threshold: Double = Dedup.DefaultThreshold,
-      maxDocsPerBatch: Long = DefaultMaxDocsPerBatch)
+      maxDocsPerBatch: Long = DefaultMaxDocsPerBatch,
+      skip: Long => Boolean = _ => false)
       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     streamDocs.writeStream
       .foreachBatch((mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                     id: Long) => sink(
-        pairsVsIndexChunked(mb.toDF(), dir, threshold, maxDocsPerBatch), id))
+                     id: Long) =>
+        // `skip` short-circuits batches the sink would discard anyway
+        // (e.g. [[sunkCommitted]] ids on an at-least-once replay): the
+        // probe's eager legs (persist/count/pruned-scan collects) run at
+        // DataFrame-construction time, so without the gate a replayed
+        // committed batch pays the full probe and throws it away
+        // (guide §1.2: don't compute what you discard). Delivery is
+        // unchanged — a skipped id is exactly one whose sink is a no-op.
+        if (!skip(id)) sink(
+          pairsVsIndexChunked(mb.toDF(), dir, threshold, maxDocsPerBatch), id))
       .start()
+
+  /** Committed-batch predicate for [[exactlyOnceParquetSink]]'s store —
+    * the `skip` argument that makes a replayed committed id free. */
+  def sunkCommitted(outDir: String): Long => Boolean = id =>
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(outDir, s"batch=$id", okMarker))
 
   /** The cross-restart exactly-once sink the stream docs promise
     * (r14 verdict item 6): [[startNearDupStream]] /
@@ -1244,7 +1259,7 @@ object AdmissionIndex {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val q = startNearDupStream(mem.toDF().toDF("doc_id", "text"), dir,
-        threshold)(exactlyOnceParquetSink(out))
+        threshold, skip = sunkCommitted(out))(exactlyOnceParquetSink(out))
       try bs.foreach { b => mem.addData(b); q.processAllAvailable() }
       finally q.stop()
     }
@@ -2308,45 +2323,69 @@ object AdmissionIndex {
                              maxDocsPerBatch: Long = Long.MaxValue,
                              probeParallelism: Int = DefaultProbeParallelism)
       : (DataFrame, DataFrame, () => Unit) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
     // tier 1 — exact: the persisted fingerprint index ([[fpProbe]] is
     // already eager + tiny; read twice: attribution + tier-2 input)
     val exactBest = fpProbe(incoming, fdir)
-    // tier 2 — minhash index probe over tier 1's survivors only,
-    // signed ONCE (probe here, fold later from the same frame)
     val survivors1 = incoming
       .join(exactBest.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // tier 3 — IVF embedding probe — runs CONCURRENTLY with tier 2 from
+    // a one-thread pool (guide §2.6: overlap independent jobs; the
+    // serial form left the cores idle through two back-to-back chains
+    // of small pruned-scan jobs). Both tiers depend only on tier 1's
+    // survivors: the probe is per-doc independent, and the attribution
+    // CASE masks tier 3 for every nd-matched doc exactly as the
+    // oracle's own CTEs do (they rank over ALL docs too — see
+    // [[frontDoorOracleAt]]). Scoring survivors1 instead of the old
+    // post-tier-2 survivors2 adds IVF work only for the nd-matched
+    // fraction of the batch (bounded by the tier-2 match rate, ~5–10%
+    // on the fixtures) and changes no output row (spec + oracle
+    // gated). Await is bounded — the A12 fail-loud contract, same
+    // envelope as the chunk pool.
+    val embPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val semBestF = Future {
+      val vecs = graft.Tables.embeddings(spark, sfDir)
+        .join(survivors1.select(col("doc_id")),
+          col("vec_id") === col("doc_id"), "left_semi")
+      embProbe(vecs, edir, embThreshold, nProbe)
+        .select(col("batch_vec").as("doc_id"), col("base_vec").as("sem_id"))
+    }(ExecutionContext.fromExecutor(embPool))
+    // tier 2 — minhash index probe over tier 1's survivors only,
+    // signed ONCE (probe here, fold later from the same frame)
     val signed1 = signedBatch(survivors1, dir, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k = chunkCount(signed1.count(), maxDocsPerBatch)
-    val pairs =
-      if (k <= 1) probePairsSigned(signed1, dir, threshold)
-      else {
-        // the chunk-tagged view re-reads signed1's cache per stage; its
-        // own persist holds the projected arrays for the verify rounds
-        // (batch-sized, disk-spillable — released with the rounds)
-        val sigB = signed1.select(col("doc_id").as("a"),
-            col("hset").as("ha"), col("sig").as("siga"),
-            chunkExpr(k).as("chunk"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try chunkedPairsCore(sigB, dir, threshold, k, probeParallelism,
-            DefaultChunkVerifyTimeout)
-          .select(col("batch_doc").as("a"), col("base_doc").as("b"),
-            col("jac"))
-        finally { sigB.unpersist(false); () }
-      }
+    val (pairs, semBest) =
+      try {
+        val k = chunkCount(signed1.count(), maxDocsPerBatch)
+        val p =
+          if (k <= 1) probePairsSigned(signed1, dir, threshold)
+          else {
+            // the chunk-tagged view re-reads signed1's cache per stage; its
+            // own persist holds the projected arrays for the verify rounds
+            // (batch-sized, disk-spillable — released with the rounds)
+            val sigB = signed1.select(col("doc_id").as("a"),
+                col("hset").as("ha"), col("sig").as("siga"),
+                chunkExpr(k).as("chunk"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try chunkedPairsCore(sigB, dir, threshold, k, probeParallelism,
+                DefaultChunkVerifyTimeout)
+              .select(col("batch_doc").as("a"), col("base_doc").as("b"),
+                col("jac"))
+            finally { sigB.unpersist(false); () }
+          }
+        (p, Await.result(semBestF, DefaultChunkVerifyTimeout))
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"front-door tier-3 probe exceeded $DefaultChunkVerifyTimeout " +
+              "— failing loud (A12) instead of hanging on a wedged job")
+      } finally { embPool.shutdownNow(); () }
     val ndBest = pairs
       .withColumn("rnk", expr(
         "row_number() OVER (PARTITION BY a ORDER BY jac DESC, b ASC)"))
       .filter(col("rnk") === 1)
       .select(col("a").as("doc_id"), col("b").as("nd_id"))
-      .localCheckpoint(true) // tiny; read twice (attribution + tier-3 input)
-    // tier 3 — IVF embedding probe over tier 1+2's survivors' vectors
-    val survivors2 = survivors1.select(col("doc_id"))
-      .join(ndBest.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val vecs = graft.Tables.embeddings(spark, sfDir)
-      .join(survivors2, col("vec_id") === survivors2("doc_id"), "left_semi")
-    val semBest = embProbe(vecs, edir, embThreshold, nProbe)
-      .select(col("batch_vec").as("doc_id"), col("base_vec").as("sem_id"))
+      .localCheckpoint(true) // tiny; read by the attribution below
     val att = incoming.select(col("doc_id"))
       .join(exactBest, Seq("doc_id"), "left")
       .join(ndBest, Seq("doc_id"), "left")

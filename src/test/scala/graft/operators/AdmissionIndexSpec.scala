@@ -391,6 +391,45 @@ class AdmissionIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startNearDupStream skip gate: a committed batch id short-circuits " +
+    "before the probe (sink never invoked), delivery byte-identical; a " +
+    "crashed markerless dir is NOT skipped and rewrites cleanly") {
+    val docs = corpus
+    val dir = freshDir()
+    AdmissionIndex.buildIndex(docs.filter(col("doc_id") % 2 === 0), dir,
+      threshold = 0.5, maxDfFrac = 0.3)
+    val out = s"$dir/sunk"
+    val rows = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    def drive(sink: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = AdmissionIndex.startNearDupStream(
+        mem.toDF().toDF("doc_id", "text"), dir, 0.5,
+        skip = AdmissionIndex.sunkCommitted(out))(sink)
+      try { mem.addData(rows); q.processAllAvailable() } finally q.stop()
+    }
+    drive(AdmissionIndex.exactlyOnceParquetSink(out))
+    def read() = AdmissionIndex.readSunk(spark, out)
+      .select("batch_id", "batch_doc", "base_doc")
+      .as[(Long, Long, Long)].collect().toSet
+    val first = read()
+    assert(first.nonEmpty, "fixture must produce at least one pair")
+    // replay: each new MemoryStream restarts batch ids at 0, so the
+    // committed id replays — the gate must short-circuit BEFORE the
+    // probe and the sink (a throwing sink proves it is never invoked)
+    drive((_, id) => throw new IllegalStateException(
+      s"sink invoked for committed batch id $id — skip gate failed"))
+    assert(read() == first, "a skipped replay must not change delivery")
+    // a crashed attempt (marker gone) must NOT be skipped: the replay
+    // re-probes and rewrites the batch exactly once
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(out, "batch=0", "_GRAFT_INDEX_OK"))
+    drive(AdmissionIndex.exactlyOnceParquetSink(out))
+    assert(read() == first, "the crashed-dir replay must rewrite the " +
+      "identical batch")
+  }
+
   test("startEmbAdmissionStream: foreachBatch around the pruned IVF " +
     "probe, stream ≡ pruned twin ≡ un-pruned plan") {
     val dims = 8
