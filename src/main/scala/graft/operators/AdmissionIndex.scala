@@ -192,6 +192,30 @@ object AdmissionIndex {
 
   private val okMarker = "_GRAFT_INDEX_OK"
 
+  /** Per-index-dir build monitors: two threads ensuring the SAME dir
+    * serialize (one builds, the other finds the marker), while ensures
+    * of DIFFERENT dirs — e.g. the front door's three independent index
+    * families — build concurrently (guide §2.6: the emb+fp builds hide
+    * inside the text build on a cold store). Cross-process exclusion is
+    * unchanged: the build-to-tmp + atomic-publish protocol already
+    * resolves racing processes. [[sweepStale]] keeps running under the
+    * object monitor so a sweep can never interleave with a generation
+    * fold (appendGenerationSigned holds the same monitor) — the lock
+    * order is always dirLock → object monitor, never the reverse, so no
+    * cycle exists. The map is bounded by the distinct index dirs a
+    * session touches. */
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def dirLock(dir: String): Object =
+    dirLocks.computeIfAbsent(dir, _ => new Object)
+
+  /** Hang-breaker for awaited concurrent index builds: generous enough
+    * that no healthy build at any measured scale can trip it (300× built
+    * in minutes), bounded so a wedged build fails LOUD (A12) instead of
+    * blocking the ingest forever. */
+  val DefaultEnsureTimeout: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.FiniteDuration(24, java.util.concurrent.TimeUnit.HOURS)
+
   /** Build-if-absent, synchronized against sibling THREADS and made
     * safe against sibling PROCESSES by the build-to-temp + atomic-rename
     * publish (two processes that both miss the marker each build
@@ -236,22 +260,23 @@ object AdmissionIndex {
                   maxDfFrac: Double = Dedup.DefaultMaxDfFrac,
                   baseMod: Int = 2,
                   buckets: Option[(Int, Int)] = None,
-                  famTag: String = ""): String =
-    synchronized {
-      val docsPath = s"$sfDir/documents.parquet"
-      val dir = textIndexDirFor(docsPath, threshold, maxDfFrac,
-        baseMod, buckets, famTag)
+                  famTag: String = ""): String = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val dir = textIndexDirFor(docsPath, threshold, maxDfFrac,
+      baseMod, buckets, famTag)
+    dirLock(dir).synchronized {
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
-        sweepStale(docsPath, keep = dir)
+        synchronized { sweepStale(docsPath, keep = dir) }
         val base = graft.Tables.documents(spark, sfDir)
           .filter(col("doc_id") % baseMod === 0)
         val tmp = buildTmpDir(dir)
         buildIndex(base, tmp, threshold, maxDfFrac, buckets)
         publish(tmp, dir)
       }
-      dir
     }
+    dir
+  }
 
   /** Private scratch dir for one build attempt, OUTSIDE the generation
     * namespace so [[sweepStale]] can never delete an in-flight sibling
@@ -1592,13 +1617,13 @@ object AdmissionIndex {
     * `famTag` owning-lifecycle key). */
   def ensureEmbIndex(spark: SparkSession, sfDir: String,
                      centroids: Int = EmbCentroids,
-                     baseMod: Int = 2, famTag: String = ""): String =
-    synchronized {
-      val embPath = s"$sfDir/embeddings.parquet"
-      val dir = embIndexDirFor(embPath, centroids, baseMod, famTag)
+                     baseMod: Int = 2, famTag: String = ""): String = {
+    val embPath = s"$sfDir/embeddings.parquet"
+    val dir = embIndexDirFor(embPath, centroids, baseMod, famTag)
+    dirLock(dir).synchronized {
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
-        sweepStale(embPath, keep = dir)
+        synchronized { sweepStale(embPath, keep = dir) }
         val base = graft.Tables.embeddings(spark, sfDir)
           .filter(col("vec_id") % baseMod === 0)
         // build-to-tmp + atomic publish, like the text/fp ensures: the
@@ -1610,8 +1635,9 @@ object AdmissionIndex {
         embBuildIndex(base, tmp, centroids)
         publish(tmp, dir)
       }
-      dir
     }
+    dir
+  }
 
   /** One pass over the base vectors → centroid summary + cell-assigned
     * quantized vectors, partitioned by cell for probe-time pruning. */
@@ -2098,19 +2124,20 @@ object AdmissionIndex {
     * composed front-door lifecycle runs at 3/4, q139 at the default 2)
     * and the `famTag` owning-lifecycle key. */
   def ensureFpIndex(spark: SparkSession, sfDir: String,
-                    baseMod: Int = 2, famTag: String = ""): String =
-    synchronized {
-      val docsPath = s"$sfDir/documents.parquet"
-      val dir = fpIndexDirFor(docsPath, baseMod, famTag)
+                    baseMod: Int = 2, famTag: String = ""): String = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val dir = fpIndexDirFor(docsPath, baseMod, famTag)
+    dirLock(dir).synchronized {
       val marker = java.nio.file.Paths.get(dir, okMarker)
       if (!java.nio.file.Files.exists(marker)) {
-        sweepStale(docsPath, keep = dir)
+        synchronized { sweepStale(docsPath, keep = dir) }
         val base = graft.Tables.documents(spark, sfDir)
           .filter(col("doc_id") % baseMod === 0)
         buildFpIndex(base, dir)
       }
-      dir
     }
+    dir
+  }
 
   /** One pass over the base → the bucketed (fp, bid) table. `bid` is
     * the LOWEST base doc id per fingerprint — the attribution the front
@@ -2270,11 +2297,44 @@ object AdmissionIndex {
                      centroids: Int = EmbCentroids,
                      nProbe: Int = EmbNProbe,
                      maxDocsPerBatch: Long = DefaultMaxDocsPerBatch): DataFrame = {
-    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac)
-    val edir = ensureEmbIndex(spark, sfDir, centroids)
-    val fdir = ensureFpIndex(spark, sfDir)
+    val (dir, edir, fdir) = ensureFrontDoorIndexes(spark, sfDir,
+      threshold, maxDfFrac, centroids)
     frontDoorOn(incoming, spark, sfDir, dir, edir, fdir,
       threshold, embThreshold, nProbe, maxDocsPerBatch)
+  }
+
+  /** Ensure the front door's three persisted indexes, building any
+    * missing ones CONCURRENTLY (guide §2.6): the families are
+    * independent (different corpora/parameter keys, per-dir build
+    * locks, atomic publish), so on a cold store the emb and fp builds
+    * overlap the dominant text-index build instead of queueing behind
+    * it — the one-time bring-up cost drops toward max(build) from
+    * sum(build). Warm stores pay three marker checks, exactly as
+    * before. Awaits are bounded ([[DefaultEnsureTimeout]]) — a wedged
+    * build fails loud with its family name (A12). */
+  private[operators] def ensureFrontDoorIndexes(spark: SparkSession, sfDir: String,
+      threshold: Double, maxDfFrac: Double, centroids: Int,
+      baseMod: Int = 2, famTag: String = ""): (String, String, String) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val embF = Future(ensureEmbIndex(spark, sfDir, centroids,
+        baseMod, famTag))
+      val fpF = Future(ensureFpIndex(spark, sfDir, baseMod, famTag))
+      val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac,
+        baseMod, buckets = None, famTag = famTag)
+      def awaited(f: Future[String], which: String): String =
+        try Await.result(f, DefaultEnsureTimeout)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              s"front-door $which index build exceeded " +
+                s"$DefaultEnsureTimeout — failing loud (A12) instead " +
+                "of blocking the ingest on a wedged build")
+        }
+      (dir, awaited(embF, "embedding"), awaited(fpF, "fingerprint"))
+    } finally { pool.shutdownNow(); () }
   }
 
   /** The three-tier chain against EXPLICIT index dirs — the shared core
@@ -2600,11 +2660,8 @@ object AdmissionIndex {
     // famTag "fd": the composed lifecycle owns its own index family —
     // without it the mod-3/4 dirs are q137/q141's, whose text-only /
     // emb-only folds would leak their admits into the composed probes
-    val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac,
-      baseMod = m, famTag = "fd")
-    val edir = ensureEmbIndex(spark, sfDir, centroids,
-      baseMod = m, famTag = "fd")
-    val fdir = ensureFpIndex(spark, sfDir, baseMod = m, famTag = "fd")
+    val (dir, edir, fdir) = ensureFrontDoorIndexes(spark, sfDir,
+      threshold, maxDfFrac, centroids, baseMod = m, famTag = "fd")
     val genKey = s"$sfDir|$genTag"
     // round 1 replays only until all three folds are committed (the
     // outer check skips even the batch construction on a fully-warm
@@ -2726,11 +2783,8 @@ object AdmissionIndex {
       .foreachBatch((mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                      id: Long) => {
         val spark = mb.sparkSession
-        val dir = ensureIndex(spark, sfDir, threshold, maxDfFrac,
-          baseMod = baseMod, famTag = famTag)
-        val edir = ensureEmbIndex(spark, sfDir, centroids,
-          baseMod = baseMod, famTag = famTag)
-        val fdir = ensureFpIndex(spark, sfDir, baseMod = baseMod,
+        val (dir, edir, fdir) = ensureFrontDoorIndexes(spark, sfDir,
+          threshold, maxDfFrac, centroids, baseMod = baseMod,
           famTag = famTag)
         val genKey = s"$sfDir|fdStream|$famTag|$id"
         val adir = probeStageFold(mb.toDF(), spark, sfDir, dir, edir,

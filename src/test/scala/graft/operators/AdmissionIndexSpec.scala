@@ -430,6 +430,42 @@ class AdmissionIndexSpec extends SparkSpec {
       "identical batch")
   }
 
+  test("ensureFrontDoorIndexes: cold CONCURRENT builds of the three " +
+    "families produce indexes whose composed probe is identical to the " +
+    "serial default-family twin") {
+    val sfDir = "/root/testdata/sf0.001"
+    val AI = AdmissionIndex
+    // a dedicated famTag whose three dirs are wiped first, so the
+    // concurrent path actually builds cold every run (famTag shapes
+    // only the dir naming — content at baseMod=2 is the default
+    // family's exactly)
+    val tag = "ccbuild"
+    Seq(
+      AI.textIndexDirFor(s"$sfDir/documents.parquet",
+        Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac, famTag = tag),
+      AI.embIndexDirFor(s"$sfDir/embeddings.parquet",
+        AI.EmbCentroids, famTag = tag),
+      AI.fpIndexDirFor(s"$sfDir/documents.parquet", famTag = tag)
+    ).foreach { d =>
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }
+    val (dir, edir, fdir) = AI.ensureFrontDoorIndexes(spark, sfDir,
+      Dedup.DefaultThreshold, Dedup.DefaultMaxDfFrac, AI.EmbCentroids,
+      famTag = tag)
+    val incoming = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+    val got = AI.frontDoorOn(incoming, spark, sfDir, dir, edir, fdir,
+      Dedup.DefaultThreshold, AI.EmbThreshold, AI.EmbNProbe)
+      .as[(Long, String, Long)].collect().toSet
+    val twin = AI.frontDoor(spark, sfDir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == twin,
+      s"extra=${got -- twin} missing=${twin -- got}")
+  }
+
   test("startEmbAdmissionStream: foreachBatch around the pruned IVF " +
     "probe, stream ≡ pruned twin ≡ un-pruned plan") {
     val dims = 8
